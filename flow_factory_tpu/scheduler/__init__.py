@@ -1,0 +1,19 @@
+from .abc import SDEStepOutput, DynamicsType
+from .flow_match_euler import (
+    FlowMatchEulerSDE,
+    calculate_shift,
+    build_flow_match_sigmas,
+    sde_step,
+)
+from .registry import get_scheduler_class, register_scheduler
+
+__all__ = [
+    "SDEStepOutput",
+    "DynamicsType",
+    "FlowMatchEulerSDE",
+    "calculate_shift",
+    "build_flow_match_sigmas",
+    "sde_step",
+    "get_scheduler_class",
+    "register_scheduler",
+]
