@@ -1,0 +1,285 @@
+"""Shared DiT building blocks (flax.linen).
+
+TPU-first primitives used by all adapters' transformers: timestep embeddings,
+adaptive layer norms, joint (dual-stream) attention blocks, patch embedding.
+Attention routes through :mod:`flow_factory_tpu.ops.attention` so every model
+picks up the Pallas flash kernel via one config knob (the TPU equivalent of
+the reference's diffusers ``set_attention_backend``,
+``src/flow_factory/models/abc.py:782-798``).
+
+Matmul-heavy modules compute in the param dtype (bf16 on TPU) with fp32
+accumulation via ``preferred_element_type`` inside the attention ops; norms
+and modulation run in fp32 for stability.
+"""
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.attention import dot_product_attention
+
+
+def sinusoidal_timestep_embedding(
+    timesteps: jax.Array,
+    dim: int,
+    max_period: int = 10000,
+    flip_sin_to_cos: bool = True,
+    downscale_freq_shift: float = 0.0,
+    scale: float = 1.0,
+) -> jax.Array:
+    """(B,) timesteps → (B, dim) sinusoidal features (diffusers convention)."""
+    half = dim // 2
+    exponent = -math.log(max_period) * jnp.arange(half, dtype=jnp.float32)
+    exponent = exponent / (half - downscale_freq_shift)
+    emb = jnp.exp(exponent)[None, :] * timesteps.astype(jnp.float32)[:, None]
+    emb = scale * emb
+    sin, cos = jnp.sin(emb), jnp.cos(emb)
+    out = jnp.concatenate([cos, sin] if flip_sin_to_cos else [sin, cos], axis=-1)
+    if dim % 2 == 1:
+        out = jnp.pad(out, ((0, 0), (0, 1)))
+    return out
+
+
+class TimestepEmbedder(nn.Module):
+    """Sinusoidal features → 2-layer SiLU MLP."""
+
+    hidden_dim: int
+    freq_dim: int = 256
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, t: jax.Array) -> jax.Array:
+        x = sinusoidal_timestep_embedding(t, self.freq_dim)
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="linear_1")(x.astype(self.dtype))
+        x = nn.silu(x)
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="linear_2")(x)
+        return x
+
+
+class PooledTextEmbedder(nn.Module):
+    """Pooled CLIP projection → time-conditioning vector."""
+
+    hidden_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, pooled: jax.Array) -> jax.Array:
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="linear_1")(pooled.astype(self.dtype))
+        x = nn.silu(x)
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="linear_2")(x)
+        return x
+
+
+class PatchEmbed(nn.Module):
+    """2-D latent → patch tokens with (optionally cropped) learned pos-embed."""
+
+    patch_size: int
+    hidden_dim: int
+    pos_embed_max_size: Optional[int] = None  # learned grid side; None = sincos-free
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, latents: jax.Array) -> jax.Array:
+        # latents: (B, H, W, C) channel-last (TPU-friendly conv layout)
+        B, H, W, C = latents.shape
+        p = self.patch_size
+        x = nn.Conv(
+            self.hidden_dim,
+            kernel_size=(p, p),
+            strides=(p, p),
+            dtype=self.dtype,
+            name="proj",
+        )(latents.astype(self.dtype))
+        h, w = H // p, W // p
+        x = x.reshape(B, h * w, self.hidden_dim)
+        if self.pos_embed_max_size is not None:
+            grid = self.pos_embed_max_size
+            pos = self.param(
+                "pos_embed",
+                nn.initializers.normal(0.02),
+                (1, grid, grid, self.hidden_dim),
+                jnp.float32,
+            )
+            top = (grid - h) // 2
+            left = (grid - w) // 2
+            pos = jax.lax.dynamic_slice(
+                pos, (0, top, left, 0), (1, h, w, self.hidden_dim)
+            ).reshape(1, h * w, self.hidden_dim)
+            x = x + pos.astype(self.dtype)
+        return x
+
+
+def modulate(x: jax.Array, shift: jax.Array, scale: jax.Array) -> jax.Array:
+    return x * (1.0 + scale[:, None, :]) + shift[:, None, :]
+
+
+class AdaLayerNormZero(nn.Module):
+    """LayerNorm with 6-way (or 2-way) conditioning from the time embedding."""
+
+    hidden_dim: int
+    num_chunks: int = 6
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, emb: jax.Array) -> Tuple[jax.Array, ...]:
+        mods = nn.Dense(self.num_chunks * self.hidden_dim, dtype=jnp.float32, name="linear")(
+            nn.silu(emb.astype(jnp.float32))
+        )
+        chunks = jnp.split(mods, self.num_chunks, axis=-1)
+        normed = nn.LayerNorm(use_bias=False, use_scale=False, dtype=jnp.float32, name="norm")(
+            x.astype(jnp.float32)
+        )
+        out = modulate(normed, chunks[0], chunks[1]).astype(x.dtype)
+        return (out, *chunks[2:])
+
+
+class AdaLayerNormContinuous(nn.Module):
+    """Final-layer AdaLN: shift/scale from the conditioning vector."""
+
+    hidden_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, emb: jax.Array) -> jax.Array:
+        mods = nn.Dense(2 * self.hidden_dim, dtype=jnp.float32, name="linear")(
+            nn.silu(emb.astype(jnp.float32))
+        )
+        shift, scale = jnp.split(mods, 2, axis=-1)
+        normed = nn.LayerNorm(use_bias=False, use_scale=False, dtype=jnp.float32, name="norm")(
+            x.astype(jnp.float32)
+        )
+        return modulate(normed, shift, scale).astype(x.dtype)
+
+
+class FeedForward(nn.Module):
+    hidden_dim: int
+    mult: float = 4.0
+    activation: str = "gelu_tanh"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        inner = int(self.hidden_dim * self.mult)
+        h = nn.Dense(inner, dtype=self.dtype, name="fc1")(x)
+        if self.activation == "gelu_tanh":
+            h = nn.gelu(h, approximate=True)
+        elif self.activation == "silu":
+            h = nn.silu(h)
+        else:
+            raise ValueError(self.activation)
+        return nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc2")(h)
+
+
+class QKNorm(nn.Module):
+    """Per-head RMS norm of q/k (SD3.5 / FLUX convention)."""
+
+    head_dim: int
+
+    @nn.compact
+    def __call__(self, q: jax.Array, k: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        qn = nn.RMSNorm(epsilon=1e-6, dtype=jnp.float32, name="q_norm")(q.astype(jnp.float32))
+        kn = nn.RMSNorm(epsilon=1e-6, dtype=jnp.float32, name="k_norm")(k.astype(jnp.float32))
+        return qn.astype(q.dtype), kn.astype(k.dtype)
+
+
+def _split_heads(x: jax.Array, num_heads: int) -> jax.Array:
+    B, S, D = x.shape
+    return x.reshape(B, S, num_heads, D // num_heads).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x: jax.Array) -> jax.Array:
+    B, H, S, Dh = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(B, S, H * Dh)
+
+
+class JointAttention(nn.Module):
+    """MMDiT dual-stream joint attention.
+
+    Latent tokens and context (text) tokens get separate qkv projections,
+    attend jointly over the concatenated sequence, then project back per
+    stream. ``context_pre_only`` drops the context output projection (final
+    block).
+    """
+
+    hidden_dim: int
+    num_heads: int
+    qk_norm: bool = True
+    context_pre_only: bool = False
+    attn_backend: str = "auto"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, context: Optional[jax.Array]
+    ) -> Tuple[jax.Array, Optional[jax.Array]]:
+        D = self.hidden_dim
+        head_dim = D // self.num_heads
+
+        q = nn.Dense(D, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(D, dtype=self.dtype, name="to_k")(x)
+        v = nn.Dense(D, dtype=self.dtype, name="to_v")(x)
+        q, k, v = (_split_heads(t, self.num_heads) for t in (q, k, v))
+        if self.qk_norm:
+            q, k = QKNorm(head_dim, name="qk_norm")(q, k)
+
+        ctx_len = 0
+        if context is not None:
+            cq = nn.Dense(D, dtype=self.dtype, name="add_q_proj")(context)
+            ck = nn.Dense(D, dtype=self.dtype, name="add_k_proj")(context)
+            cv = nn.Dense(D, dtype=self.dtype, name="add_v_proj")(context)
+            cq, ck, cv = (_split_heads(t, self.num_heads) for t in (cq, ck, cv))
+            if self.qk_norm:
+                cq, ck = QKNorm(head_dim, name="added_qk_norm")(cq, ck)
+            ctx_len = context.shape[1]
+            # Context tokens lead the joint sequence (diffusers SD3 order).
+            q = jnp.concatenate([cq, q], axis=2)
+            k = jnp.concatenate([ck, k], axis=2)
+            v = jnp.concatenate([cv, v], axis=2)
+
+        out = dot_product_attention(q, k, v, backend=self.attn_backend)
+        out = _merge_heads(out)
+
+        ctx_out = None
+        if context is not None:
+            ctx_part, x_part = out[:, :ctx_len], out[:, ctx_len:]
+            if not self.context_pre_only:
+                ctx_out = nn.Dense(D, dtype=self.dtype, name="to_add_out")(ctx_part)
+        else:
+            x_part = out
+        x_out = nn.Dense(D, dtype=self.dtype, name="to_out")(x_part)
+        return x_out, ctx_out
+
+
+class SelfAttention(nn.Module):
+    """Plain self-attention over one stream (MMDiT-X dual-attention blocks)."""
+
+    hidden_dim: int
+    num_heads: int
+    qk_norm: bool = True
+    attn_backend: str = "auto"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        D = self.hidden_dim
+        q = nn.Dense(D, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(D, dtype=self.dtype, name="to_k")(x)
+        v = nn.Dense(D, dtype=self.dtype, name="to_v")(x)
+        q, k, v = (_split_heads(t, self.num_heads) for t in (q, k, v))
+        if self.qk_norm:
+            q, k = QKNorm(D // self.num_heads, name="qk_norm")(q, k)
+        out = dot_product_attention(q, k, v, backend=self.attn_backend)
+        return nn.Dense(D, dtype=self.dtype, name="to_out")(_merge_heads(out))
+
+
+def unpatchify(x: jax.Array, h: int, w: int, patch_size: int, channels: int) -> jax.Array:
+    """(B, h*w, p*p*C) → (B, H, W, C) channel-last."""
+    B = x.shape[0]
+    p = patch_size
+    x = x.reshape(B, h, w, p, p, channels)
+    x = jnp.einsum("bhwpqc->bhpwqc", x)
+    return x.reshape(B, h * p, w * p, channels)

@@ -1,0 +1,138 @@
+"""CLIP text encoder in flax.linen (frozen prompt encoder).
+
+TPU-native stand-in for the ``CLIPTextModelWithProjection`` encoders the
+reference discovers on its wrapped pipelines
+(``src/flow_factory/models/abc.py:229-325`` name-based text-encoder
+discovery). Frozen, bf16, used only during stage-1 preprocessing
+(``encode_prompt``) so it is jitted once and never sharded beyond data
+parallelism.
+
+Covers CLIP-L (SD3/FLUX ``text_encoder``) and OpenCLIP-bigG (SD3
+``text_encoder_2``) via config. Returns both the final/penultimate hidden
+states and the projected EOS pooled embedding, matching the HF contract the
+adapters rely on.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+@dataclass(frozen=True)
+class CLIPTextConfig:
+    vocab_size: int = 49408
+    hidden_dim: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    max_positions: int = 77
+    projection_dim: int = 768
+    hidden_act: str = "quick_gelu"
+    eos_token_id: int = 49407
+    dtype: str = "bfloat16"
+
+    @property
+    def compute_dtype(self) -> jnp.dtype:
+        return jnp.dtype(self.dtype)
+
+    @staticmethod
+    def clip_l(**o) -> "CLIPTextConfig":
+        return CLIPTextConfig(**o)
+
+    @staticmethod
+    def clip_g(**o) -> "CLIPTextConfig":
+        base = dict(
+            hidden_dim=1280,
+            num_layers=32,
+            num_heads=20,
+            projection_dim=1280,
+            hidden_act="gelu",
+        )
+        base.update(o)
+        return CLIPTextConfig(**base)
+
+    @staticmethod
+    def tiny(**o) -> "CLIPTextConfig":
+        base = dict(vocab_size=1000, hidden_dim=32, num_layers=2, num_heads=4, projection_dim=32)
+        base.update(o)
+        return CLIPTextConfig(**base)
+
+
+class CLIPTextOutput(NamedTuple):
+    last_hidden_state: jax.Array  # (B, L, D) post-final-LN
+    penultimate_hidden_state: jax.Array  # (B, L, D) pre-final-LN block output
+    pooled: jax.Array  # (B, projection_dim) projected EOS embedding
+
+
+def _act(name: str):
+    if name == "quick_gelu":
+        return lambda x: x * jax.nn.sigmoid(1.702 * x)
+    if name == "gelu":
+        return lambda x: nn.gelu(x, approximate=False)
+    raise ValueError(name)
+
+
+class CLIPBlock(nn.Module):
+    cfg: CLIPTextConfig
+
+    @nn.compact
+    def __call__(self, x: jax.Array, mask: jax.Array) -> jax.Array:
+        cfg = self.cfg
+        dt = cfg.compute_dtype
+        D, H = cfg.hidden_dim, cfg.num_heads
+        h = nn.LayerNorm(dtype=jnp.float32, name="ln1")(x.astype(jnp.float32)).astype(dt)
+        q = nn.Dense(D, dtype=dt, name="q_proj")(h)
+        k = nn.Dense(D, dtype=dt, name="k_proj")(h)
+        v = nn.Dense(D, dtype=dt, name="v_proj")(h)
+        B, L, _ = h.shape
+        split = lambda t: t.reshape(B, L, H, D // H).transpose(0, 2, 1, 3)
+        q, k, v = split(q), split(k), split(v)
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) * ((D // H) ** -0.5)
+        s = jnp.where(mask, s, -1e30)
+        p = jax.nn.softmax(s, axis=-1).astype(dt)
+        o = jnp.einsum("bhqk,bhkd->bhqd", p, v).transpose(0, 2, 1, 3).reshape(B, L, D)
+        x = x + nn.Dense(D, dtype=dt, name="out_proj")(o)
+        h = nn.LayerNorm(dtype=jnp.float32, name="ln2")(x.astype(jnp.float32)).astype(dt)
+        h = nn.Dense(4 * D, dtype=dt, name="fc1")(h)
+        h = _act(cfg.hidden_act)(h)
+        h = nn.Dense(D, dtype=dt, name="fc2")(h)
+        return x + h
+
+
+class CLIPTextEncoder(nn.Module):
+    cfg: CLIPTextConfig
+
+    @nn.compact
+    def __call__(self, input_ids: jax.Array) -> CLIPTextOutput:
+        cfg = self.cfg
+        dt = cfg.compute_dtype
+        B, L = input_ids.shape
+        tok = nn.Embed(cfg.vocab_size, cfg.hidden_dim, dtype=dt, name="token_embedding")(input_ids)
+        pos = self.param(
+            "position_embedding",
+            nn.initializers.normal(0.01),
+            (cfg.max_positions, cfg.hidden_dim),
+            jnp.float32,
+        )
+        x = tok + pos[None, :L].astype(dt)
+        causal = jnp.tril(jnp.ones((L, L), dtype=bool))[None, None]
+        penultimate = x
+        for i in range(cfg.num_layers):
+            penultimate = x
+            x = CLIPBlock(cfg, name=f"layer_{i}")(x, causal)
+        final = nn.LayerNorm(dtype=jnp.float32, name="final_ln")(x.astype(jnp.float32))
+        # EOS pooling: first position equal to eos_token_id (HF convention).
+        is_eos = (input_ids == cfg.eos_token_id).astype(jnp.int32)
+        eos_idx = jnp.argmax(is_eos, axis=-1)
+        pooled_raw = final[jnp.arange(B), eos_idx]
+        pooled = nn.Dense(cfg.projection_dim, use_bias=False, dtype=jnp.float32, name="text_projection")(
+            pooled_raw
+        )
+        return CLIPTextOutput(
+            last_hidden_state=final.astype(dt),
+            penultimate_hidden_state=penultimate,
+            pooled=pooled,
+        )

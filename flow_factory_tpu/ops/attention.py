@@ -1,0 +1,259 @@
+"""Attention ops: Pallas TPU flash attention + native XLA fallback.
+
+TPU-native replacement for the reference's attention-backend dispatch
+(``src/flow_factory/models/abc.py:782-798`` routes diffusers attention to
+flash/sage/xformers CUDA kernels). Here the backends are:
+
+  'native'  — jnp einsum attention with fp32 softmax; runs anywhere (CPU tests)
+              and XLA already fuses it well for short sequences.
+  'flash'   — Pallas TPU kernel: blockwise online-softmax, O(S) memory,
+              MXU-shaped (128-aligned) tiles, fp32 accumulation.
+  'auto'    — 'flash' on TPU when shapes qualify, else 'native'.
+
+The flash path is wrapped in ``jax.custom_vjp``: forward runs the Pallas
+kernel; backward uses the exact einsum formulation (XLA-fused). Rollout — the
+FLOPs-dominant phase (T sampling steps × CFG-doubled batches, no gradients) —
+therefore always gets the O(S)-memory kernel, while training backward keeps
+bit-exact, compiler-scheduled gradients.
+
+All shapes are (B, H, S, D) with D the head dim.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BLOCK_Q = 256
+DEFAULT_BLOCK_K = 256
+_NEG_INF = -1e30
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _round_up(x: int, m: int) -> int:
+    return _cdiv(x, m) * m
+
+
+# ---------------------------------------------------------------------------
+# Native (XLA) attention
+# ---------------------------------------------------------------------------
+
+def native_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    scale: Optional[float] = None,
+    mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Reference einsum attention, fp32 softmax, output in q.dtype."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
+    if mask is not None:
+        s = jnp.where(mask, s, _NEG_INF)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", p.astype(q.dtype), v, preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Pallas flash attention (forward)
+# ---------------------------------------------------------------------------
+
+def _flash_fwd_kernel(
+    q_ref,
+    k_ref,
+    v_ref,
+    o_ref,
+    m_scratch,
+    l_scratch,
+    acc_scratch,
+    *,
+    scale: float,
+    kv_len: int,
+    block_k: int,
+):
+    """Grid (B, H, num_q_blocks, num_k_blocks); k-block axis innermost.
+
+    Scratch (m, l, acc) persists across the sequential k-block axis —
+    the classic online-softmax recurrence.
+    """
+    j = pl.program_id(3)
+    num_k = pl.num_programs(3)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scratch[:] = jnp.full_like(m_scratch, _NEG_INF)
+        l_scratch[:] = jnp.zeros_like(l_scratch)
+        acc_scratch[:] = jnp.zeros_like(acc_scratch)
+
+    q = q_ref[0, 0]  # (Bq, D)
+    k = k_ref[0, 0]  # (Bk, D)
+    s = jax.lax.dot_general(
+        q,
+        k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale  # (Bq, Bk)
+
+    # Mask the zero-padded tail of the key sequence.
+    if kv_len % block_k != 0:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_k
+        s = jnp.where(col < kv_len, s, _NEG_INF)
+
+    m_prev = m_scratch[:]  # (Bq, 1)
+    l_prev = l_scratch[:]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)
+    l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+
+    v_blk = v_ref[0, 0]  # (Bk, D)
+    pv = jax.lax.dot_general(
+        p.astype(v_blk.dtype),
+        v_blk,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc_scratch[:] = acc_scratch[:] * alpha + pv
+    m_scratch[:] = m_new
+    l_scratch[:] = l_new
+
+    @pl.when(j == num_k - 1)
+    def _finalize():
+        denom = jnp.maximum(l_scratch[:], 1e-30)
+        o_ref[0, 0] = (acc_scratch[:] / denom).astype(o_ref.dtype)
+
+
+def _flash_forward(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    scale: float,
+    block_q: int,
+    block_k: int,
+) -> jax.Array:
+    B, H, Sq, D = q.shape
+    Sk = k.shape[2]
+    block_q = min(block_q, _round_up(Sq, 128))
+    block_k = min(block_k, _round_up(Sk, 128))
+    Sq_pad = _round_up(Sq, block_q)
+    Sk_pad = _round_up(Sk, block_k)
+    if Sq_pad != Sq:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, Sq_pad - Sq), (0, 0)))
+    if Sk_pad != Sk:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, Sk_pad - Sk), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, Sk_pad - Sk), (0, 0)))
+
+    grid = (B, H, Sq_pad // block_q, Sk_pad // block_k)
+    kernel = functools.partial(
+        _flash_fwd_kernel, scale=scale, kv_len=Sk, block_k=block_k
+    )
+    # Interpret mode lets the CPU test mesh execute the TPU kernel faithfully.
+    interpret = jax.default_backend() != "tpu"
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, j: (b, h, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k, D), lambda b, h, i, j: (b, h, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k, D), lambda b, h, i, j: (b, h, j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, block_q, D), lambda b, h, i, j: (b, h, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, H, Sq_pad, D), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, D), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * Sq_pad * Sk_pad * D,
+            bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
+            transcendentals=B * H * Sq_pad * Sk_pad,
+        ),
+        interpret=interpret,
+    )(q, k, v)
+    if Sq_pad != Sq:
+        out = out[:, :, :Sq, :]
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash_attention(q, k, v, scale, block_q, block_k):
+    return _flash_forward(q, k, v, scale, block_q, block_k)
+
+
+def _flash_attention_fwd(q, k, v, scale, block_q, block_k):
+    out = _flash_forward(q, k, v, scale, block_q, block_k)
+    return out, (q, k, v)
+
+
+def _flash_attention_bwd(scale, block_q, block_k, residuals, g):
+    q, k, v = residuals
+
+    def ref(q_, k_, v_):
+        return native_attention(q_, k_, v_, scale=scale)
+
+    _, vjp = jax.vjp(ref, q, k, v)
+    return vjp(g)
+
+
+_flash_attention.defvjp(_flash_attention_fwd, _flash_attention_bwd)
+
+
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    scale: Optional[float] = None,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+) -> jax.Array:
+    """Pallas flash attention, full (non-causal) — the DiT hot op."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    return _flash_attention(q, k, v, float(scale), block_q, block_k)
+
+
+# ---------------------------------------------------------------------------
+# Dispatch
+# ---------------------------------------------------------------------------
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+def dot_product_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    scale: Optional[float] = None,
+    mask: Optional[jax.Array] = None,
+    backend: str = "auto",
+) -> jax.Array:
+    """Backend-dispatched attention — the equivalent of the reference's
+    ``attn_backend`` config knob (``hparams/model_args.py:97-105``)."""
+    if backend == "auto":
+        backend = "flash" if (mask is None and _on_tpu() and q.shape[-1] <= 256) else "native"
+    if backend == "flash":
+        if mask is not None:
+            raise NotImplementedError("flash backend does not take a dense mask; use 'native'")
+        return flash_attention(q, k, v, scale=scale)
+    if backend == "native":
+        return native_attention(q, k, v, scale=scale, mask=mask)
+    raise ValueError(f"Unknown attention backend {backend!r}")

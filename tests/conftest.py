@@ -1,13 +1,21 @@
 """Test configuration: force an 8-device virtual CPU mesh.
 
 Tests never require TPU hardware; multi-device sharding paths run on
-`--xla_force_host_platform_device_count=8` CPU devices, something the
+``--xla_force_host_platform_device_count=8`` CPU devices, something the
 CUDA-bound reference framework cannot do.
+
+NOTE: env vars alone are not enough in this environment — a site hook may
+pre-register a TPU plugin and override ``jax_platforms`` via ``jax.config``.
+Backend initialization is lazy, so updating ``jax.config`` here (before any
+test touches a device) reliably pins the suite to the CPU mesh.
 """
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.setdefault("JAX_ENABLE_X64", "0")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
-os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
