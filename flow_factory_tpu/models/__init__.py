@@ -1,0 +1,11 @@
+from .abc import BaseAdapter
+from .loader import load_adapter
+from .registry import available_adapters, register_adapter, resolve_adapter_class
+
+__all__ = [
+    "BaseAdapter",
+    "load_adapter",
+    "resolve_adapter_class",
+    "register_adapter",
+    "available_adapters",
+]

@@ -1,0 +1,477 @@
+"""BaseAdapter: model lifecycle + functional parameter management.
+
+TPU-native re-design of the reference's 2,156-line ``BaseAdapter``
+(``src/flow_factory/models/abc.py``). The responsibilities carry over —
+pipeline loading, mode management, LoRA/EMA/ref-params/named-snapshots,
+mixed precision, checkpointing, encode/inference/forward — but the mechanics
+are functional:
+
+* Parameters are explicit pytrees: ``self.params[component]`` holds frozen
+  weights (inference dtype); ``self.trainable`` holds the optimized pytree
+  (LoRA trees or full master-dtype params). No in-place module mutation.
+* ``use_ref_parameters()`` (reference ``abc.py:532-587``) becomes
+  :meth:`ref_trainable` — a pytree you *pass* to the same pure forward.
+* EMA / named parameter snapshots (``abc.py:493-530, 590-767``) are EMA
+  holders over the trainable pytree (cheap for LoRA).
+* Mixed precision (``abc.py:800-856``): frozen → ``inference_dtype`` (bf16),
+  trainable → ``master_dtype`` (fp32); merge casts at the boundary.
+* The rollout loop is a single jitted ``lax.scan`` (replaces the per-step
+  Python loop + TrajectoryCollector, ``abc.py``/``sd3_5.py:273-304``),
+  with compact trajectory gather on device.
+* Checkpointing: LoRA/full exports as safetensors (flat ``a/b`` or kernel
+  keys + config json), full train state via orbax (reference
+  ``abc.py:1043-1718`` collective gathers are unnecessary — JAX arrays are
+  already globally addressable over the mesh).
+"""
+from __future__ import annotations
+
+import json
+import logging
+import os
+from abc import ABC, abstractmethod
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ema import EMA, constant_decay, get_decay_schedule
+from ..samples import BaseSample
+from ..scheduler.flow_match_euler import FlowMatchEulerSDE
+from ..utils.base import derive_key
+from .lora import (
+    DEFAULT_TARGET_PATTERNS,
+    init_lora,
+    lora_param_count,
+    merge_lora,
+    zero_like_lora,
+)
+
+logger = logging.getLogger(__name__)
+
+
+class BaseAdapter(ABC):
+    """Adapter = model defs + param pytrees + pure compute functions."""
+
+    sample_class = BaseSample
+    #: components whose params are trained (LoRA'd or fully)
+    default_trainable_components: Tuple[str, ...] = ("transformer",)
+    #: LoRA target patterns (regex over param paths) for 'default'
+    default_target_patterns: Tuple[str, ...] = DEFAULT_TARGET_PATTERNS
+
+    def __init__(self, config, mesh=None):
+        self.config = config
+        self.model_args = config.model_args
+        self.scheduler_args = config.scheduler_args
+        self.training_args = config.training_args
+        self.mesh = mesh
+
+        self.master_dtype = jnp.dtype(self.model_args.master_dtype)
+        self.inference_dtype = jnp.dtype(self.model_args.inference_dtype)
+        self._mode = "train"
+
+        #: flax module definitions, e.g. {'transformer': SD3Transformer(...)}
+        self.modules: Dict[str, Any] = {}
+        #: frozen parameter pytrees per component (inference dtype)
+        self.params: Dict[str, Any] = {}
+        #: host-side metadata (configs per component)
+        self.component_configs: Dict[str, Any] = {}
+
+        self.load_models()
+        self.scheduler = self.load_scheduler()
+        self._setup_trainable()
+
+        self.ema: Optional[EMA] = None
+        self._ref_store: Optional[EMA] = None
+        self._named_stores: Dict[str, EMA] = {}
+        self._jit_cache: Dict[Any, Callable] = {}
+
+        if self.model_args.resume_path:
+            self.load_checkpoint(self.model_args.resume_path, self.model_args.resume_type)
+
+    # ------------------------------------------------------------------
+    # Abstract model surface
+    # ------------------------------------------------------------------
+    @abstractmethod
+    def load_models(self) -> None:
+        """Populate ``self.modules`` / ``self.params`` / ``self.component_configs``."""
+
+    def load_scheduler(self) -> FlowMatchEulerSDE:
+        sa = self.scheduler_args
+        return FlowMatchEulerSDE(
+            noise_level=sa.noise_level,
+            sde_steps=sa.sde_steps,
+            num_sde_steps=sa.num_sde_steps,
+            seed=sa.seed,
+            dynamics_type=sa.dynamics_type,
+            **self.scheduler_defaults(),
+        )
+
+    def scheduler_defaults(self) -> Dict[str, Any]:
+        """Per-model sigma-schedule knobs (shift, dynamic shifting...)."""
+        return {}
+
+    @abstractmethod
+    def encode_prompt(self, prompts: Sequence[str], **kwargs) -> Dict[str, np.ndarray]:
+        """Text encoders → embedding dict (host numpy, feeds preprocessing cache)."""
+
+    @abstractmethod
+    def inference(self, **kwargs) -> List[BaseSample]:
+        """Full rollout: returns host-resident samples with trajectories."""
+
+    @abstractmethod
+    def decode_latents(self, latents: jax.Array) -> np.ndarray:
+        """Final latents → media (host numpy, canonical layout)."""
+
+    def preprocess_func(self, batch: Dict[str, Any], **kwargs) -> Dict[str, Any]:
+        """Stage-1 preprocessing: prompt/condition-media encoding.
+
+        Reference dispatches to 4 no-op-default encoders
+        (``models/abc.py:1956-2121``); subclasses override as needed.
+        """
+        out: Dict[str, Any] = {}
+        if "prompt" in batch:
+            out.update(self.encode_prompt(batch["prompt"], **kwargs))
+        return out
+
+    # ------------------------------------------------------------------
+    # Mode management (reference abc.py:349-378)
+    # ------------------------------------------------------------------
+    @property
+    def mode(self) -> str:
+        return self._mode
+
+    def train(self) -> None:
+        self._mode = "train"
+        self.scheduler.train()
+
+    def eval(self) -> None:
+        self._mode = "eval"
+        self.scheduler.eval()
+
+    def rollout(self) -> None:
+        self._mode = "rollout"
+        self.scheduler.rollout()
+
+    # ------------------------------------------------------------------
+    # Trainable parameters: LoRA or full
+    # ------------------------------------------------------------------
+    @property
+    def trainable_components(self) -> Tuple[str, ...]:
+        tm = self.model_args.target_modules
+        if isinstance(tm, str) and tm not in ("default", "all"):
+            return (tm.split(".")[0],)
+        if isinstance(tm, (list, tuple)):
+            comps = []
+            for t in tm:
+                comp = t.split(".")[0]
+                if comp in self.params and comp not in comps:
+                    comps.append(comp)
+            if comps:
+                return tuple(comps)
+        return self.default_trainable_components
+
+    @property
+    def is_lora(self) -> bool:
+        return self.model_args.finetune_type == "lora"
+
+    @property
+    def lora_scale(self) -> float:
+        return self.model_args.lora_alpha / max(1, self.model_args.lora_rank)
+
+    def _lora_patterns(self) -> Tuple[str, ...]:
+        tm = self.model_args.target_modules
+        if isinstance(tm, str) and tm in ("default", "all"):
+            return self.default_target_patterns
+        if isinstance(tm, (list, tuple)):
+            pats = []
+            for t in tm:
+                name = t.split(".")[-1]
+                pats.append(rf".*/{re_escape(name)}/kernel$")
+            return tuple(pats)
+        return self.default_target_patterns
+
+    def _setup_trainable(self) -> None:
+        key = derive_key("lora_init", self.training_args.seed)
+        trainable: Dict[str, Any] = {}
+        for comp in self.trainable_components:
+            if self.is_lora:
+                trainable[comp] = init_lora(
+                    self.params[comp],
+                    self.model_args.lora_rank,
+                    jax.random.fold_in(key, hash(comp) % (2**31)),
+                    self._lora_patterns(),
+                    dtype=self.master_dtype,
+                )
+                logger.info(
+                    "LoRA[%s]: %d params (rank %d)",
+                    comp,
+                    lora_param_count(trainable[comp]),
+                    self.model_args.lora_rank,
+                )
+            else:
+                trainable[comp] = jax.tree.map(
+                    lambda x: x.astype(self.master_dtype), self.params[comp]
+                )
+        self.trainable: Dict[str, Any] = trainable
+
+    def merged_params(
+        self, component: str, trainable: Optional[Dict[str, Any]] = None
+    ) -> Any:
+        """Effective params for ``modules[component].apply`` (differentiable).
+
+        LoRA: frozen + scaled delta (cast to inference dtype). Full: the
+        trainable pytree itself in master dtype (matmuls still run in the
+        module compute dtype).
+        """
+        trainable = self.trainable if trainable is None else trainable
+        if component not in trainable:
+            return self.params[component]
+        if self.is_lora:
+            return merge_lora(self.params[component], trainable[component], self.lora_scale)
+        return trainable[component]
+
+    # ------------------------------------------------------------------
+    # EMA (reference abc.py:493-530)
+    # ------------------------------------------------------------------
+    def init_ema(self) -> None:
+        ta = self.training_args
+        if getattr(ta, "ema_decay", 0.0) and ta.ema_decay > 0:
+            schedule_name = getattr(ta, "ema_decay_schedule", "constant")
+            if schedule_name == "constant":
+                decay_fn = constant_decay(ta.ema_decay)
+            else:
+                decay_fn = get_decay_schedule(schedule_name)
+            self.ema = EMA(
+                self.trainable,
+                decay_fn=decay_fn,
+                update_interval=max(1, getattr(ta, "ema_update_interval", 1)),
+            )
+            logger.info("EMA enabled: decay=%s interval=%s", ta.ema_decay, ta.ema_update_interval)
+
+    def ema_step(self, step: Optional[int] = None) -> None:
+        if self.ema is not None:
+            self.ema.update(self.trainable, step=step)
+
+    @property
+    def ema_trainable(self) -> Dict[str, Any]:
+        """EMA weights if enabled, else the live trainable tree."""
+        if self.ema is None:
+            return self.trainable
+        return self.ema.params
+
+    # ------------------------------------------------------------------
+    # Reference policy (reference abc.py:532-587)
+    # ------------------------------------------------------------------
+    def init_ref_parameters(self) -> None:
+        if self.is_lora:
+            return  # zero-LoRA ref needs no storage
+        self._ref_store = EMA(self.trainable, update_interval=0)
+
+    def ref_trainable(self) -> Dict[str, Any]:
+        """Trainable pytree representing the frozen reference policy."""
+        if self.is_lora:
+            return {c: zero_like_lora(t) for c, t in self.trainable.items()}
+        if self._ref_store is None:
+            raise RuntimeError("init_ref_parameters() was not called for full finetuning")
+        return self._ref_store.params
+
+    def post_init(self) -> None:
+        """EMA + ref init after trainer wiring (reference abc.py:161-164)."""
+        self.init_ema()
+        if self.training_args.requires_ref_model:
+            self.init_ref_parameters()
+
+    # ------------------------------------------------------------------
+    # Named parameter snapshots (CRD/DGPO; reference abc.py:590-767)
+    # ------------------------------------------------------------------
+    def add_named_parameters(self, name: str, decay: float = 0.0, update_interval: int = 0) -> None:
+        store = EMA(
+            self.trainable,
+            decay_fn=constant_decay(decay),
+            update_interval=update_interval,
+        )
+        self._named_stores[name] = store
+
+    def get_named_parameters(self, name: str) -> Dict[str, Any]:
+        return self._named_stores[name].params
+
+    def update_named_parameters(
+        self, name: str, blend: Optional[float] = None, step: Optional[int] = None
+    ) -> None:
+        """Blend snapshot toward current weights: s ← s·b + θ·(1−b)."""
+        store = self._named_stores[name]
+        if blend is None:
+            store.update(self.trainable, step=step)
+        else:
+            b = jnp.asarray(blend, jnp.float32)
+            store.params = jax.tree.map(
+                lambda s, p: s * b + p.astype(s.dtype) * (1.0 - b), store.params, self.trainable
+            )
+
+    def set_named_parameters(self, name: str) -> None:
+        self._named_stores[name].copy_from(self.trainable)
+
+    def remove_named_parameters(self, name: str) -> None:
+        self._named_stores.pop(name, None)
+
+    def has_named_parameters(self, name: str) -> bool:
+        return name in self._named_stores
+
+    # ------------------------------------------------------------------
+    # Checkpointing (reference abc.py:1043-1718)
+    # ------------------------------------------------------------------
+    def save_checkpoint(
+        self,
+        save_dir: str,
+        model_only: bool = True,
+        save_ema: bool = True,
+        extra_state: Optional[Dict[str, Any]] = None,
+    ) -> None:
+        os.makedirs(save_dir, exist_ok=True)
+        trainable = self.ema_trainable if (save_ema and self.ema is not None) else self.trainable
+        if self.is_lora:
+            self._save_lora(save_dir, trainable)
+        else:
+            self._save_full(save_dir, trainable)
+        if not model_only:
+            self._save_state(save_dir, extra_state or {})
+
+    def _flat_numpy(self, tree: Any) -> Dict[str, np.ndarray]:
+        flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+        out = {}
+        for path, leaf in flat:
+            key = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+            arr = np.asarray(jax.device_get(leaf))
+            out[key] = arr
+        return out
+
+    def _save_lora(self, save_dir: str, trainable: Dict[str, Any]) -> None:
+        from safetensors.numpy import save_file
+
+        for comp, tree in trainable.items():
+            tensors = self._flat_numpy(tree)
+            save_file(tensors, os.path.join(save_dir, f"lora_{comp}.safetensors"))
+        with open(os.path.join(save_dir, "adapter_config.json"), "w") as f:
+            json.dump(
+                {
+                    "finetune_type": "lora",
+                    "lora_rank": self.model_args.lora_rank,
+                    "lora_alpha": self.model_args.lora_alpha,
+                    "components": list(trainable.keys()),
+                    "model_type": self.model_args.model_type,
+                },
+                f,
+                indent=2,
+            )
+
+    def _save_full(self, save_dir: str, trainable: Dict[str, Any]) -> None:
+        from safetensors.numpy import save_file
+
+        index = {"weight_map": {}, "components": list(trainable.keys())}
+        for comp, tree in trainable.items():
+            tensors = self._flat_numpy(tree)
+            fname = f"{comp}.safetensors"
+            save_file(tensors, os.path.join(save_dir, fname))
+            for k in tensors:
+                index["weight_map"][f"{comp}/{k}"] = fname
+        with open(os.path.join(save_dir, "model_index.json"), "w") as f:
+            json.dump(index, f, indent=2)
+
+    def _save_state(self, save_dir: str, extra_state: Dict[str, Any]) -> None:
+        import orbax.checkpoint as ocp
+
+        state = {"trainable": self.trainable}
+        if self.ema is not None:
+            state["ema"] = self.ema.state_dict()
+        state.update(extra_state)
+        path = os.path.abspath(os.path.join(save_dir, "train_state"))
+        ckptr = ocp.PyTreeCheckpointer()
+        ckptr.save(path, state, force=True)
+
+    def load_checkpoint(self, path: str, resume_type: Optional[str] = None) -> None:
+        """Auto-detect checkpoint format by directory contents
+        (reference abc.py:1635-1656)."""
+        if resume_type is None:
+            if os.path.exists(os.path.join(path, "adapter_config.json")):
+                resume_type = "lora"
+            elif os.path.exists(os.path.join(path, "train_state")):
+                resume_type = "state"
+            else:
+                resume_type = "full"
+        if resume_type == "lora":
+            self._load_lora(path)
+        elif resume_type == "full":
+            self._load_full(path)
+        elif resume_type == "state":
+            self._load_state(path)
+        else:
+            raise ValueError(f"Unknown resume_type {resume_type!r}")
+
+    def _unflatten_into(self, template: Any, tensors: Dict[str, np.ndarray]) -> Any:
+        flat, treedef = jax.tree_util.tree_flatten_with_path(template)
+        leaves = []
+        for path, leaf in flat:
+            key = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+            if key not in tensors:
+                raise KeyError(f"Checkpoint missing tensor {key!r}")
+            arr = tensors[key]
+            if tuple(arr.shape) != tuple(leaf.shape):
+                raise ValueError(f"Shape mismatch for {key}: ckpt {arr.shape} vs model {leaf.shape}")
+            leaves.append(jnp.asarray(arr, dtype=leaf.dtype))
+        return jax.tree_util.tree_unflatten(treedef, leaves)
+
+    def _load_lora(self, path: str) -> None:
+        from safetensors.numpy import load_file
+
+        for comp in list(self.trainable.keys()):
+            f = os.path.join(path, f"lora_{comp}.safetensors")
+            if not os.path.exists(f):
+                logger.warning("LoRA checkpoint has no file for component %s", comp)
+                continue
+            tensors = load_file(f)
+            self.trainable[comp] = self._unflatten_into(self.trainable[comp], tensors)
+        logger.info("Loaded LoRA checkpoint from %s", path)
+
+    def _load_full(self, path: str) -> None:
+        from safetensors.numpy import load_file
+
+        for comp in list(self.trainable.keys()):
+            f = os.path.join(path, f"{comp}.safetensors")
+            if not os.path.exists(f):
+                logger.warning("Full checkpoint has no file for component %s", comp)
+                continue
+            tensors = load_file(f)
+            self.trainable[comp] = self._unflatten_into(self.trainable[comp], tensors)
+        logger.info("Loaded full checkpoint from %s", path)
+
+    def _load_state(self, path: str) -> None:
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.PyTreeCheckpointer()
+        state = ckptr.restore(os.path.abspath(os.path.join(path, "train_state")))
+        self.trainable = jax.tree.map(jnp.asarray, state["trainable"])
+        if "ema" in state and self.ema is not None:
+            self.ema.load_state_dict(state["ema"])
+        self._restored_state = {
+            k: v for k, v in state.items() if k not in ("trainable", "ema")
+        }
+        logger.info("Loaded training state from %s", path)
+
+    # ------------------------------------------------------------------
+    # Utilities
+    # ------------------------------------------------------------------
+    def cast_latents(self, latents: jax.Array) -> jax.Array:
+        """Storage-dtype round trip — the train-inference consistency guard
+        (reference abc.py:166-182)."""
+        dt = self.training_args.storage_dtype
+        return latents.astype(dt).astype(jnp.float32)
+
+    def param_count(self, component: str) -> int:
+        return sum(int(np.prod(l.shape)) for l in jax.tree.leaves(self.params[component]))
+
+
+def re_escape(s: str) -> str:
+    import re
+
+    return re.escape(s)

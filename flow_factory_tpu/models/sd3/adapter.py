@@ -1,0 +1,551 @@
+"""SD3.5 adapter: encode → scan rollout → replay forward → decode.
+
+TPU-native re-design of the reference SD3.5 adapter
+(``src/flow_factory/models/stable_diffusion/sd3_5.py``). Differences that
+matter:
+
+* The whole denoise loop is ONE jitted ``lax.scan`` over timesteps with
+  CFG batch-doubling inside (reference loops in Python per step,
+  ``sd3_5.py:273-304``). Selective trajectory storage is a scatter into a
+  compact buffer carried through the scan (garbage-slot trick), so per-epoch
+  SDE-step redraws never recompile.
+* LoRA merge happens ONCE per rollout (outside the scan), not per step.
+* ``training_forward`` replays a stored transition through the *same*
+  ``sde_step`` math (fp32 + storage-dtype round trip), so the replay ratio
+  ``exp(new_lp − old_lp) == 1`` invariant holds by construction
+  (reference parity method, ``.agents/knowledge/topics/train_inference_consistency.md``).
+* Text encoders (CLIP-L/G penultimate states + T5) and the VAE are frozen
+  bf16 pytrees; encoding runs jitted in preprocessing
+  (reference ``sd3_5.py:217-236`` encode path).
+"""
+from __future__ import annotations
+
+import functools
+import logging
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...samples import T2ISample
+from ...scheduler.flow_match_euler import sde_step
+from ...utils.base import derive_key, key_for_prompt
+from ...utils.trajectory import build_store_maps
+from ...utils.tokenizer import load_tokenizer
+from ..abc import BaseAdapter
+from ..text_encoders import CLIPTextConfig, CLIPTextEncoder, T5Config, T5Encoder
+from ..vae import AutoencoderKL, VAEConfig
+from .transformer import MMDiTConfig, SD3Transformer
+
+logger = logging.getLogger(__name__)
+
+
+def _preset(name: str, attn_backend: str, inference_dtype: str) -> Dict[str, Any]:
+    if name == "tiny":
+        return dict(
+            transformer=MMDiTConfig.tiny(
+                context_dim=48, pooled_dim=40, attn_backend=attn_backend, dtype=inference_dtype
+            ),
+            vae=VAEConfig.tiny(dtype=inference_dtype),
+            clip_l=CLIPTextConfig.tiny(hidden_dim=16, num_heads=2, projection_dim=16, dtype=inference_dtype),
+            clip_g=CLIPTextConfig.tiny(hidden_dim=24, num_heads=2, projection_dim=24, dtype=inference_dtype),
+            t5=T5Config.tiny(hidden_dim=48, num_heads=2, head_dim=8, dtype=inference_dtype),
+            t5_max_length=16,
+            clip_max_length=8,
+        )
+    if name in ("medium", "sd3.5-medium"):
+        return dict(
+            transformer=MMDiTConfig.sd3_5_medium(attn_backend=attn_backend, dtype=inference_dtype),
+            vae=VAEConfig.sd3(dtype=inference_dtype),
+            clip_l=CLIPTextConfig.clip_l(dtype=inference_dtype),
+            clip_g=CLIPTextConfig.clip_g(dtype=inference_dtype),
+            t5=T5Config.xxl(dtype=inference_dtype),
+            t5_max_length=256,
+            clip_max_length=77,
+        )
+    if name in ("large", "sd3.5-large"):
+        return dict(
+            transformer=MMDiTConfig.sd3_5_large(attn_backend=attn_backend, dtype=inference_dtype),
+            vae=VAEConfig.sd3(dtype=inference_dtype),
+            clip_l=CLIPTextConfig.clip_l(dtype=inference_dtype),
+            clip_g=CLIPTextConfig.clip_g(dtype=inference_dtype),
+            t5=T5Config.xxl(dtype=inference_dtype),
+            t5_max_length=256,
+            clip_max_length=77,
+        )
+    raise ValueError(f"Unknown SD3.5 preset {name!r}")
+
+
+class SD35Adapter(BaseAdapter):
+    sample_class = T2ISample
+
+    # ------------------------------------------------------------------
+    # Loading
+    # ------------------------------------------------------------------
+    def load_models(self) -> None:
+        ma = self.model_args
+        variant = getattr(ma, "variant", None) or (
+            "tiny" if ma.model_name_or_path in ("", "tiny") else "medium"
+        )
+        preset = _preset(variant, ma.attn_backend, ma.inference_dtype)
+        self.t5_max_length = preset["t5_max_length"]
+        self.clip_max_length = preset["clip_max_length"]
+
+        self.modules = {
+            "transformer": SD3Transformer(preset["transformer"]),
+            "vae": AutoencoderKL(preset["vae"]),
+            "text_encoder": CLIPTextEncoder(preset["clip_l"]),
+            "text_encoder_2": CLIPTextEncoder(preset["clip_g"]),
+            "text_encoder_3": T5Encoder(preset["t5"]),
+        }
+        self.component_configs = {
+            "transformer": preset["transformer"],
+            "vae": preset["vae"],
+            "text_encoder": preset["clip_l"],
+            "text_encoder_2": preset["clip_g"],
+            "text_encoder_3": preset["t5"],
+        }
+
+        key = derive_key("sd35_init", self.training_args.seed)
+        tcfg: MMDiTConfig = preset["transformer"]
+        lat = jnp.zeros((1, 8 * tcfg.patch_size, 8 * tcfg.patch_size, tcfg.in_channels))
+        ctx = jnp.zeros((1, 4, tcfg.context_dim))
+        pooled = jnp.zeros((1, tcfg.pooled_dim))
+        ids = jnp.zeros((1, 4), jnp.int32)
+        img = jnp.zeros((1, 3, 8 * preset["vae"].downscale, 8 * preset["vae"].downscale))
+
+        self.params = {
+            "transformer": self.modules["transformer"].init(
+                jax.random.fold_in(key, 0), lat, jnp.zeros((1,)), ctx, pooled
+            )["params"],
+            "vae": self.modules["vae"].init(jax.random.fold_in(key, 1), img)["params"],
+            "text_encoder": self.modules["text_encoder"].init(jax.random.fold_in(key, 2), ids)["params"],
+            "text_encoder_2": self.modules["text_encoder_2"].init(jax.random.fold_in(key, 3), ids)["params"],
+            "text_encoder_3": self.modules["text_encoder_3"].init(jax.random.fold_in(key, 4), ids)["params"],
+        }
+        # frozen components live in inference dtype (reference mixed-precision
+        # policy, models/abc.py:800-856); fp32 norm/embed leaves stay fp32 via
+        # the module-level dtype handling, storage is uniform here.
+        cast = lambda tree: jax.tree.map(lambda x: x.astype(self.inference_dtype) if x.dtype == jnp.float32 else x, tree)
+        for comp in ("vae", "text_encoder", "text_encoder_2", "text_encoder_3"):
+            self.params[comp] = cast(self.params[comp])
+
+        clip_bos = 1 if variant == "tiny" else 49406
+        self.tokenizer = load_tokenizer(
+            ma.model_name_or_path, "tokenizer", preset["clip_l"].vocab_size,
+            self.clip_max_length, eos_token_id=preset["clip_l"].eos_token_id,
+            bos_token_id=clip_bos,
+        )
+        self.tokenizer_2 = load_tokenizer(
+            ma.model_name_or_path, "tokenizer_2", preset["clip_g"].vocab_size,
+            self.clip_max_length, eos_token_id=preset["clip_g"].eos_token_id,
+            bos_token_id=clip_bos,
+        )
+        self.tokenizer_3 = load_tokenizer(
+            ma.model_name_or_path, "tokenizer_3", preset["t5"].vocab_size,
+            self.t5_max_length, eos_token_id=1, pad_token_id=0,
+        )
+
+        self.latent_channels = preset["vae"].latent_channels
+        self.vae_downscale = preset["vae"].downscale
+        self._encode_jit = None
+        self._decode_jit = None
+        self._rollout_jit = None
+
+    def scheduler_defaults(self) -> Dict[str, Any]:
+        # SD3 uses resolution-aware dynamic shifting (reference
+        # sd3_5.py:253-263 + scheduler/flow_match_euler_discrete.py:37-77).
+        return dict(use_dynamic_shifting=True)
+
+    # ------------------------------------------------------------------
+    # Prompt encoding
+    # ------------------------------------------------------------------
+    def _encode_impl(self, params, ids_l, ids_g, ids_t5):
+        out_l = self.modules["text_encoder"].apply({"params": params["text_encoder"]}, ids_l)
+        out_g = self.modules["text_encoder_2"].apply({"params": params["text_encoder_2"]}, ids_g)
+        t5_emb = self.modules["text_encoder_3"].apply({"params": params["text_encoder_3"]}, ids_t5)
+        clip_emb = jnp.concatenate(
+            [out_l.penultimate_hidden_state, out_g.penultimate_hidden_state], axis=-1
+        )
+        t5_dim = t5_emb.shape[-1]
+        clip_emb = jnp.pad(clip_emb, ((0, 0), (0, 0), (0, t5_dim - clip_emb.shape[-1])))
+        prompt_embeds = jnp.concatenate([clip_emb, t5_emb.astype(clip_emb.dtype)], axis=1)
+        pooled = jnp.concatenate([out_l.pooled, out_g.pooled], axis=-1)
+        return prompt_embeds.astype(jnp.float32), pooled.astype(jnp.float32)
+
+    def encode_prompt(self, prompts: Sequence[str], **_) -> Dict[str, np.ndarray]:
+        if isinstance(prompts, str):
+            prompts = [prompts]
+        ids_l = self.tokenizer(list(prompts), max_length=self.clip_max_length)["input_ids"]
+        ids_g = self.tokenizer_2(list(prompts), max_length=self.clip_max_length)["input_ids"]
+        ids_t5 = self.tokenizer_3(list(prompts), max_length=self.t5_max_length)["input_ids"]
+        if self._encode_jit is None:
+            self._encode_jit = jax.jit(self._encode_impl)
+        embeds, pooled = self._encode_jit(
+            {k: self.params[k] for k in ("text_encoder", "text_encoder_2", "text_encoder_3")},
+            jnp.asarray(ids_l), jnp.asarray(ids_g), jnp.asarray(ids_t5),
+        )
+        return {
+            "prompt_embeds": np.asarray(jax.device_get(embeds), np.float32),
+            "pooled_prompt_embeds": np.asarray(jax.device_get(pooled), np.float32),
+        }
+
+    def preprocess_func(self, batch: Dict[str, Any], **kwargs) -> Dict[str, Any]:
+        out: Dict[str, Any] = {}
+        prompts = batch.get("prompt")
+        if prompts is not None:
+            out.update(self.encode_prompt(prompts))
+            neg = batch.get("negative_prompt") or [""] * len(prompts)
+            neg_out = self.encode_prompt(neg)
+            out["negative_prompt_embeds"] = neg_out["prompt_embeds"]
+            out["negative_pooled_prompt_embeds"] = neg_out["pooled_prompt_embeds"]
+        return out
+
+    # ------------------------------------------------------------------
+    # Core compute (pure, jit-compatible)
+    # ------------------------------------------------------------------
+    def _velocity(
+        self,
+        merged_tparams: Any,
+        latents: jax.Array,  # (B, H, W, C) fp32
+        t: jax.Array,  # (B,) scheduler scale
+        embeds: Dict[str, jax.Array],
+        guidance_scale: jax.Array,
+        do_cfg: bool,
+    ) -> jax.Array:
+        model = self.modules["transformer"]
+        dt = self.component_configs["transformer"].compute_dtype
+        if do_cfg:
+            x2 = jnp.concatenate([latents, latents], axis=0).astype(dt)
+            t2 = jnp.concatenate([t, t], axis=0)
+            ctx = jnp.concatenate(
+                [embeds["negative_prompt_embeds"], embeds["prompt_embeds"]], axis=0
+            )
+            pooled = jnp.concatenate(
+                [embeds["negative_pooled_prompt_embeds"], embeds["pooled_prompt_embeds"]], axis=0
+            )
+            v = model.apply({"params": merged_tparams}, x2, t2, ctx, pooled)
+            v_uncond, v_cond = jnp.split(v.astype(jnp.float32), 2, axis=0)
+            return v_uncond + guidance_scale * (v_cond - v_uncond)
+        v = model.apply(
+            {"params": merged_tparams},
+            latents.astype(dt),
+            t,
+            embeds["prompt_embeds"],
+            embeds["pooled_prompt_embeds"],
+        )
+        return v.astype(jnp.float32)
+
+    @functools.partial(jax.jit, static_argnums=(0,), static_argnames=(
+        "do_cfg", "compute_log_prob", "dynamics_type", "num_latent_slots", "num_logprob_slots",
+        "store_means",
+    ))
+    def _rollout_impl(
+        self,
+        trainable: Dict[str, Any],
+        x0: jax.Array,  # (B, H, W, C) fp32 initial noise
+        embeds: Dict[str, jax.Array],
+        guidance_scale: jax.Array,
+        sigmas: jax.Array,  # (T+1,)
+        timesteps: jax.Array,  # (T,)
+        noise_levels: jax.Array,  # (T,)
+        latent_store_slot: jax.Array,  # (T+1,) int32
+        logprob_store_slot: jax.Array,  # (T,) int32
+        key: jax.Array,
+        *,
+        do_cfg: bool,
+        compute_log_prob: bool,
+        dynamics_type: str,
+        num_latent_slots: int,
+        num_logprob_slots: int,
+        store_means: bool = False,
+    ):
+        merged = self.merged_params("transformer", trainable)
+        B = x0.shape[0]
+        storage_dtype = self.training_args.storage_dtype
+        T = timesteps.shape[0]
+        sigma_max = sigmas[1] if sigmas.shape[0] > 1 else jnp.float32(0.999)
+
+        lat_buf = jnp.zeros((num_latent_slots + 1, *x0.shape), storage_dtype)
+        lat_buf = lat_buf.at[latent_store_slot[0]].set(x0.astype(storage_dtype))
+        lp_buf = jnp.zeros((num_logprob_slots + 1, B), jnp.float32)
+        mean_buf = (
+            jnp.zeros((num_latent_slots + 1, *x0.shape), storage_dtype) if store_means else None
+        )
+
+        def body(carry, inp):
+            x, k, lat_buf, lp_buf, mean_buf = carry
+            sigma, sigma_next, t, nl, lat_slot, lp_slot = inp
+            k, sub = jax.random.split(k)
+            v = self._velocity(merged, x, jnp.full((B,), t), embeds, guidance_scale, do_cfg)
+            out = sde_step(
+                v,
+                x,
+                sigma,
+                sigma_next,
+                dynamics_type=dynamics_type,
+                noise_level=nl,
+                key=sub,
+                compute_log_prob=compute_log_prob,
+                storage_dtype=storage_dtype,
+                sigma_max=sigma_max,
+            )
+            lat_buf = lat_buf.at[lat_slot].set(out.next_latents.astype(storage_dtype))
+            if compute_log_prob:
+                lp_buf = lp_buf.at[lp_slot].set(out.log_prob)
+            if mean_buf is not None:
+                mean_buf = mean_buf.at[lat_slot].set(out.next_latents_mean.astype(storage_dtype))
+            return (out.next_latents, k, lat_buf, lp_buf, mean_buf), None
+
+        inputs = (
+            sigmas[:-1],
+            sigmas[1:],
+            timesteps,
+            noise_levels,
+            latent_store_slot[1:],
+            logprob_store_slot,
+        )
+        (x_final, _, lat_buf, lp_buf, mean_buf), _ = jax.lax.scan(
+            body, (x0, key, lat_buf, lp_buf, mean_buf), inputs
+        )
+        return x_final, lat_buf[:-1], lp_buf[:-1], (mean_buf[:-1] if store_means else None)
+
+    @functools.partial(jax.jit, static_argnums=(0,), static_argnames=("do_cfg", "compute_log_prob", "dynamics_type"))
+    def _forward_impl(
+        self,
+        trainable: Dict[str, Any],
+        latents: jax.Array,
+        next_latents: Optional[jax.Array],
+        timestep: jax.Array,  # (B,)
+        sigma: jax.Array,  # (B,)
+        sigma_next: jax.Array,  # (B,)
+        noise_level: jax.Array,  # (B,) or scalar
+        embeds: Dict[str, jax.Array],
+        guidance_scale: jax.Array,
+        sigma_max: jax.Array,
+        key: Optional[jax.Array],
+        *,
+        do_cfg: bool,
+        compute_log_prob: bool,
+        dynamics_type: str,
+    ):
+        merged = self.merged_params("transformer", trainable)
+        v = self._velocity(merged, latents, timestep, embeds, guidance_scale, do_cfg)
+        return sde_step(
+            v,
+            latents,
+            sigma,
+            sigma_next,
+            dynamics_type=dynamics_type,
+            noise_level=noise_level,
+            key=key,
+            next_latents=next_latents,
+            compute_log_prob=compute_log_prob,
+            storage_dtype=self.training_args.storage_dtype,
+            sigma_max=sigma_max,
+        )
+
+    def training_forward(
+        self,
+        trainable: Dict[str, Any],
+        batch: Dict[str, jax.Array],
+        *,
+        compute_log_prob: bool = True,
+        key: Optional[jax.Array] = None,
+        dynamics_type: Optional[str] = None,
+    ):
+        """Replay (or re-sample) one transition; differentiable wrt trainable.
+
+        ``batch`` holds fp32 jnp arrays: latents, next_latents (optional),
+        timestep, sigma, sigma_next, noise_level, prompt/pooled (+negative)
+        embeds, guidance_scale scalar, sigma_max scalar.
+        """
+        embeds = {k: batch[k] for k in (
+            "prompt_embeds", "pooled_prompt_embeds",
+            "negative_prompt_embeds", "negative_pooled_prompt_embeds",
+        ) if k in batch}
+        do_cfg = "negative_prompt_embeds" in embeds and bool(batch.get("do_cfg", True))
+        return self._forward_impl(
+            trainable,
+            batch["latents"],
+            batch.get("next_latents"),
+            batch["timestep"],
+            batch["sigma"],
+            batch["sigma_next"],
+            batch.get("noise_level", jnp.float32(0.0)),
+            embeds,
+            batch.get("guidance_scale", jnp.float32(self.training_args.guidance_scale)),
+            batch.get("sigma_max", jnp.float32(0.999)),
+            key,
+            do_cfg=do_cfg,
+            compute_log_prob=compute_log_prob,
+            dynamics_type=dynamics_type or self.scheduler.dynamics_type,
+        )
+
+    # ------------------------------------------------------------------
+    # Rollout → samples
+    # ------------------------------------------------------------------
+    def latent_shape(self, height: int, width: int) -> Tuple[int, int, int]:
+        return (height // self.vae_downscale, width // self.vae_downscale, self.latent_channels)
+
+    def inference(
+        self,
+        prompt: Optional[Sequence[str]] = None,
+        prompt_embeds: Optional[np.ndarray] = None,
+        pooled_prompt_embeds: Optional[np.ndarray] = None,
+        negative_prompt: Optional[Sequence[str]] = None,
+        negative_prompt_embeds: Optional[np.ndarray] = None,
+        negative_pooled_prompt_embeds: Optional[np.ndarray] = None,
+        height: Optional[int] = None,
+        width: Optional[int] = None,
+        num_inference_steps: Optional[int] = None,
+        guidance_scale: Optional[float] = None,
+        compute_log_prob: bool = True,
+        trajectory_indices: Optional[Any] = "all",
+        key: Optional[jax.Array] = None,
+        keys: Optional[jax.Array] = None,
+        seed: Optional[int] = None,
+        trainable: Optional[Dict[str, Any]] = None,
+        store_means: bool = False,
+        decode: bool = True,
+        **_,
+    ) -> List[T2ISample]:
+        ta = self.training_args
+        height = height or ta.height
+        width = width or ta.width
+        T = num_inference_steps or ta.num_inference_steps
+        g = float(ta.guidance_scale if guidance_scale is None else guidance_scale)
+        do_cfg = g > 1.0
+
+        # --- embeddings
+        if prompt_embeds is None:
+            enc = self.encode_prompt(list(prompt))
+            prompt_embeds, pooled_prompt_embeds = enc["prompt_embeds"], enc["pooled_prompt_embeds"]
+        if do_cfg and negative_prompt_embeds is None:
+            neg = list(negative_prompt) if negative_prompt is not None else [""] * len(prompt_embeds)
+            enc = self.encode_prompt(neg)
+            negative_prompt_embeds = enc["prompt_embeds"]
+            negative_pooled_prompt_embeds = enc["pooled_prompt_embeds"]
+        B = len(prompt_embeds)
+        embeds = {
+            "prompt_embeds": jnp.asarray(prompt_embeds),
+            "pooled_prompt_embeds": jnp.asarray(pooled_prompt_embeds),
+        }
+        if do_cfg:
+            embeds["negative_prompt_embeds"] = jnp.asarray(negative_prompt_embeds)
+            embeds["negative_pooled_prompt_embeds"] = jnp.asarray(negative_pooled_prompt_embeds)
+
+        # --- schedule (mu from seq len: dynamic shifting)
+        h, w, c = self.latent_shape(height, width)
+        seq_len = (h // self.component_configs["transformer"].patch_size) * (
+            w // self.component_configs["transformer"].patch_size
+        )
+        timesteps = self.scheduler.set_timesteps(T, seq_len=seq_len)
+        sigmas = self.scheduler.sigmas
+        noise_levels = self.scheduler.get_noise_levels()
+        dynamics = "ODE" if self.scheduler.is_eval else self.scheduler.dynamics_type
+
+        maps = build_store_maps(trajectory_indices, T)
+
+        # --- initial noise
+        if keys is None:
+            if key is None:
+                key = derive_key("rollout", seed if seed is not None else ta.seed)
+            keys = jax.random.split(key, B)
+        x0 = jax.vmap(lambda k: jax.random.normal(k, (h, w, c), jnp.float32))(keys)
+        x0 = self.cast_latents(x0)
+        scan_key = jax.random.fold_in(keys[0], 7)
+
+        x_final, lat_buf, lp_buf, mean_buf = self._rollout_impl(
+            trainable if trainable is not None else self.trainable,
+            x0,
+            embeds,
+            jnp.float32(g),
+            jnp.asarray(sigmas),
+            jnp.asarray(timesteps),
+            jnp.asarray(noise_levels),
+            jnp.asarray(maps.latent_store_slot),
+            jnp.asarray(maps.logprob_store_slot),
+            scan_key,
+            do_cfg=do_cfg,
+            compute_log_prob=compute_log_prob,
+            dynamics_type=dynamics,
+            num_latent_slots=maps.num_latent_slots,
+            num_logprob_slots=maps.num_logprob_slots,
+            store_means=store_means,
+        )
+
+        images = self.decode_latents(x_final) if decode else [None] * B
+
+        # --- host fetch + per-sample construction
+        lat_np = np.asarray(jax.device_get(lat_buf.astype(jnp.float32)))  # (S, B, h, w, c)
+        lp_np = np.asarray(jax.device_get(lp_buf))  # (L, B)
+        mean_np = (
+            np.asarray(jax.device_get(mean_buf.astype(jnp.float32))) if mean_buf is not None else None
+        )
+        ts_np = np.asarray(timesteps, np.float32)
+
+        samples: List[T2ISample] = []
+        for i in range(B):
+            extra = {
+                "sigmas": np.asarray(sigmas, np.float32),
+                "noise_levels": np.asarray(noise_levels, np.float32),
+                "guidance_scale": g,
+            }
+            if mean_np is not None:
+                extra["next_latents_mean"] = mean_np[:, i]
+            samples.append(
+                self.sample_class(
+                    timesteps=ts_np,
+                    all_latents=lat_np[:, i],
+                    latent_index_map=maps.latent_index_map,
+                    log_probs=lp_np[:, i] if compute_log_prob else None,
+                    log_prob_index_map=maps.logprob_index_map,
+                    height=height,
+                    width=width,
+                    image=images[i],
+                    prompt=prompt[i] if prompt is not None else None,
+                    prompt_embeds=np.asarray(prompt_embeds[i], np.float32),
+                    negative_prompt_embeds=(
+                        np.asarray(negative_prompt_embeds[i], np.float32) if do_cfg else None
+                    ),
+                    extra_kwargs=extra,
+                )
+            )
+            if pooled_prompt_embeds is not None:
+                samples[-1].extra_kwargs["pooled_prompt_embeds"] = np.asarray(
+                    pooled_prompt_embeds[i], np.float32
+                )
+                if do_cfg:
+                    samples[-1].extra_kwargs["negative_pooled_prompt_embeds"] = np.asarray(
+                        negative_pooled_prompt_embeds[i], np.float32
+                    )
+        return samples
+
+    # ------------------------------------------------------------------
+    # Decoding
+    # ------------------------------------------------------------------
+    def decode_latents(self, latents: jax.Array) -> np.ndarray:
+        """(B, h, w, c) latents → (B, 3, H, W) float images in [0, 1]."""
+        if self._decode_jit is None:
+            def _decode(params, z_nhwc):
+                z = jnp.transpose(z_nhwc, (0, 3, 1, 2))
+                img = self.modules["vae"].apply({"params": params}, z, method=AutoencoderKL.decode)
+                return jnp.clip(img.astype(jnp.float32) / 2.0 + 0.5, 0.0, 1.0)
+
+            self._decode_jit = jax.jit(_decode)
+        out = self._decode_jit(self.params["vae"], latents.astype(jnp.float32))
+        return np.asarray(jax.device_get(out))
+
+    def encode_image(self, images_nchw: np.ndarray, key: Optional[jax.Array] = None) -> np.ndarray:
+        """(B, 3, H, W) in [0,1] → latents (B, h, w, c) NHWC fp32 (host)."""
+        def _encode(params, img, k):
+            z = self.modules["vae"].apply(
+                {"params": params}, img * 2.0 - 1.0, k, sample=k is not None,
+                method=AutoencoderKL.encode,
+            )
+            return jnp.transpose(z, (0, 2, 3, 1)).astype(jnp.float32)
+
+        out = jax.jit(_encode)(self.params["vae"], jnp.asarray(images_nchw, jnp.float32), key)
+        return np.asarray(jax.device_get(out))

@@ -56,7 +56,10 @@ class CLIPTextConfig:
 
     @staticmethod
     def tiny(**o) -> "CLIPTextConfig":
-        base = dict(vocab_size=1000, hidden_dim=32, num_layers=2, num_heads=4, projection_dim=32)
+        base = dict(
+            vocab_size=1000, hidden_dim=32, num_layers=2, num_heads=4, projection_dim=32,
+            eos_token_id=2,
+        )
         base.update(o)
         return CLIPTextConfig(**base)
 
