@@ -1,0 +1,97 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Measures the GRPO hot path on the flagship SD3.5-medium geometry
+(BASELINE.md workload #1): the CFG-doubled MMDiT denoise step + FlowMatch-SDE
+transition with log-prob, i.e. the op that dominates rollout wall-clock
+(rollout = 10 such steps; reference geometry
+``examples/grpo/lora/sd3_5/default.yaml``).
+
+Metric: rollout samples/sec/chip at 512px, 10-step Euler SDE.
+vs_baseline: ratio against an H100 running the reference at the same
+geometry, estimated at 0.9 samples/s/chip from the workload's FLOP count
+(2×2.2B params × ~4.4k tokens × 20 CFG forwards/sample) at 40% MFU on
+989 bf16 TFLOP/s — the reference publishes no numbers (BASELINE.md), so the
+denominator is a fixed documented constant to keep rounds comparable.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+H100_BASELINE_SAMPLES_PER_SEC = 0.9  # documented estimate, fixed across rounds
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    on_tpu = jax.default_backend() == "tpu"
+    if not on_tpu:
+        # CPU fallback: tiny geometry, still exercises the same code path.
+        jax.config.update("jax_platforms", "cpu")
+
+    from flow_factory_tpu.parallel.dist import set_world_size_override
+
+    set_world_size_override(1)
+
+    import __graft_entry__ as g
+
+    if on_tpu:
+        B, res, steps = 4, 512, 10
+        config = g._make_config(tiny=False)
+    else:
+        B, res, steps = 2, 32, 4
+        config = g._make_config(tiny=True)
+
+    from flow_factory_tpu.models import load_adapter
+
+    adapter = load_adapter(config)
+    tcfg = adapter.component_configs["transformer"]
+    h, w, c = adapter.latent_shape(res, res)
+    key = jax.random.PRNGKey(0)
+    latents = jax.random.normal(key, (B, h, w, c), jnp.float32)
+    ctx_len = 333 if on_tpu else 16
+    embeds = {
+        "prompt_embeds": jax.random.normal(key, (B, ctx_len, tcfg.context_dim), jnp.float32),
+        "pooled_prompt_embeds": jax.random.normal(key, (B, tcfg.pooled_dim), jnp.float32),
+        "negative_prompt_embeds": jax.random.normal(key, (B, ctx_len, tcfg.context_dim), jnp.float32),
+        "negative_pooled_prompt_embeds": jax.random.normal(key, (B, tcfg.pooled_dim), jnp.float32),
+    }
+
+    def denoise_step(trainable, x, k):
+        return adapter._forward_impl(
+            trainable, x, None,
+            jnp.full((B,), 800.0), jnp.full((B,), 0.8), jnp.full((B,), 0.72),
+            jnp.full((B,), 0.7),
+            embeds, jnp.float32(4.5), jnp.float32(0.95), k,
+            do_cfg=True, compute_log_prob=True, dynamics_type="Flow-SDE",
+        ).next_latents
+
+    step = jax.jit(denoise_step)
+    # warmup/compile
+    out = step(adapter.trainable, latents, key)
+    jax.block_until_ready(out)
+
+    n_iters = 3 * steps
+    t0 = time.perf_counter()
+    x = latents
+    for i in range(n_iters):
+        x = step(adapter.trainable, x, jax.random.fold_in(key, i))
+    jax.block_until_ready(x)
+    dt = (time.perf_counter() - t0) / n_iters
+
+    rollout_time = dt * steps  # one sample trajectory = `steps` denoise steps
+    samples_per_sec = B / rollout_time
+
+    print(json.dumps({
+        "metric": "sd35m_grpo_rollout_samples_per_sec_per_chip" if on_tpu
+                  else "sd35m_grpo_rollout_samples_per_sec_per_chip[cpu-tiny]",
+        "value": round(samples_per_sec, 4),
+        "unit": "samples/s/chip",
+        "vs_baseline": round(samples_per_sec / H100_BASELINE_SAMPLES_PER_SEC, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,168 @@
+"""Experiment logging backends.
+
+Reference layer: ``src/flow_factory/logger/`` (wandb/swanlab/tensorboard
+registry, rank-0-only instance, media payload formatting,
+``logger/formatting.py:213-615``). Backends here: console (always),
+tensorboard and wandb (gated on availability); swanlab is registered but
+optional. Media payloads are canonical numpy arrays from the sample layer.
+"""
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from abc import ABC, abstractmethod
+from typing import Any, Dict, List, Optional, Sequence
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+class BaseLogger(ABC):
+    def __init__(self, log_args, run_name: str):
+        self.log_args = log_args
+        self.run_name = run_name
+
+    @abstractmethod
+    def log_data(self, data: Dict[str, Any], step: int) -> None: ...
+
+    def log_images(self, tag: str, images: Sequence[np.ndarray], captions=None, step: int = 0):
+        pass
+
+    def log_videos(self, tag: str, videos, captions=None, step: int = 0, fps: int = 8):
+        pass
+
+    def finish(self) -> None:
+        pass
+
+
+class ConsoleLogger(BaseLogger):
+    def log_data(self, data: Dict[str, Any], step: int) -> None:
+        scalars = {k: round(float(v), 5) for k, v in data.items() if np.isscalar(v) or getattr(v, "ndim", 1) == 0}
+        logger.info("[step %d] %s", step, json.dumps(scalars, sort_keys=True))
+
+
+class JSONLLogger(BaseLogger):
+    """Append-only metrics file — the machine-readable run record."""
+
+    def __init__(self, log_args, run_name: str):
+        super().__init__(log_args, run_name)
+        out_dir = os.path.join(getattr(log_args, "save_dir", "saves"), run_name)
+        os.makedirs(out_dir, exist_ok=True)
+        self.path = os.path.join(out_dir, "metrics.jsonl")
+
+    def log_data(self, data: Dict[str, Any], step: int) -> None:
+        row = {"step": step, "time": time.time()}
+        for k, v in data.items():
+            try:
+                row[k] = float(v)
+            except (TypeError, ValueError):
+                continue
+        with open(self.path, "a") as f:
+            f.write(json.dumps(row) + "\n")
+
+
+class TensorboardLogger(BaseLogger):
+    def __init__(self, log_args, run_name: str):
+        super().__init__(log_args, run_name)
+        from torch.utils.tensorboard import SummaryWriter  # torch-cpu is baked in
+
+        out_dir = os.path.join(getattr(log_args, "save_dir", "saves"), run_name, "tb")
+        self.writer = SummaryWriter(out_dir)
+
+    def log_data(self, data: Dict[str, Any], step: int) -> None:
+        for k, v in data.items():
+            try:
+                self.writer.add_scalar(k, float(v), step)
+            except (TypeError, ValueError):
+                continue
+
+    def log_images(self, tag: str, images, captions=None, step: int = 0):
+        for i, img in enumerate(images[:16]):
+            self.writer.add_image(f"{tag}/{i}", np.asarray(img), step)
+
+    def finish(self) -> None:
+        self.writer.close()
+
+
+class WandbLogger(BaseLogger):
+    def __init__(self, log_args, run_name: str):
+        super().__init__(log_args, run_name)
+        import wandb
+
+        self.wandb = wandb
+        self.run = wandb.init(
+            project=getattr(log_args, "project", "flow-factory-tpu"),
+            name=run_name,
+            config=getattr(log_args, "config_snapshot", None),
+        )
+
+    def log_data(self, data: Dict[str, Any], step: int) -> None:
+        self.run.log(dict(data), step=step)
+
+    def log_images(self, tag: str, images, captions=None, step: int = 0):
+        captions = captions or [None] * len(images)
+        payload = [
+            self.wandb.Image(np.transpose(np.asarray(i), (1, 2, 0)), caption=c)
+            for i, c in zip(images[:30], captions)
+        ]
+        self.run.log({tag: payload}, step=step)
+
+    def finish(self) -> None:
+        self.run.finish()
+
+
+class MultiLogger(BaseLogger):
+    def __init__(self, backends: List[BaseLogger]):
+        self.backends = backends
+
+    def log_data(self, data, step):
+        for b in self.backends:
+            b.log_data(data, step)
+
+    def log_images(self, tag, images, captions=None, step=0):
+        for b in self.backends:
+            b.log_images(tag, images, captions=captions, step=step)
+
+    def log_videos(self, tag, videos, captions=None, step=0, fps=8):
+        for b in self.backends:
+            b.log_videos(tag, videos, captions=captions, step=step, fps=fps)
+
+    def finish(self):
+        for b in self.backends:
+            b.finish()
+
+
+_LOGGER_REGISTRY = {
+    "console": ConsoleLogger,
+    "jsonl": JSONLLogger,
+    "tensorboard": TensorboardLogger,
+    "wandb": WandbLogger,
+}
+
+
+def load_logger(log_args, run_name: str, is_main_process: bool = True) -> Optional[BaseLogger]:
+    """Rank-0-only logger (reference ``trainers/abc.py:110-116``)."""
+    if not is_main_process:
+        return None
+    wanted = getattr(log_args, "report_to", None)
+    if wanted is None:
+        backend = getattr(log_args, "logging_backend", "none")
+        wanted = ["console", "jsonl"] + ([] if backend in (None, "none") else [backend])
+    if isinstance(wanted, str):
+        wanted = [wanted]
+    backends: List[BaseLogger] = []
+    for name in wanted:
+        cls = _LOGGER_REGISTRY.get(name)
+        if cls is None:
+            logger.warning("Unknown logger backend %r; skipping", name)
+            continue
+        try:
+            backends.append(cls(log_args, run_name))
+        except Exception as e:
+            logger.warning("Logger backend %r unavailable (%s); skipping", name, e)
+    if not backends:
+        backends = [ConsoleLogger(log_args, run_name)]
+    return MultiLogger(backends)

@@ -80,6 +80,8 @@ class BaseAdapter(ABC):
         self.load_models()
         self.scheduler = self.load_scheduler()
         self._setup_trainable()
+        if self.mesh is not None:
+            self.place_on_mesh()
 
         self.ema: Optional[EMA] = None
         self._ref_store: Optional[EMA] = None
@@ -457,6 +459,37 @@ class BaseAdapter(ABC):
             k: v for k, v in state.items() if k not in ("trainable", "ema")
         }
         logger.info("Loaded training state from %s", path)
+
+    # ------------------------------------------------------------------
+    # Mesh placement
+    # ------------------------------------------------------------------
+    def param_sharding_rules(self) -> Optional[Dict[str, Any]]:
+        """Regex → PartitionSpec rules; adapters override for tensor
+        parallelism (attention heads / FFN over the 'tensor' axis)."""
+        return None
+
+    def place_on_mesh(self) -> None:
+        """Place frozen + trainable pytrees on the mesh.
+
+        With ``fsdp_size == 1`` everything is replicated (pure DP); with
+        ``fsdp_size > 1`` the default rules shard the largest divisible dim
+        of each kernel over the 'fsdp' axis (ZeRO-3/FSDP equivalent,
+        SURVEY.md §2.2).
+        """
+        from ..parallel.mesh import shard_params
+
+        rules = self.param_sharding_rules()
+        for comp in list(self.params):
+            self.params[comp] = shard_params(self.params[comp], self.mesh, rules)
+        self.trainable = shard_params(self.trainable, self.mesh, rules)
+
+    def shard_batch(self, tree: Any) -> Any:
+        """Shard a host batch pytree's leading dim over the mesh data axes."""
+        if self.mesh is None:
+            return tree
+        from ..parallel.mesh import shard_batch as _shard
+
+        return _shard(tree, self.mesh)
 
     # ------------------------------------------------------------------
     # Utilities

@@ -456,6 +456,10 @@ class SD35Adapter(BaseAdapter):
         x0 = jax.vmap(lambda k: jax.random.normal(k, (h, w, c), jnp.float32))(keys)
         x0 = self.cast_latents(x0)
         scan_key = jax.random.fold_in(keys[0], 7)
+        # SPMD: shard the batch over the mesh data axes; params are already
+        # mesh-placed, so XLA runs one replica per device.
+        x0 = self.shard_batch(x0)
+        embeds = self.shard_batch(embeds)
 
         x_final, lat_buf, lp_buf, mean_buf = self._rollout_impl(
             trainable if trainable is not None else self.trainable,

@@ -1,0 +1,228 @@
+"""Reward scoring: batching, group handling, async buffering.
+
+Re-design of the reference ``RewardProcessor`` / ``RewardBuffer``
+(``src/flow_factory/rewards/reward_processor.py:45-821``). The TPU version is
+simpler by construction: samples handed to rewards are ALREADY host-resident
+numpy (``adapter.inference`` fetches with one ``device_get``), so the
+reference's CUDA side-streams/events race-free protocol collapses to plain
+``ThreadPoolExecutor`` futures — the producer-side D2H completion *is* the
+"data ready" event.
+
+Group handling mirrors the sampler contracts:
+* group_contiguous  → groups are rank-local: zero communication.
+* distributed_k_repeat → groupwise scoring gathers samples by unique_id
+  across processes (host allgather), stride-assigns complete groups to
+  ranks, scores, and all-reduce-sums the (uid-aligned) score matrix back.
+"""
+from __future__ import annotations
+
+import logging
+import threading
+from concurrent.futures import Future, ThreadPoolExecutor
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..parallel.dist import get_rank, get_world_size, host_allgather_objects
+from ..samples import BaseSample
+from .abc import BaseRewardModel, GroupwiseRewardModel, PointwiseRewardModel
+
+logger = logging.getLogger(__name__)
+
+
+class RewardProcessor:
+    """Synchronous scoring of a list of reward models over samples."""
+
+    def __init__(self, reward_models: Sequence[BaseRewardModel]):
+        self.reward_models = list(reward_models)
+        self._setup_done = False
+
+    def _ensure_setup(self) -> None:
+        if not self._setup_done:
+            for m in self.reward_models:
+                m.setup()
+            self._setup_done = True
+
+    # -- pointwise -------------------------------------------------------------
+    def _score_pointwise(self, model: PointwiseRewardModel, samples: List[BaseSample]) -> np.ndarray:
+        self._ensure_setup()
+        scores = np.zeros(len(samples), np.float64)
+        for start in range(0, len(samples), model.batch_size):
+            chunk = samples[start : start + model.batch_size]
+            fields = model.extract_fields(chunk)
+            out = np.asarray(model.compute_reward(**fields), np.float64).reshape(-1)
+            scores[start : start + len(chunk)] = out
+        return scores
+
+    # -- groupwise ---------------------------------------------------------------
+    @staticmethod
+    def _group_by_uid(samples: Sequence[BaseSample]) -> Dict[str, List[int]]:
+        groups: Dict[str, List[int]] = {}
+        for i, s in enumerate(samples):
+            groups.setdefault(s.unique_id, []).append(i)
+        return groups
+
+    def _score_groupwise_local(
+        self, model: GroupwiseRewardModel, samples: List[BaseSample], group_size: int
+    ) -> np.ndarray:
+        self._ensure_setup()
+        groups = self._group_by_uid(samples)
+        bad = {u: len(ix) for u, ix in groups.items() if len(ix) != group_size}
+        if bad:
+            raise ValueError(
+                f"groupwise reward {model.name!r} needs complete local groups of "
+                f"{group_size}; got {bad}"
+            )
+        scores = np.zeros(len(samples), np.float64)
+        for uid, idxs in groups.items():
+            fields = model.extract_fields([samples[i] for i in idxs])
+            out = np.asarray(model.compute_group_reward(**fields), np.float64).reshape(-1)
+            scores[np.asarray(idxs)] = out
+        return scores
+
+    def _score_groupwise_distributed(
+        self, model: GroupwiseRewardModel, samples: List[BaseSample], group_size: int
+    ) -> np.ndarray:
+        """Gather → stride-assign groups to ranks → score → exchange.
+
+        Reference ``reward_processor.py:341-439``; here the wire is a host
+        object allgather (pickled field dicts), which rides DCN once per
+        epoch — negligible next to rollout compute.
+        """
+        self._ensure_setup()
+        world, rank = get_world_size(), get_rank()
+        if world <= 1:
+            return self._score_groupwise_local(model, samples, group_size)
+
+        local_payload = [
+            {"uid": s.unique_id, "fields": model.extract_fields([s]), "origin": (rank, i)}
+            for i, s in enumerate(samples)
+        ]
+        all_payloads = host_allgather_objects(local_payload)
+        flat = [p for rank_list in all_payloads for p in rank_list]
+        groups: Dict[str, List[dict]] = {}
+        for p in flat:
+            groups.setdefault(p["uid"], []).append(p)
+        uids = sorted(groups)
+        # stride assignment of complete groups to ranks
+        my_scores: Dict[Tuple[int, int], float] = {}
+        for gi, uid in enumerate(uids):
+            if gi % world != rank:
+                continue
+            members = groups[uid]
+            fields = {
+                k: [m["fields"][k][0] for m in members] for k in members[0]["fields"]
+            }
+            out = np.asarray(model.compute_group_reward(**fields), np.float64).reshape(-1)
+            for m, sc in zip(members, out):
+                my_scores[tuple(m["origin"])] = float(sc)
+        # exchange scored results back to owners
+        all_scores = host_allgather_objects([my_scores])
+        scores = np.zeros(len(samples), np.float64)
+        for rank_list in all_scores:
+            for d in rank_list:
+                for (r, i), sc in d.items():
+                    if r == rank:
+                        scores[i] = sc
+        return scores
+
+    # -- public ----------------------------------------------------------------
+    def score(
+        self,
+        samples: List[BaseSample],
+        group_size: int,
+        distributed_groups: bool,
+        models: Optional[Sequence[BaseRewardModel]] = None,
+    ) -> Dict[str, np.ndarray]:
+        results: Dict[str, np.ndarray] = {}
+        for model in models if models is not None else self.reward_models:
+            if isinstance(model, PointwiseRewardModel):
+                results[model.name] = self._score_pointwise(model, samples)
+            elif isinstance(model, GroupwiseRewardModel):
+                if distributed_groups:
+                    results[model.name] = self._score_groupwise_distributed(
+                        model, samples, group_size
+                    )
+                else:
+                    results[model.name] = self._score_groupwise_local(model, samples, group_size)
+            else:
+                raise TypeError(f"Unknown reward model type: {type(model)}")
+        return results
+
+
+class RewardBuffer:
+    """Accumulates rollout samples; async-scores eligible models immediately.
+
+    Mirrors reference ``RewardBuffer`` (``reward_processor.py:543-821``)
+    minus the CUDA stream machinery: async pointwise models are dispatched to
+    a thread pool the moment samples arrive (overlapping the next rollout
+    batch); groupwise and sync models run at :meth:`finalize`.
+    """
+
+    def __init__(
+        self,
+        reward_models: Sequence[BaseRewardModel],
+        group_size: int,
+        distributed_groups: bool,
+        reward_weights: Optional[Dict[str, float]] = None,
+    ):
+        self.processor = RewardProcessor(reward_models)
+        self.group_size = group_size
+        self.distributed_groups = distributed_groups
+        self.reward_weights = reward_weights or {m.name: m.weight for m in reward_models}
+        self.async_models = [
+            m for m in reward_models
+            if getattr(m.args, "async_reward", False) and m.reward_type == "pointwise"
+        ]
+        self.sync_models = [m for m in reward_models if m not in self.async_models]
+        workers = sum(max(1, getattr(m.args, "num_workers", 1)) for m in self.async_models)
+        self._pool = ThreadPoolExecutor(max_workers=max(1, workers)) if self.async_models else None
+        self._samples: List[BaseSample] = []
+        self._futures: List[Tuple[str, int, int, Future]] = []  # (name, lo, hi, future)
+        self._lock = threading.Lock()
+
+    def add_samples(self, samples: Sequence[BaseSample]) -> None:
+        with self._lock:
+            lo = len(self._samples)
+            self._samples.extend(samples)
+            hi = len(self._samples)
+        for model in self.async_models:
+            fut = self._pool.submit(self.processor._score_pointwise, model, list(samples))
+            self._futures.append((model.name, lo, hi, fut))
+
+    @property
+    def samples(self) -> List[BaseSample]:
+        return self._samples
+
+    def finalize(self) -> List[BaseSample]:
+        """Score remaining models, collect async futures, attach rewards."""
+        n = len(self._samples)
+        per_model: Dict[str, np.ndarray] = {
+            name: np.zeros(n, np.float64) for name in self.reward_weights
+        }
+        sync_scores = self.processor.score(
+            self._samples, self.group_size, self.distributed_groups, models=self.sync_models
+        )
+        per_model.update(sync_scores)
+        for name, lo, hi, fut in self._futures:
+            per_model[name][lo:hi] = fut.result()  # re-raises worker exceptions
+        self._futures.clear()
+
+        for i, s in enumerate(self._samples):
+            rewards = {name: float(scores[i]) for name, scores in per_model.items()}
+            total = sum(self.reward_weights.get(k, 1.0) * v for k, v in rewards.items())
+            s.extra_kwargs["rewards"] = rewards
+            s.extra_kwargs["reward"] = total
+        return self._samples
+
+    def clear(self) -> None:
+        self._samples = []
+        self._futures = []
+
+    def cleanup(self) -> None:
+        for _, _, _, fut in self._futures:
+            fut.cancel()
+        if self._pool is not None:
+            self._pool.shutdown(wait=False, cancel_futures=True)
+        for m in self.processor.reward_models:
+            m.cleanup()

@@ -1,0 +1,281 @@
+"""BaseTrainer: sample → feedback → optimize epoch scaffolding.
+
+TPU-native re-design of the reference trainer base
+(``src/flow_factory/trainers/abc.py``). What changes:
+
+* Optimizer is an optax chain (clip-by-global-norm → AdamW) over the
+  trainable pytree; optimizer state is just another pytree (shardable with
+  NamedSharding — ZeRO without a framework, SURVEY.md §2.2).
+* ``accelerator.prepare``/DDP wrapping disappears: parallelism is input +
+  param shardings; XLA inserts grad reductions.
+* Gradient accumulation is an explicit fp32 grad-sum pytree (the reference
+  relies on accelerate's accumulate() context, ``trainers/abc.py:232``).
+* The async-reward race-free protocol collapses to host-side thread pools
+  (samples are host numpy before ``add_samples`` — same ordering guarantee
+  as the reference's D2H-then-record-event rule, ``trainers/abc.py:365-388``).
+"""
+from __future__ import annotations
+
+import logging
+import os
+import time
+from abc import ABC, abstractmethod
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..advantage import AdvantageProcessor
+from ..data import get_dataloader
+from ..logger import load_logger
+from ..models.abc import BaseAdapter
+from ..rewards import MultiRewardLoader, RewardBuffer
+from ..samples import BaseSample
+
+logger = logging.getLogger(__name__)
+
+
+class BaseTrainer(ABC):
+    def __init__(self, config, adapter: BaseAdapter):
+        self.config = config
+        self.adapter = adapter
+        self.training_args = config.training_args
+        self.eval_args = config.eval_args
+        self.log_args = config.log_args
+        self.scheduler = adapter.scheduler
+        self.epoch = 0
+        self.global_step = 0
+
+        from ..parallel.dist import get_num_processes, get_world_size
+
+        self.local_replicas = max(1, get_world_size() // get_num_processes())
+        #: per-process micro-batch = per-replica batch × local replicas
+        self.micro_batch_size = self.training_args.per_device_batch_size * self.local_replicas
+
+        self._init_dataloader()
+        self._init_optimizer()
+        self._init_rewards()
+        self.logger_backend = load_logger(
+            config.log_args, config.log_args.run_name, is_main_process=jax.process_index() == 0
+        )
+        self.adapter.post_init()
+        self._restore_state_if_any()
+
+    # ------------------------------------------------------------------
+    # Init stages (reference _initialization, trainers/abc.py:235-273)
+    # ------------------------------------------------------------------
+    def _init_dataloader(self) -> None:
+        self.train_loader, self.test_loader = get_dataloader(
+            self.config, self.adapter.preprocess_func
+        )
+
+    def _init_optimizer(self) -> None:
+        ta = self.training_args
+        self.optimizer = optax.chain(
+            optax.clip_by_global_norm(ta.max_grad_norm),
+            optax.adamw(
+                learning_rate=ta.learning_rate,
+                b1=ta.adam_betas[0],
+                b2=ta.adam_betas[1],
+                eps=ta.adam_epsilon,
+                weight_decay=ta.adam_weight_decay,
+            ),
+        )
+        self.opt_state = self.optimizer.init(self.adapter.trainable)
+        self._accum_grads = None
+        self._accum_count = 0
+
+    def _init_rewards(self) -> None:
+        ta = self.training_args
+        loader = MultiRewardLoader()
+        train_models = loader.load(self.config.reward_args)
+        eval_models = (
+            loader.load(self.config.eval_reward_args)
+            if self.config.eval_reward_args
+            else train_models
+        )
+        distributed_groups = self.config.data_args.sampler_type == "distributed_k_repeat"
+        self.reward_buffer = RewardBuffer(
+            train_models,
+            group_size=ta.group_size,
+            distributed_groups=distributed_groups,
+            reward_weights=self.config.reward_args.reward_weights if self.config.reward_args else None,
+        )
+        self.eval_reward_buffer = RewardBuffer(
+            eval_models,
+            group_size=ta.group_size,
+            distributed_groups=False,
+            reward_weights=(
+                self.config.eval_reward_args.reward_weights
+                if self.config.eval_reward_args
+                else (self.config.reward_args.reward_weights if self.config.reward_args else None)
+            ),
+        )
+        self.advantage_processor = AdvantageProcessor(
+            group_size=ta.group_size,
+            aggregation=getattr(ta, "advantage_aggregation", "sum"),
+            std_mode="global" if getattr(ta, "global_std", True) else "per_group",
+            reward_weights=self.config.reward_args.reward_weights if self.config.reward_args else None,
+            distributed_groups=distributed_groups,
+        )
+
+    # ------------------------------------------------------------------
+    # Optimizer mechanics
+    # ------------------------------------------------------------------
+    def accumulate_grads(self, grads: Any) -> None:
+        if self._accum_grads is None:
+            self._accum_grads = jax.tree.map(lambda g: g.astype(jnp.float32), grads)
+        else:
+            self._accum_grads = jax.tree.map(jnp.add, self._accum_grads, grads)
+        self._accum_count += 1
+
+    def apply_accumulated(self) -> Optional[float]:
+        """Average accumulated grads, step the optimizer. Returns grad norm."""
+        if self._accum_grads is None or self._accum_count == 0:
+            return None
+        trainable, self.opt_state, gnorm = _apply_updates_jit(
+            self.optimizer, self.adapter.trainable, self.opt_state,
+            self._accum_grads, self._accum_count,
+        )
+        self.adapter.trainable = trainable
+        self._accum_grads = None
+        self._accum_count = 0
+        self.global_step += 1
+        return float(gnorm)
+
+    # ------------------------------------------------------------------
+    # Epoch template (reference start(), grpo.py:60-91)
+    # ------------------------------------------------------------------
+    def start(self) -> None:
+        ta = self.training_args
+        max_epochs = ta.max_epochs or 1
+        save_dir = os.path.join(self.log_args.save_dir, self.log_args.run_name)
+        for epoch in range(self.epoch, max_epochs):
+            self.epoch = epoch
+            t0 = time.time()
+            self.scheduler.set_seed(ta.seed + epoch)
+
+            if self.log_args.save_freq and epoch > 0 and epoch % self.log_args.save_freq == 0:
+                self.save_checkpoint(os.path.join(save_dir, f"epoch_{epoch}"))
+            if self.eval_args.eval_freq and epoch % self.eval_args.eval_freq == 0 and self.test_loader:
+                self.evaluate(epoch)
+
+            samples = self.sample(epoch)
+            metrics = self.prepare_feedback(samples)
+            loss_info = self.optimize(samples, epoch)
+            self.adapter.ema_step(epoch)
+
+            payload = {**metrics, **loss_info, "time/epoch_s": time.time() - t0}
+            if self.logger_backend:
+                self.logger_backend.log_data(payload, epoch)
+        # final save
+        if self.log_args.save_freq:
+            self.save_checkpoint(os.path.join(save_dir, "final"))
+        if self.logger_backend:
+            self.logger_backend.finish()
+
+    @abstractmethod
+    def sample(self, epoch: int) -> List[BaseSample]: ...
+
+    def prepare_feedback(self, samples: List[BaseSample]) -> Dict[str, float]:
+        self.reward_buffer.finalize()
+        metrics = self.advantage_processor.compute_advantages(samples)
+        return metrics
+
+    @abstractmethod
+    def optimize(self, samples: List[BaseSample], epoch: int) -> Dict[str, float]: ...
+
+    # ------------------------------------------------------------------
+    # Evaluation (reference grpo.py:94-138)
+    # ------------------------------------------------------------------
+    def evaluate(self, epoch: int) -> Dict[str, float]:
+        if self.test_loader is None:
+            return {}
+        self.adapter.eval()
+        ea = self.eval_args
+        all_samples: List[BaseSample] = []
+        for batch in self.test_loader:
+            from ..utils.base import keys_for_prompts
+
+            keys = keys_for_prompts(batch["prompt"], ea.seed or 0)
+            samples = self.adapter.inference(
+                prompt=batch["prompt"],
+                prompt_embeds=batch.get("prompt_embeds"),
+                pooled_prompt_embeds=batch.get("pooled_prompt_embeds"),
+                negative_prompt_embeds=batch.get("negative_prompt_embeds"),
+                negative_pooled_prompt_embeds=batch.get("negative_pooled_prompt_embeds"),
+                height=ea.height,
+                width=ea.width,
+                num_inference_steps=ea.num_inference_steps,
+                guidance_scale=ea.guidance_scale,
+                compute_log_prob=False,
+                trajectory_indices=None,
+                keys=keys,
+                trainable=self.adapter.ema_trainable,
+            )
+            self.eval_reward_buffer.add_samples(samples)
+            all_samples.extend(samples)
+        self.eval_reward_buffer.finalize()
+        rewards = np.asarray([s.extra_kwargs.get("reward", 0.0) for s in all_samples])
+        metrics = {
+            "eval/reward_mean": float(rewards.mean()) if len(rewards) else 0.0,
+            "eval/reward_std": float(rewards.std()) if len(rewards) else 0.0,
+        }
+        if self.logger_backend:
+            self.logger_backend.log_data(metrics, epoch)
+            imgs = [s.image for s in all_samples[:16] if s.image is not None]
+            if imgs:
+                self.logger_backend.log_images(
+                    "eval/samples", imgs, captions=[s.prompt for s in all_samples[:16]], step=epoch
+                )
+        self.eval_reward_buffer.clear()
+        self.adapter.train()
+        return metrics
+
+    # ------------------------------------------------------------------
+    # Checkpointing
+    # ------------------------------------------------------------------
+    def save_checkpoint(self, save_dir: str) -> None:
+        self.adapter.save_checkpoint(
+            save_dir,
+            model_only=self.log_args.save_model_only,
+            extra_state={"opt_state": self.opt_state, "epoch": self.epoch,
+                         "global_step": self.global_step},
+        )
+        logger.info("Saved checkpoint to %s", save_dir)
+
+    def _restore_state_if_any(self) -> None:
+        state = getattr(self.adapter, "_restored_state", None)
+        if state:
+            if "opt_state" in state:
+                self.opt_state = jax.tree.map(
+                    lambda t, s: jnp.asarray(s, t.dtype) if hasattr(t, "dtype") else s,
+                    self.opt_state, state["opt_state"],
+                )
+            self.epoch = int(state.get("epoch", 0)) + 1
+            self.global_step = int(state.get("global_step", 0))
+            logger.info("Resumed at epoch %d (global step %d)", self.epoch, self.global_step)
+
+    def cleanup(self) -> None:
+        self.reward_buffer.cleanup()
+        self.eval_reward_buffer.cleanup()
+        if self.logger_backend:
+            self.logger_backend.finish()
+
+
+# ---------------------------------------------------------------------------
+# Jitted optimizer step (shared by all trainers)
+# ---------------------------------------------------------------------------
+
+import functools
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _apply_updates_jit(optimizer, trainable, opt_state, accum_grads, count):
+    grads = jax.tree.map(lambda g: g / count, accum_grads)
+    gnorm = optax.global_norm(grads)
+    updates, opt_state = optimizer.update(grads, opt_state, trainable)
+    trainable = optax.apply_updates(trainable, updates)
+    return trainable, opt_state, gnorm

@@ -1,0 +1,240 @@
+"""GRPO / GRPO-Guard trainer (coupled paradigm).
+
+TPU-native re-design of the reference GRPO trainer
+(``src/flow_factory/trainers/grpo.py``). Paradigm: rollout with per-step
+log-probs on the SDE-step subset → group-relative advantages → PPO-clipped
+ratio loss replayed per train timestep.
+
+TPU specifics:
+* the whole per-(micro-batch × timestep) loss+grad is one jitted
+  ``value_and_grad``; gradient accumulation is an explicit pytree sum,
+* old log-probs / latents come back from the host sample store as device
+  arrays per micro-batch (the reference's lazy H2D pipeline,
+  ``grpo.py:210-215``),
+* GRPO-Guard (``grpo.py:404,500-504``): rollout stores ``next_latents_mean``
+  via the scan's mean buffer; the ratio is re-weighted by
+  ``sqrt(−dt)·σ_t`` normalization and the loss uses mean-drift MSE.
+"""
+from __future__ import annotations
+
+import functools
+import logging
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..samples import BaseSample, stack_samples
+from ..utils.base import derive_key, derive_seed
+from ..utils.trajectory import compute_trajectory_indices
+from .abc import BaseTrainer
+
+logger = logging.getLogger(__name__)
+
+
+class GRPOTrainer(BaseTrainer):
+    use_guard: bool = False  # GRPOGuardTrainer flips this
+
+    # ------------------------------------------------------------------
+    # Stage 2-3: rollout sampling
+    # ------------------------------------------------------------------
+    def sample(self, epoch: int) -> List[BaseSample]:
+        ta = self.training_args
+        self.adapter.rollout()
+        self.reward_buffer.clear()
+        T = ta.num_inference_steps
+        traj_indices = compute_trajectory_indices(self.scheduler.train_timesteps, T)
+        self.train_loader.set_epoch(epoch)
+        rank = jax.process_index()
+        for b, batch in enumerate(self.train_loader):
+            B = len(batch["prompt"])
+            keys = jnp.stack([
+                derive_key("rollout", ta.seed, epoch, rank, b, i) for i in range(B)
+            ])
+            samples = self.adapter.inference(
+                prompt=batch["prompt"],
+                prompt_embeds=batch.get("prompt_embeds"),
+                pooled_prompt_embeds=batch.get("pooled_prompt_embeds"),
+                negative_prompt_embeds=batch.get("negative_prompt_embeds"),
+                negative_pooled_prompt_embeds=batch.get("negative_pooled_prompt_embeds"),
+                compute_log_prob=True,
+                trajectory_indices=traj_indices,
+                keys=keys,
+                store_means=self.use_guard,
+            )
+            # samples are host-resident numpy at this point: safe to hand to
+            # async reward workers (the reference's D2H-before-add_samples rule)
+            self.reward_buffer.add_samples(samples)
+        self.adapter.train()
+        return self.reward_buffer.samples
+
+    # ------------------------------------------------------------------
+    # Stage 6: optimization
+    # ------------------------------------------------------------------
+    def optimize(self, samples: List[BaseSample], epoch: int) -> Dict[str, float]:
+        ta = self.training_args
+        sched = self.scheduler
+        train_steps = np.asarray(sched.train_timesteps)  # timestep indices
+        sigmas = np.asarray(sched.sigmas, np.float32)
+        timesteps = np.asarray(sched.timesteps, np.float32)
+        noise_levels = np.asarray(sched.get_noise_levels(), np.float32)
+        kl_beta = float(getattr(ta, "kl_beta", 0.0))
+        ref_trainable = self.adapter.ref_trainable() if kl_beta > 0 else None
+
+        B = self.micro_batch_size
+        shard = self.adapter.shard_batch
+        infos: List[Dict[str, float]] = []
+        for inner in range(ta.num_inner_epochs):
+            rng = np.random.default_rng(derive_seed("shuffle", ta.seed, epoch, inner))
+            perm = rng.permutation(len(samples))
+            for mb_start in range(0, len(samples) - B + 1, B):
+                mb = [samples[i] for i in perm[mb_start : mb_start + B]]
+                batch_np = stack_samples(mb)
+                lat_index_map = mb[0].latent_index_map
+                lp_index_map = mb[0].log_prob_index_map
+                all_latents = jnp.asarray(batch_np["all_latents"], jnp.float32)
+                old_lps = jnp.asarray(batch_np["log_probs"], jnp.float32)
+                adv = jnp.asarray(
+                    np.asarray([s.extra_kwargs["advantage"] for s in mb], np.float32)
+                )
+                embeds = {
+                    k: jnp.asarray(batch_np[k], jnp.float32)
+                    for k in (
+                        "prompt_embeds",
+                        "pooled_prompt_embeds",
+                        "negative_prompt_embeds",
+                        "negative_pooled_prompt_embeds",
+                    )
+                    if k in batch_np
+                }
+                means = (
+                    jnp.asarray(batch_np["next_latents_mean"], jnp.float32)
+                    if self.use_guard and "next_latents_mean" in batch_np
+                    else None
+                )
+                for t_idx in train_steps:
+                    t_idx = int(t_idx)
+                    li, lni = int(lat_index_map[t_idx]), int(lat_index_map[t_idx + 1])
+                    lpi = int(lp_index_map[t_idx])
+                    if li < 0 or lni < 0 or lpi < 0:
+                        logger.warning("train step %d not in stored trajectory; skipping", t_idx)
+                        continue
+                    batch = dict(
+                        latents=all_latents[:, li],
+                        next_latents=all_latents[:, lni],
+                        timestep=jnp.full((len(mb),), float(timesteps[t_idx])),
+                        sigma=jnp.full((len(mb),), float(sigmas[t_idx])),
+                        sigma_next=jnp.full((len(mb),), float(sigmas[t_idx + 1])),
+                        noise_level=jnp.full((len(mb),), float(noise_levels[t_idx])),
+                        guidance_scale=jnp.float32(
+                            mb[0].extra_kwargs.get("guidance_scale", ta.guidance_scale)
+                        ),
+                        sigma_max=jnp.float32(sigmas[1]),
+                        old_log_prob=old_lps[:, lpi],
+                        advantage=adv,
+                        **embeds,
+                    )
+                    if means is not None:
+                        batch["rollout_mean"] = means[:, lni]
+                    batch = shard(batch)
+                    (loss, aux), grads = self._grad_fn(
+                        self.adapter.trainable, batch, ref_trainable
+                    )
+                    self.accumulate_grads(grads)
+                    infos.append({k: float(v) for k, v in aux.items()})
+                    if self._accum_count >= ta.gradient_accumulation_steps:
+                        gnorm = self.apply_accumulated()
+                        infos[-1]["train/grad_norm"] = gnorm
+        # flush any remainder (keeps optimizer stepping even with ragged geometry)
+        if self._accum_count > 0:
+            gnorm = self.apply_accumulated()
+            infos[-1]["train/grad_norm"] = gnorm
+
+        agg: Dict[str, float] = {}
+        if infos:
+            keys = set().union(*(i.keys() for i in infos))
+            for k in keys:
+                vals = [i[k] for i in infos if k in i]
+                agg[k] = float(np.mean(vals))
+        return agg
+
+    # ------------------------------------------------------------------
+    # Loss
+    # ------------------------------------------------------------------
+    @functools.cached_property
+    def _grad_fn(self):
+        ta = self.training_args
+        clip_lo, clip_hi = ta.clip_range
+        adv_lo, adv_hi = ta.adv_clip_range
+        kl_beta = float(getattr(ta, "kl_beta", 0.0))
+        kl_type = getattr(ta, "kl_type", "x-based")
+        use_guard = self.use_guard
+        adapter = self.adapter
+
+        def loss_fn(trainable, batch, ref_trainable):
+            out = adapter.training_forward(trainable, batch, compute_log_prob=True)
+            new_lp, old_lp = out.log_prob, batch["old_log_prob"]
+            adv = jnp.clip(batch["advantage"], adv_lo, adv_hi)
+
+            if use_guard:
+                # GRPO-Guard re-weighted ratio (reference grpo.py:500-506):
+                #   ratio = exp((new_lp − old_lp)·s + mse/(2s)),
+                #   s = sqrt(−dt)·σ_t — normalizes the per-step Gaussian
+                # exponent scale so high-σ early steps don't dominate, and the
+                # mean-drift MSE replaces the noise-realization term.
+                scale = (jnp.sqrt(-out.dt) * out.std_dev_t).reshape(new_lp.shape[0], -1)[:, 0]
+                scale = jnp.maximum(scale, 1e-8)
+                drift = out.next_latents_mean - batch["rollout_mean"]
+                drift_mse = jnp.mean(drift.reshape(drift.shape[0], -1) ** 2, axis=-1)
+                ratio = jnp.exp((new_lp - old_lp) * scale + drift_mse / (2.0 * scale))
+            else:
+                ratio = jnp.exp(new_lp - old_lp)
+
+            unclipped = -adv * ratio
+            clipped = -adv * jnp.clip(ratio, 1.0 + clip_lo, 1.0 + clip_hi)
+            pg_loss = jnp.mean(jnp.maximum(unclipped, clipped))
+            loss = pg_loss
+
+            aux = {
+                "train/loss": pg_loss,
+                "train/ratio_mean": jnp.mean(ratio),
+                "train/ratio_max": jnp.max(ratio),
+                "train/ratio_min": jnp.min(ratio),
+                "train/clip_frac": jnp.mean(
+                    (
+                        (ratio < 1.0 + clip_lo) | (ratio > 1.0 + clip_hi)
+                    ).astype(jnp.float32)
+                ),
+                "train/approx_kl": jnp.mean((new_lp - old_lp) ** 2) * 0.5,
+            }
+
+            if kl_beta > 0.0 and ref_trainable is not None:
+                ref_out = adapter.training_forward(
+                    ref_trainable, batch, compute_log_prob=False
+                )
+                if kl_type == "v-based":
+                    kl = jnp.mean(
+                        (out.noise_pred - jax.lax.stop_gradient(ref_out.noise_pred)) ** 2
+                    )
+                else:  # x-based: next-latents-mean MSE
+                    kl = jnp.mean(
+                        (
+                            out.next_latents_mean
+                            - jax.lax.stop_gradient(ref_out.next_latents_mean)
+                        )
+                        ** 2
+                    )
+                loss = loss + kl_beta * kl
+                aux["train/kl"] = kl
+            aux["train/total_loss"] = loss
+            return loss, aux
+
+        return jax.jit(jax.value_and_grad(loss_fn, has_aux=True))
+
+
+class GRPOGuardTrainer(GRPOTrainer):
+    """GRPO-Guard: σ-normalized ratios + rollout-mean drift replay
+    (reference ``trainers/grpo.py`` guard branches)."""
+
+    use_guard = True

@@ -1,0 +1,73 @@
+"""Dataset loading + fingerprint-cached preprocessing."""
+import os
+
+import numpy as np
+import pytest
+
+from flow_factory_tpu.data import (
+    GeneralDataset,
+    collate,
+    compute_fingerprint,
+    load_raw_records,
+)
+
+FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+def test_load_txt_and_jsonl(tmp_path):
+    recs = load_raw_records(os.path.join(FIXTURES, "tiny_prompts", "train.txt"))
+    assert len(recs) == 6 and recs[0]["prompt"].startswith("a photo")
+
+    p = tmp_path / "d.jsonl"
+    p.write_text('{"prompt": "x", "negative_prompt": "y"}\n"bare string"\n')
+    recs = load_raw_records(str(p))
+    assert recs[0]["negative_prompt"] == "y" and recs[1]["prompt"] == "bare string"
+
+    recs = load_raw_records(str(p), cutoff=1)
+    assert len(recs) == 1
+
+
+def test_fingerprint_sensitivity():
+    f = lambda b: b
+    g = lambda b: {**b}
+    fp1 = compute_fingerprint("d", "train", None, f, {"a": 1})
+    assert fp1 == compute_fingerprint("d", "train", None, f, {"a": 1})
+    assert fp1 != compute_fingerprint("d", "train", None, f, {"a": 2})
+    assert fp1 != compute_fingerprint("d", "test", None, f, {"a": 1})
+    assert fp1 != compute_fingerprint("d", "train", None, g, {"a": 1})
+    assert fp1 != compute_fingerprint("d", "train", None, f, {"a": 1}, extra=("m2",))
+
+
+def test_preprocess_cache_roundtrip(tmp_path):
+    calls = {"n": 0}
+
+    def pre(batch):
+        calls["n"] += 1
+        return {
+            "emb": np.stack([np.full((3,), len(p), np.float32) for p in batch["prompt"]]),
+            "tag": [p[:1] for p in batch["prompt"]],
+        }
+
+    ds = GeneralDataset(os.path.join(FIXTURES, "tiny_prompts", "train.txt"))
+    out = ds.preprocess(pre, str(tmp_path), process_index=0, process_count=1, batch_size=3)
+    assert calls["n"] == 2
+    item = out[0]
+    assert item["emb"].shape == (3,) and item["tag"] == item["prompt"][0]
+    assert item["emb"][0] == len(item["prompt"])
+
+    # cache hit: no new calls
+    ds2 = GeneralDataset(os.path.join(FIXTURES, "tiny_prompts", "train.txt"))
+    out2 = ds2.preprocess(pre, str(tmp_path), process_index=0, process_count=1, batch_size=3)
+    assert calls["n"] == 2
+    np.testing.assert_array_equal(out2[3]["emb"], out[3]["emb"])
+
+
+def test_collate_ragged_aware():
+    items = [
+        {"a": np.ones((2, 2)), "p": "x", "r": np.ones((2,))},
+        {"a": np.zeros((2, 2)), "p": "y", "r": np.ones((3,))},
+    ]
+    out = collate(items)
+    assert out["a"].shape == (2, 2, 2)
+    assert out["p"] == ["x", "y"]
+    assert isinstance(out["r"], list)  # ragged stays a list

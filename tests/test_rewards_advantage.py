@@ -1,0 +1,124 @@
+"""Reward processor / buffer + advantage math."""
+import numpy as np
+import pytest
+
+from flow_factory_tpu.advantage import AdvantageProcessor
+from flow_factory_tpu.hparams.reward_args import MultiRewardArguments, RewardArguments
+from flow_factory_tpu.rewards import (
+    MultiRewardLoader,
+    MyGroupReward,
+    MyReward,
+    RewardBuffer,
+)
+from flow_factory_tpu.samples import BaseSample
+
+
+def _mk_samples(prompts, brightness):
+    out = []
+    for p, b in zip(prompts, brightness):
+        img = np.full((3, 4, 4), b, np.float32)
+        out.append(BaseSample(prompt=p, image=img))
+    return out
+
+
+def test_pointwise_buffer_sync_and_async():
+    args_sync = RewardArguments(name="bright", reward_model="MyReward", weight=2.0)
+    args_async = RewardArguments(
+        name="bright_async", reward_model="MyReward", weight=1.0, async_reward=True, num_workers=2
+    )
+    models = [MyReward(args_sync), MyReward(args_async)]
+    buf = RewardBuffer(models, group_size=2, distributed_groups=False)
+    samples = _mk_samples(["a", "a", "b", "b"], [0.1, 0.2, 0.3, 0.4])
+    buf.add_samples(samples[:2])
+    buf.add_samples(samples[2:])
+    done = buf.finalize()
+    for s, b in zip(done, [0.1, 0.2, 0.3, 0.4]):
+        assert s.extra_kwargs["rewards"]["bright"] == pytest.approx(b, abs=1e-6)
+        assert s.extra_kwargs["rewards"]["bright_async"] == pytest.approx(b, abs=1e-6)
+        assert s.extra_kwargs["reward"] == pytest.approx(3 * b, abs=1e-5)
+    buf.cleanup()
+
+
+def test_groupwise_local_rank_reward():
+    args = RewardArguments(name="rank", reward_model="MyGroupReward")
+    buf = RewardBuffer([MyGroupReward(args)], group_size=2, distributed_groups=False)
+    samples = _mk_samples(["a", "a", "b", "b"], [0.9, 0.1, 0.2, 0.8])
+    buf.add_samples(samples)
+    done = buf.finalize()
+    ranks = [s.extra_kwargs["rewards"]["rank"] for s in done]
+    assert ranks == [1.0, 0.0, 0.0, 1.0]
+    buf.cleanup()
+
+
+def test_groupwise_incomplete_group_raises():
+    args = RewardArguments(name="rank", reward_model="MyGroupReward")
+    buf = RewardBuffer([MyGroupReward(args)], group_size=3, distributed_groups=False)
+    buf.add_samples(_mk_samples(["a", "a"], [0.5, 0.6]))
+    with pytest.raises(ValueError):
+        buf.finalize()
+    buf.cleanup()
+
+
+def test_multi_reward_loader_dedup():
+    entries = MultiRewardArguments.from_list([
+        {"name": "r1", "reward_model": "MyReward", "weight": 1.0},
+        {"name": "r2", "reward_model": "MyReward", "weight": 0.5},
+    ])
+    loader = MultiRewardLoader()
+    models = loader.load(entries)
+    eval_models = loader.load(entries)
+    assert len(loader._instances) == 1  # identical identity keys share an instance
+    assert models[0].name == "r1" and models[1].name == "r2"
+    assert models[1].weight == 0.5
+
+
+def _samples_with_rewards(uids, rewards, names=("r",)):
+    out = []
+    for u, r in zip(uids, rewards):
+        s = BaseSample(prompt=u)
+        s.extra_kwargs["rewards"] = {n: r for n in names}
+        s.extra_kwargs["reward"] = r
+        out.append(s)
+    return out
+
+
+def test_advantage_sum_global_std():
+    proc = AdvantageProcessor(group_size=2, aggregation="sum", std_mode="global")
+    samples = _samples_with_rewards(["a", "a", "b", "b"], [1.0, 3.0, 10.0, 14.0])
+    metrics = proc.compute_advantages(samples)
+    advs = np.asarray([s.extra_kwargs["advantage"] for s in samples])
+    # group means removed
+    assert advs[0] + advs[1] == pytest.approx(0.0)
+    assert advs[2] + advs[3] == pytest.approx(0.0)
+    # global std normalization
+    rewards = np.asarray([1.0, 3.0, 10.0, 14.0])
+    centered = np.asarray([-1.0, 1.0, -2.0, 2.0])
+    np.testing.assert_allclose(advs, centered / (rewards.std() + 1e-8), rtol=1e-6)
+    assert metrics["reward/mean"] == pytest.approx(7.0)
+    assert metrics["reward/zero_std_group_ratio"] == 0.0
+
+
+def test_advantage_per_group_std_and_collapse_detector():
+    proc = AdvantageProcessor(group_size=2, aggregation="sum", std_mode="per_group")
+    samples = _samples_with_rewards(["a", "a", "b", "b"], [1.0, 3.0, 5.0, 5.0])
+    metrics = proc.compute_advantages(samples)
+    advs = np.asarray([s.extra_kwargs["advantage"] for s in samples])
+    np.testing.assert_allclose(advs[:2], [-1.0, 1.0], rtol=1e-5)
+    np.testing.assert_allclose(advs[2:], [0.0, 0.0], atol=1e-6)
+    assert metrics["reward/zero_std_group_ratio"] == pytest.approx(0.5)
+
+
+def test_advantage_gdpo_multi_reward():
+    proc = AdvantageProcessor(
+        group_size=2, aggregation="gdpo", reward_weights={"a": 1.0, "b": 2.0}
+    )
+    samples = []
+    for u, (ra, rb) in zip(["x", "x", "y", "y"], [(0, 1), (1, 0), (2, 5), (4, 3)]):
+        s = BaseSample(prompt=u)
+        s.extra_kwargs["rewards"] = {"a": float(ra), "b": float(rb)}
+        samples.append(s)
+    proc.compute_advantages(samples)
+    advs = np.asarray([s.extra_kwargs["advantage"] for s in samples])
+    # batch-normalized: zero mean, unit std
+    assert advs.mean() == pytest.approx(0.0, abs=1e-8)
+    assert advs.std() == pytest.approx(1.0, rel=1e-5)
