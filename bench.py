@@ -39,7 +39,7 @@ def main() -> None:
 
     if on_tpu:
         B, res, steps = 4, 512, 10
-        config = g._make_config(tiny=False)
+        config = g._make_config(tiny=False, load_components=["transformer", "vae"])
     else:
         B, res, steps = 2, 32, 4
         config = g._make_config(tiny=True)

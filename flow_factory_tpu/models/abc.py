@@ -461,6 +461,69 @@ class BaseAdapter(ABC):
         logger.info("Loaded training state from %s", path)
 
     # ------------------------------------------------------------------
+    # Velocity forward (decoupled-paradigm trainers: DPO/NFT/AWM/CRD)
+    # ------------------------------------------------------------------
+    #: embedding keys consumed by ``_velocity`` (adapters may extend)
+    embed_keys: Tuple[str, ...] = (
+        "prompt_embeds",
+        "pooled_prompt_embeds",
+        "negative_prompt_embeds",
+        "negative_pooled_prompt_embeds",
+    )
+    #: component whose params feed ``_velocity``
+    velocity_component: str = "transformer"
+
+    def _velocity(self, merged_params, latents, t, embeds, guidance_scale, do_cfg):
+        """Pure velocity prediction (adapter-specific conditioning)."""
+        raise NotImplementedError
+
+    def training_velocity(self, trainable: Dict[str, Any], batch: Dict[str, Any]) -> jax.Array:
+        """Velocity at arbitrary (latents, t) — the decoupled-trainer forward.
+
+        Replaces the reference's ``adapter.forward(..., return_kwargs=
+        ['noise_pred'], noise_level=0.0)`` calls (``trainers/dpo.py:465-470``,
+        ``nft.py``, ``awm.py``). Differentiable wrt ``trainable``.
+        """
+        embeds = {k: batch[k] for k in self.embed_keys if k in batch}
+        do_cfg = "negative_prompt_embeds" in embeds and bool(batch.get("do_cfg", True))
+        return self._training_velocity_jit(
+            trainable,
+            batch["latents"],
+            batch["timestep"],
+            embeds,
+            batch.get("guidance_scale", jnp.float32(self.training_args.guidance_scale)),
+            do_cfg=do_cfg,
+        )
+
+    def _training_velocity_jit(self, trainable, latents, t, embeds, guidance_scale, *, do_cfg):
+        import functools
+
+        if not hasattr(self, "_tv_jit"):
+            def fn(trainable, latents, t, embeds, guidance_scale, do_cfg):
+                merged = self.merged_params(self.velocity_component, trainable)
+                return self._velocity(merged, latents, t, embeds, guidance_scale, do_cfg)
+
+            self._tv_jit = jax.jit(fn, static_argnames=("do_cfg",))
+        return self._tv_jit(trainable, latents, t, embeds, guidance_scale, do_cfg=do_cfg)
+
+    # ------------------------------------------------------------------
+    # Component device management (reference abc.py:1847-1953 on/off_load)
+    # ------------------------------------------------------------------
+    def offload_component(self, name: str) -> None:
+        """Move a frozen component's params to host RAM (frees HBM)."""
+        cpu = jax.devices("cpu")[0]
+        self.params[name] = jax.device_put(self.params[name], cpu)
+
+    def onload_component(self, name: str) -> None:
+        """Move a component's params to the accelerator (mesh-replicated)."""
+        if self.mesh is not None:
+            from ..parallel.mesh import shard_params
+
+            self.params[name] = shard_params(self.params[name], self.mesh, self.param_sharding_rules())
+        else:
+            self.params[name] = jax.device_put(self.params[name], jax.devices()[0])
+
+    # ------------------------------------------------------------------
     # Mesh placement
     # ------------------------------------------------------------------
     def param_sharding_rules(self) -> Optional[Dict[str, Any]]:

@@ -107,29 +107,54 @@ class SD35Adapter(BaseAdapter):
             "text_encoder_3": preset["t5"],
         }
 
+        # Component selection: ``load_components`` (model-config extra) lets
+        # callers skip unused components — e.g. the bench harness loads only
+        # the transformer; a preprocessing-only worker loads only encoders.
+        wanted = getattr(ma, "load_components", None)
+        if wanted:
+            self.modules = {k: v for k, v in self.modules.items() if k in set(wanted)}
+
         key = derive_key("sd35_init", self.training_args.seed)
         tcfg: MMDiTConfig = preset["transformer"]
-        lat = jnp.zeros((1, 8 * tcfg.patch_size, 8 * tcfg.patch_size, tcfg.in_channels))
-        ctx = jnp.zeros((1, 4, tcfg.context_dim))
-        pooled = jnp.zeros((1, tcfg.pooled_dim))
-        ids = jnp.zeros((1, 4), jnp.int32)
-        img = jnp.zeros((1, 3, 8 * preset["vae"].downscale, 8 * preset["vae"].downscale))
-
-        self.params = {
-            "transformer": self.modules["transformer"].init(
-                jax.random.fold_in(key, 0), lat, jnp.zeros((1,)), ctx, pooled
-            )["params"],
-            "vae": self.modules["vae"].init(jax.random.fold_in(key, 1), img)["params"],
-            "text_encoder": self.modules["text_encoder"].init(jax.random.fold_in(key, 2), ids)["params"],
-            "text_encoder_2": self.modules["text_encoder_2"].init(jax.random.fold_in(key, 3), ids)["params"],
-            "text_encoder_3": self.modules["text_encoder_3"].init(jax.random.fold_in(key, 4), ids)["params"],
+        init_fns = {
+            "transformer": lambda m, k: m.init(
+                k,
+                jnp.zeros((1, 8 * tcfg.patch_size, 8 * tcfg.patch_size, tcfg.in_channels)),
+                jnp.zeros((1,)),
+                jnp.zeros((1, 4, tcfg.context_dim)),
+                jnp.zeros((1, tcfg.pooled_dim)),
+            ),
+            "vae": lambda m, k: m.init(
+                k, jnp.zeros((1, 3, 8 * preset["vae"].downscale, 8 * preset["vae"].downscale))
+            ),
+            "text_encoder": lambda m, k: m.init(k, jnp.zeros((1, 4), jnp.int32)),
+            "text_encoder_2": lambda m, k: m.init(k, jnp.zeros((1, 4), jnp.int32)),
+            "text_encoder_3": lambda m, k: m.init(k, jnp.zeros((1, 4), jnp.int32)),
         }
-        # frozen components live in inference dtype (reference mixed-precision
-        # policy, models/abc.py:800-856); fp32 norm/embed leaves stay fp32 via
-        # the module-level dtype handling, storage is uniform here.
-        cast = lambda tree: jax.tree.map(lambda x: x.astype(self.inference_dtype) if x.dtype == jnp.float32 else x, tree)
-        for comp in ("vae", "text_encoder", "text_encoder_2", "text_encoder_3"):
-            self.params[comp] = cast(self.params[comp])
+
+        # Init on HOST RAM (large models would OOM HBM in fp32), cast frozen
+        # params to inference dtype (reference mixed-precision policy,
+        # models/abc.py:800-856 — only the trainable pytree is master-dtype),
+        # then place hot components on the accelerator.
+        cast = lambda tree: jax.tree.map(
+            lambda x: x.astype(self.inference_dtype) if x.dtype == jnp.float32 else x, tree
+        )
+        cpu = jax.devices("cpu")[0]
+        self.params = {}
+        with jax.default_device(cpu):
+            for i, (comp, module) in enumerate(self.modules.items()):
+                p = init_fns[comp](module, jax.random.fold_in(key, i))["params"]
+                if not (self.model_args.finetune_type == "full" and comp == "transformer"):
+                    p = cast(p)
+                self.params[comp] = p
+        if jax.devices()[0].platform != "cpu" and self.mesh is None:
+            # hot path on-device; encoders onload lazily at preprocessing
+            if "transformer" in self.params:
+                self.params["transformer"] = jax.device_put(
+                    self.params["transformer"], jax.devices()[0]
+                )
+            if "vae" in self.params:
+                self.params["vae"] = jax.device_put(self.params["vae"], jax.devices()[0])
 
         clip_bos = 1 if variant == "tiny" else 49406
         self.tokenizer = load_tokenizer(
@@ -177,14 +202,32 @@ class SD35Adapter(BaseAdapter):
     def encode_prompt(self, prompts: Sequence[str], **_) -> Dict[str, np.ndarray]:
         if isinstance(prompts, str):
             prompts = [prompts]
+        missing = [k for k in ("text_encoder", "text_encoder_2", "text_encoder_3") if k not in self.params]
+        if missing:
+            raise RuntimeError(
+                f"Text encoders {missing} were not loaded (load_components config); "
+                "cannot encode prompts"
+            )
         ids_l = self.tokenizer(list(prompts), max_length=self.clip_max_length)["input_ids"]
         ids_g = self.tokenizer_2(list(prompts), max_length=self.clip_max_length)["input_ids"]
         ids_t5 = self.tokenizer_3(list(prompts), max_length=self.t5_max_length)["input_ids"]
         if self._encode_jit is None:
             self._encode_jit = jax.jit(self._encode_impl)
+        enc_params = {
+            k: self.params[k] for k in ("text_encoder", "text_encoder_2", "text_encoder_3")
+        }
+        # run where the encoder params live (host until onloaded / mesh)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            place = lambda x: jax.device_put(
+                jnp.asarray(x), NamedSharding(self.mesh, PartitionSpec())
+            )
+        else:
+            dev = list(jax.tree.leaves(enc_params)[0].devices())[0]
+            place = lambda x: jax.device_put(jnp.asarray(x), dev)
         embeds, pooled = self._encode_jit(
-            {k: self.params[k] for k in ("text_encoder", "text_encoder_2", "text_encoder_3")},
-            jnp.asarray(ids_l), jnp.asarray(ids_g), jnp.asarray(ids_t5),
+            enc_params, place(ids_l), place(ids_g), place(ids_t5)
         )
         return {
             "prompt_embeds": np.asarray(jax.device_get(embeds), np.float32),

@@ -113,17 +113,18 @@ def host_allgather(x: np.ndarray) -> np.ndarray:
     return np.asarray(multihost_utils.process_allgather(np.asarray(x), tiled=True))
 
 
-def host_allgather_objects(objs: List[Any]) -> List[Any]:
+def host_allgather_objects(objs: List[Any]) -> List[List[Any]]:
     """Gather arbitrary (picklable) python objects from all processes.
 
     The reference's pickle ``gather_object`` fallback
-    (``utils/dist.py:284,315``). Single-process: identity.
+    (``utils/dist.py:284,315``). Returns ONE LIST PER PROCESS, indexed by
+    process id; single-process runs return ``[objs]``.
     """
     if not is_distributed():
-        return list(objs)
+        return [list(objs)]
     import pickle
 
-    payload = pickle.dumps(objs)
+    payload = pickle.dumps(list(objs))
     buf = np.frombuffer(payload, dtype=np.uint8)
     # pad to max length across hosts
     from jax.experimental import multihost_utils
@@ -134,10 +135,7 @@ def host_allgather_objects(objs: List[Any]) -> List[Any]:
     padded = np.zeros((maxlen,), dtype=np.uint8)
     padded[: len(buf)] = buf
     gathered = np.asarray(multihost_utils.process_allgather(padded, tiled=True)).reshape(-1, maxlen)
-    out: List[Any] = []
-    for row, ln in zip(gathered, lens):
-        out.extend(pickle.loads(row[:ln].tobytes()))
-    return out
+    return [pickle.loads(row[:ln].tobytes()) for row, ln in zip(gathered, lens)]
 
 
 def global_stats(values: np.ndarray) -> tuple:

@@ -23,7 +23,7 @@ from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from ..parallel.dist import get_rank, get_world_size, host_allgather_objects
+from ..parallel.dist import get_num_processes, get_rank, host_allgather_objects
 from ..samples import BaseSample
 from .abc import BaseRewardModel, GroupwiseRewardModel, PointwiseRewardModel
 
@@ -90,7 +90,7 @@ class RewardProcessor:
         epoch — negligible next to rollout compute.
         """
         self._ensure_setup()
-        world, rank = get_world_size(), get_rank()
+        world, rank = get_num_processes(), get_rank()
         if world <= 1:
             return self._score_groupwise_local(model, samples, group_size)
 

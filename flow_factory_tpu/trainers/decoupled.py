@@ -1,0 +1,138 @@
+"""Shared scaffolding for decoupled-paradigm trainers (DPO/NFT/AWM/CRD).
+
+Decoupled = training timesteps are drawn fresh by a TimeSampler instead of
+replaying the rollout's SDE steps; only the FINAL clean latent of each
+rollout is kept (reference ``trajectory_indices=[-1]``, ``nft.py:258``).
+"""
+from __future__ import annotations
+
+import logging
+from typing import Any, Dict, Iterator, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..samples import BaseSample, stack_samples
+from ..utils.base import derive_key, derive_seed
+from ..utils.noise_schedule import TimeSampler, flow_match_sigma
+from .abc import BaseTrainer
+
+logger = logging.getLogger(__name__)
+
+
+class DecoupledTrainer(BaseTrainer):
+    #: whether rollouts need per-step log-probs (none of the decoupled ones do)
+    rollout_compute_log_prob = False
+
+    # ------------------------------------------------------------------
+    # Rollout: store only the final latent
+    # ------------------------------------------------------------------
+    def sample(self, epoch: int, trainable: Optional[Dict[str, Any]] = None) -> List[BaseSample]:
+        ta = self.training_args
+        self.adapter.rollout()
+        self.reward_buffer.clear()
+        self.train_loader.set_epoch(epoch)
+        rank = jax.process_index()
+        for b, batch in enumerate(self.train_loader):
+            B = len(batch["prompt"])
+            keys = jnp.stack([
+                derive_key("rollout", ta.seed, epoch, rank, b, i) for i in range(B)
+            ])
+            samples = self.adapter.inference(
+                prompt=batch["prompt"],
+                prompt_embeds=batch.get("prompt_embeds"),
+                pooled_prompt_embeds=batch.get("pooled_prompt_embeds"),
+                negative_prompt_embeds=batch.get("negative_prompt_embeds"),
+                negative_pooled_prompt_embeds=batch.get("negative_pooled_prompt_embeds"),
+                compute_log_prob=self.rollout_compute_log_prob,
+                trajectory_indices=[-1],
+                keys=keys,
+                trainable=trainable,
+            )
+            self.reward_buffer.add_samples(samples)
+        self.adapter.train()
+        return self.reward_buffer.samples
+
+    # ------------------------------------------------------------------
+    # Fresh timestep sampling (reference TimeSampler dispatch)
+    # ------------------------------------------------------------------
+    def sample_timesteps(self, batch_size: int, seed: int) -> np.ndarray:
+        """(num_train_timesteps, B) scheduler-scale timesteps."""
+        ta = self.training_args
+        strategy = getattr(ta, "time_sampling_strategy", getattr(ta, "weighting_scheme", "logit_normal"))
+        T = ta.get_num_train_timesteps(self.config)
+        if strategy in ("logit_normal",):
+            return TimeSampler.logit_normal_shifted(
+                batch_size=batch_size,
+                num_timesteps=T,
+                timestep_range=ta.timestep_range,
+                logit_mean=getattr(ta, "logit_mean", 0.0),
+                logit_std=getattr(ta, "logit_std", 1.0),
+                time_shift=getattr(ta, "time_shift", 3.0),
+                stratified=True,
+                seed=seed,
+            )
+        if strategy == "uniform":
+            return TimeSampler.uniform(
+                batch_size=batch_size,
+                num_timesteps=T,
+                timestep_range=ta.timestep_range,
+                time_shift=getattr(ta, "time_shift", 1.0),
+                seed=seed,
+            )
+        if strategy.startswith("discrete"):
+            # discrete draws from the rollout scheduler grid
+            if self.scheduler.timesteps is None:
+                self.scheduler.set_timesteps(ta.num_inference_steps, seq_len=256)
+            return TimeSampler.discrete(
+                batch_size=batch_size,
+                num_train_timesteps=T,
+                scheduler_timesteps=self.scheduler.timesteps,
+                timestep_range=ta.timestep_range,
+                include_init=strategy != "discrete_wo_init",
+                force_init=strategy == "discrete_with_init",
+                seed=seed,
+            )
+        raise ValueError(f"Unknown time sampling strategy {strategy!r}")
+
+    # ------------------------------------------------------------------
+    # Micro-batch iteration
+    # ------------------------------------------------------------------
+    def iter_micro_batches(
+        self, samples: List[BaseSample], epoch: int, inner: int
+    ) -> Iterator[Tuple[List[BaseSample], Dict[str, Any]]]:
+        B = self.micro_batch_size
+        rng = np.random.default_rng(derive_seed("shuffle", self.training_args.seed, epoch, inner))
+        perm = rng.permutation(len(samples))
+        for start in range(0, len(samples) - B + 1, B):
+            mb = [samples[i] for i in perm[start : start + B]]
+            yield mb, stack_samples(mb)
+
+    @staticmethod
+    def batch_embeds(batch_np: Dict[str, Any]) -> Dict[str, jnp.ndarray]:
+        return {
+            k: jnp.asarray(batch_np[k], jnp.float32)
+            for k in (
+                "prompt_embeds",
+                "pooled_prompt_embeds",
+                "negative_prompt_embeds",
+                "negative_pooled_prompt_embeds",
+            )
+            if k in batch_np
+        }
+
+    @staticmethod
+    def noised_latents(clean: jnp.ndarray, noise: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+        """x_t = (1−σ)·x1 + σ·ε with σ = t/1000 (linear flow interpolation)."""
+        sigma = (t / 1000.0).reshape(-1, *([1] * (clean.ndim - 1)))
+        return (1.0 - sigma) * clean + sigma * noise
+
+    def aggregate_infos(self, infos: List[Dict[str, float]]) -> Dict[str, float]:
+        agg: Dict[str, float] = {}
+        if infos:
+            keys = set().union(*(i.keys() for i in infos))
+            for k in keys:
+                vals = [i[k] for i in infos if k in i]
+                agg[k] = float(np.mean(vals))
+        return agg

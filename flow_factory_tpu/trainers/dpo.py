@@ -1,0 +1,155 @@
+"""Diffusion-DPO trainer (decoupled paradigm).
+
+Re-design of the reference DPO trainer (``src/flow_factory/trainers/dpo.py``).
+Pairs are formed per prompt-group from argmax/argmin advantage
+(``dpo.py:322-352``); the loss is the flow-matching DPO objective
+(``dpo.py:565-610``):
+
+    err(θ, x) = MSE(v_θ(x_t, t), ε − x0)      shared ε across chosen/rejected
+    loss = −log σ( −β/2 · [(err_w(θ) − err_w(ref)) − (err_l(θ) − err_l(ref))] )
+
+with fresh timesteps per pair batch via ``TimeSampler`` (logit-normal /
+uniform, ``dpo.py:433-462``) and the reference policy = zero-LoRA (or frozen
+snapshot) — no weight swapping, just a second pytree through the same pure
+forward.
+
+Distribution note: the reference shards PAIRS across ranks with padding /
+cycling for lockstep (``dpo.py:230-297``). Here group completeness is a
+sampler contract (group_contiguous ⇒ groups rank-local), so pair formation
+is process-local; pairs are then micro-batched over the mesh like any batch.
+"""
+from __future__ import annotations
+
+import logging
+from typing import Any, Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..samples import BaseSample
+from ..utils.base import derive_key, derive_seed
+from .decoupled import DecoupledTrainer
+
+logger = logging.getLogger(__name__)
+
+
+class DPOTrainer(DecoupledTrainer):
+    def prepare_feedback(self, samples: List[BaseSample]) -> Dict[str, float]:
+        metrics = super().prepare_feedback(samples)
+        return metrics
+
+    # ------------------------------------------------------------------
+    def _form_pairs(self, samples: List[BaseSample]):
+        """Per-group (chosen, rejected) by advantage argmax/argmin."""
+        groups: Dict[str, List[BaseSample]] = {}
+        for s in samples:
+            groups.setdefault(s.unique_id, []).append(s)
+        pairs = []
+        for uid, members in groups.items():
+            if len(members) < 2:
+                continue
+            advs = np.asarray([m.extra_kwargs["advantage"] for m in members])
+            if advs.max() - advs.min() < 1e-9:
+                continue  # degenerate group: no preference signal
+            pairs.append((members[int(advs.argmax())], members[int(advs.argmin())]))
+        return pairs
+
+    def optimize(self, samples: List[BaseSample], epoch: int) -> Dict[str, float]:
+        ta = self.training_args
+        pairs = self._form_pairs(samples)
+        if not pairs:
+            logger.warning("DPO: no usable pairs this epoch")
+            return {}
+        ref_trainable = self.adapter.ref_trainable()
+        T = ta.get_num_train_timesteps(self.config)
+        B = max(1, min(self.micro_batch_size, len(pairs)))
+        shard = self.adapter.shard_batch
+        infos = []
+
+        for inner in range(ta.num_inner_epochs):
+            rng = np.random.default_rng(derive_seed("dpo_shuffle", ta.seed, epoch, inner))
+            perm = rng.permutation(len(pairs))
+            for start in range(0, len(pairs), B):
+                chunk = [pairs[i] for i in perm[start : start + B]]
+                if len(chunk) < B:  # cycle to keep shapes static (reference pads/cycles)
+                    chunk = chunk + [pairs[i] for i in perm[: B - len(chunk)]]
+                chosen = [c for c, _ in chunk]
+                rejected = [r for _, r in chunk]
+                from ..samples import stack_samples
+
+                cb, rb = stack_samples(chosen), stack_samples(rejected)
+                chosen_lat = jnp.asarray(cb["all_latents"][:, -1], jnp.float32)
+                rejected_lat = jnp.asarray(rb["all_latents"][:, -1], jnp.float32)
+                embeds = self.batch_embeds(cb)
+
+                t_seed = derive_seed("dpo_t", ta.seed, epoch, inner, start)
+                all_t = self.sample_timesteps(len(chunk), t_seed)  # (T, B)
+                for t_idx in range(T):
+                    t = jnp.asarray(all_t[t_idx])
+                    key = derive_key("dpo_noise", ta.seed, epoch, inner, start, t_idx)
+                    noise = jax.random.normal(key, chosen_lat.shape, jnp.float32)
+                    batch = dict(
+                        chosen=chosen_lat,
+                        rejected=rejected_lat,
+                        noise=noise,
+                        timestep=t,
+                        guidance_scale=jnp.float32(
+                            chosen[0].extra_kwargs.get("guidance_scale", ta.guidance_scale)
+                        ),
+                        **embeds,
+                    )
+                    batch = shard(batch)
+                    (loss, aux), grads = self._grad_fn(
+                        self.adapter.trainable, batch, ref_trainable
+                    )
+                    self.accumulate_grads(grads)
+                    infos.append({k: float(v) for k, v in aux.items()})
+                    if self._accum_count >= ta.gradient_accumulation_steps:
+                        gn = self.apply_accumulated()
+                        infos[-1]["train/grad_norm"] = gn
+        if self._accum_count > 0:
+            infos[-1]["train/grad_norm"] = self.apply_accumulated()
+        return self.aggregate_infos(infos)
+
+    # ------------------------------------------------------------------
+    @property
+    def _grad_fn(self):
+        if not hasattr(self, "_cached_grad_fn"):
+            ta = self.training_args
+            beta = float(ta.beta)
+            adapter = self.adapter
+
+            def loss_fn(trainable, batch, ref_trainable):
+                t, noise = batch["timestep"], batch["noise"]
+                sigma = (t / 1000.0).reshape(-1, *([1] * (batch["chosen"].ndim - 1)))
+                xw = (1.0 - sigma) * batch["chosen"] + sigma * noise
+                xl = (1.0 - sigma) * batch["rejected"] + sigma * noise
+                target_w = noise - batch["chosen"]
+                target_l = noise - batch["rejected"]
+
+                def err(tr, x, target):
+                    v = adapter.training_velocity(tr, {**batch, "latents": x})
+                    d = (v - target).reshape(v.shape[0], -1)
+                    return jnp.mean(d * d, axis=-1)
+
+                tw = err(trainable, xw, target_w)
+                tl = err(trainable, xl, target_l)
+                rw = jax.lax.stop_gradient(err(ref_trainable, xw, target_w))
+                rl = jax.lax.stop_gradient(err(ref_trainable, xl, target_l))
+
+                inside = -0.5 * beta * ((tw - rw) - (tl - rl))
+                loss = -jnp.mean(jax.nn.log_sigmoid(inside))
+                implicit_w = -0.5 * beta * (tw - rw)
+                implicit_l = -0.5 * beta * (tl - rl)
+                aux = {
+                    "train/loss": loss,
+                    "train/theta_w_err": jnp.mean(tw),
+                    "train/theta_l_err": jnp.mean(tl),
+                    "train/implicit_acc": jnp.mean((implicit_w > implicit_l).astype(jnp.float32)),
+                    "train/implicit_margin": jnp.mean(implicit_w - implicit_l),
+                }
+                return loss, aux
+
+            self._cached_grad_fn = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))
+        return self._cached_grad_fn
