@@ -25,6 +25,7 @@ are functional:
 """
 from __future__ import annotations
 
+import functools
 import json
 import logging
 import os
@@ -476,6 +477,161 @@ class BaseAdapter(ABC):
     def _velocity(self, merged_params, latents, t, embeds, guidance_scale, do_cfg):
         """Pure velocity prediction (adapter-specific conditioning)."""
         raise NotImplementedError
+
+    # ------------------------------------------------------------------
+    # Generic scan rollout + replay forward (shared by all adapters)
+    # ------------------------------------------------------------------
+    @functools.partial(jax.jit, static_argnums=(0,), static_argnames=(
+        "do_cfg", "compute_log_prob", "dynamics_type", "num_latent_slots",
+        "num_logprob_slots", "store_means",
+    ))
+    def _rollout_impl(
+        self,
+        trainable: Dict[str, Any],
+        x0: jax.Array,
+        embeds: Dict[str, jax.Array],
+        guidance_scale: jax.Array,
+        sigmas: jax.Array,
+        timesteps: jax.Array,
+        noise_levels: jax.Array,
+        latent_store_slot: jax.Array,
+        logprob_store_slot: jax.Array,
+        key: jax.Array,
+        *,
+        do_cfg: bool,
+        compute_log_prob: bool,
+        dynamics_type: str,
+        num_latent_slots: int,
+        num_logprob_slots: int,
+        store_means: bool = False,
+    ):
+        """One jitted ``lax.scan`` over denoise steps with selective storage.
+
+        Replaces the reference per-step Python loop + TrajectoryCollector
+        (``models/*/..inference``, ``utils/trajectory_collector.py``): compact
+        buffers are scattered via a data-driven slot map with one garbage slot,
+        so per-epoch SDE-subset redraws never recompile.
+        """
+        from ..scheduler.flow_match_euler import sde_step
+
+        merged = self.merged_params(self.velocity_component, trainable)
+        B = x0.shape[0]
+        storage_dtype = self.training_args.storage_dtype
+        sigma_max = sigmas[1] if sigmas.shape[0] > 1 else jnp.float32(0.999)
+
+        lat_buf = jnp.zeros((num_latent_slots + 1, *x0.shape), storage_dtype)
+        lat_buf = lat_buf.at[latent_store_slot[0]].set(x0.astype(storage_dtype))
+        lp_buf = jnp.zeros((num_logprob_slots + 1, B), jnp.float32)
+        mean_buf = (
+            jnp.zeros((num_latent_slots + 1, *x0.shape), storage_dtype) if store_means else None
+        )
+
+        def body(carry, inp):
+            x, k, lat_buf, lp_buf, mean_buf = carry
+            sigma, sigma_next, t, nl, lat_slot, lp_slot = inp
+            k, sub = jax.random.split(k)
+            v = self._velocity(merged, x, jnp.full((B,), t), embeds, guidance_scale, do_cfg)
+            out = sde_step(
+                v,
+                x,
+                sigma,
+                sigma_next,
+                dynamics_type=dynamics_type,
+                noise_level=nl,
+                key=sub,
+                compute_log_prob=compute_log_prob,
+                storage_dtype=storage_dtype,
+                sigma_max=sigma_max,
+            )
+            lat_buf = lat_buf.at[lat_slot].set(out.next_latents.astype(storage_dtype))
+            if compute_log_prob:
+                lp_buf = lp_buf.at[lp_slot].set(out.log_prob)
+            if mean_buf is not None:
+                mean_buf = mean_buf.at[lat_slot].set(out.next_latents_mean.astype(storage_dtype))
+            return (out.next_latents, k, lat_buf, lp_buf, mean_buf), None
+
+        inputs = (
+            sigmas[:-1],
+            sigmas[1:],
+            timesteps,
+            noise_levels,
+            latent_store_slot[1:],
+            logprob_store_slot,
+        )
+        (x_final, _, lat_buf, lp_buf, mean_buf), _ = jax.lax.scan(
+            body, (x0, key, lat_buf, lp_buf, mean_buf), inputs
+        )
+        return x_final, lat_buf[:-1], lp_buf[:-1], (mean_buf[:-1] if store_means else None)
+
+    @functools.partial(jax.jit, static_argnums=(0,), static_argnames=(
+        "do_cfg", "compute_log_prob", "dynamics_type",
+    ))
+    def _forward_impl(
+        self,
+        trainable: Dict[str, Any],
+        latents: jax.Array,
+        next_latents: Optional[jax.Array],
+        timestep: jax.Array,
+        sigma: jax.Array,
+        sigma_next: jax.Array,
+        noise_level: jax.Array,
+        embeds: Dict[str, jax.Array],
+        guidance_scale: jax.Array,
+        sigma_max: jax.Array,
+        key: Optional[jax.Array],
+        *,
+        do_cfg: bool,
+        compute_log_prob: bool,
+        dynamics_type: str,
+    ):
+        """Single-step replay/sample forward — same math path as the scan."""
+        from ..scheduler.flow_match_euler import sde_step
+
+        merged = self.merged_params(self.velocity_component, trainable)
+        v = self._velocity(merged, latents, timestep, embeds, guidance_scale, do_cfg)
+        return sde_step(
+            v,
+            latents,
+            sigma,
+            sigma_next,
+            dynamics_type=dynamics_type,
+            noise_level=noise_level,
+            key=key,
+            next_latents=next_latents,
+            compute_log_prob=compute_log_prob,
+            storage_dtype=self.training_args.storage_dtype,
+            sigma_max=sigma_max,
+        )
+
+    def training_forward(
+        self,
+        trainable: Dict[str, Any],
+        batch: Dict[str, jax.Array],
+        *,
+        compute_log_prob: bool = True,
+        key: Optional[jax.Array] = None,
+        dynamics_type: Optional[str] = None,
+    ):
+        """Replay (or re-sample) one stored transition; differentiable wrt
+        ``trainable``. The coupled-paradigm trainers' forward."""
+        embeds = {k: batch[k] for k in self.embed_keys if k in batch}
+        do_cfg = "negative_prompt_embeds" in embeds and bool(batch.get("do_cfg", True))
+        return self._forward_impl(
+            trainable,
+            batch["latents"],
+            batch.get("next_latents"),
+            batch["timestep"],
+            batch["sigma"],
+            batch["sigma_next"],
+            batch.get("noise_level", jnp.float32(0.0)),
+            embeds,
+            batch.get("guidance_scale", jnp.float32(self.training_args.guidance_scale)),
+            batch.get("sigma_max", jnp.float32(0.999)),
+            key,
+            do_cfg=do_cfg,
+            compute_log_prob=compute_log_prob,
+            dynamics_type=dynamics_type or self.scheduler.dynamics_type,
+        )
 
     def training_velocity(self, trainable: Dict[str, Any], batch: Dict[str, Any]) -> jax.Array:
         """Velocity at arbitrary (latents, t) — the decoupled-trainer forward.

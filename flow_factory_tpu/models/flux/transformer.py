@@ -1,0 +1,223 @@
+"""FLUX.1 transformer in flax.linen.
+
+TPU-first re-implementation of the architecture behind the reference FLUX
+adapters (``src/flow_factory/models/flux/flux1.py`` wraps diffusers'
+``FluxTransformer2DModel``). Hybrid DiT:
+
+* N double-stream blocks — image & text streams with separate projections,
+  joint attention over the concatenated sequence with multi-axis RoPE and
+  per-head RMS QK-norm;
+* M single-stream blocks — streams concatenated, fused parallel
+  attention + MLP (one input projection, one output projection);
+* guidance-distilled timestep conditioning (timestep + guidance + pooled
+  CLIP vector embeddings summed into AdaLN modulation).
+
+Latents arrive PACKED: (B, L, 64) tokens of 2×2×16 latent patches with
+``latent_image_ids`` giving (h, w) coordinates for RoPE (reference
+``flux1.py:141,192``). Channel-last, bf16 matmuls, fp32 norms.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..layers import (
+    AdaLayerNormContinuous,
+    FeedForward,
+    PooledTextEmbedder,
+    QKNorm,
+    TimestepEmbedder,
+    apply_rope,
+    modulate,
+    rope_frequencies,
+)
+from ...ops.attention import dot_product_attention
+
+
+@dataclass(frozen=True)
+class FluxConfig:
+    in_channels: int = 64  # packed 2x2x16
+    hidden_dim: int = 3072
+    num_heads: int = 24
+    num_double_blocks: int = 19
+    num_single_blocks: int = 38
+    context_dim: int = 4096  # T5
+    pooled_dim: int = 768  # CLIP-L
+    axes_dim: Tuple[int, ...] = (16, 56, 56)
+    rope_theta: float = 10000.0
+    guidance_embeds: bool = True
+    mlp_ratio: float = 4.0
+    attn_backend: str = "auto"
+    dtype: str = "bfloat16"
+
+    @property
+    def compute_dtype(self) -> jnp.dtype:
+        return jnp.dtype(self.dtype)
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_dim // self.num_heads
+
+    @staticmethod
+    def flux1_dev(**o) -> "FluxConfig":
+        return FluxConfig(**o)
+
+    @staticmethod
+    def tiny(**o) -> "FluxConfig":
+        base = dict(
+            in_channels=16,
+            hidden_dim=64,
+            num_heads=4,
+            num_double_blocks=2,
+            num_single_blocks=2,
+            context_dim=48,
+            pooled_dim=16,
+            axes_dim=(4, 6, 6),
+        )
+        base.update(o)
+        return FluxConfig(**base)
+
+
+class FluxDoubleBlock(nn.Module):
+    cfg: FluxConfig
+
+    @nn.compact
+    def __call__(self, img, txt, temb, cos, sin):
+        cfg = self.cfg
+        dt = cfg.compute_dtype
+        D, H = cfg.hidden_dim, cfg.num_heads
+        txt_len = txt.shape[1]
+
+        img_mods = nn.Dense(6 * D, dtype=jnp.float32, name="img_mod")(nn.silu(temb))
+        txt_mods = nn.Dense(6 * D, dtype=jnp.float32, name="txt_mod")(nn.silu(temb))
+        i_shift, i_scale, i_gate, i_shift2, i_scale2, i_gate2 = jnp.split(img_mods, 6, -1)
+        t_shift, t_scale, t_gate, t_shift2, t_scale2, t_gate2 = jnp.split(txt_mods, 6, -1)
+
+        ln = lambda name: nn.LayerNorm(use_bias=False, use_scale=False, dtype=jnp.float32, name=name)
+        img_mod = modulate(ln("img_norm1")(img.astype(jnp.float32)), i_shift, i_scale).astype(dt)
+        txt_mod = modulate(ln("txt_norm1")(txt.astype(jnp.float32)), t_shift, t_scale).astype(dt)
+
+        split = lambda t: t.reshape(t.shape[0], t.shape[1], H, D // H).transpose(0, 2, 1, 3)
+        iq = split(nn.Dense(D, dtype=dt, name="img_q")(img_mod))
+        ik = split(nn.Dense(D, dtype=dt, name="img_k")(img_mod))
+        iv = split(nn.Dense(D, dtype=dt, name="img_v")(img_mod))
+        tq = split(nn.Dense(D, dtype=dt, name="txt_q")(txt_mod))
+        tk = split(nn.Dense(D, dtype=dt, name="txt_k")(txt_mod))
+        tv = split(nn.Dense(D, dtype=dt, name="txt_v")(txt_mod))
+        iq, ik = QKNorm(D // H, name="img_qk_norm")(iq, ik)
+        tq, tk = QKNorm(D // H, name="txt_qk_norm")(tq, tk)
+
+        q = jnp.concatenate([tq, iq], axis=2)
+        k = jnp.concatenate([tk, ik], axis=2)
+        v = jnp.concatenate([tv, iv], axis=2)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        out = dot_product_attention(q, k, v, backend=cfg.attn_backend)
+        out = out.transpose(0, 2, 1, 3).reshape(img.shape[0], -1, D)
+        txt_attn, img_attn = out[:, :txt_len], out[:, txt_len:]
+
+        img = img + i_gate[:, None].astype(img.dtype) * nn.Dense(D, dtype=dt, name="img_attn_out")(img_attn)
+        txt = txt + t_gate[:, None].astype(txt.dtype) * nn.Dense(D, dtype=dt, name="txt_attn_out")(txt_attn)
+
+        img_ff = modulate(ln("img_norm2")(img.astype(jnp.float32)), i_shift2, i_scale2).astype(dt)
+        img = img + i_gate2[:, None].astype(img.dtype) * FeedForward(
+            D, mult=cfg.mlp_ratio, dtype=dt, name="img_ff"
+        )(img_ff)
+        txt_ff = modulate(ln("txt_norm2")(txt.astype(jnp.float32)), t_shift2, t_scale2).astype(dt)
+        txt = txt + t_gate2[:, None].astype(txt.dtype) * FeedForward(
+            D, mult=cfg.mlp_ratio, dtype=dt, name="txt_ff"
+        )(txt_ff)
+        return img, txt
+
+
+class FluxSingleBlock(nn.Module):
+    """Fused parallel attention + MLP over the concatenated stream."""
+
+    cfg: FluxConfig
+
+    @nn.compact
+    def __call__(self, x, temb, cos, sin):
+        cfg = self.cfg
+        dt = cfg.compute_dtype
+        D, H = cfg.hidden_dim, cfg.num_heads
+        mlp_dim = int(D * cfg.mlp_ratio)
+
+        mods = nn.Dense(3 * D, dtype=jnp.float32, name="mod")(nn.silu(temb))
+        shift, scale, gate = jnp.split(mods, 3, -1)
+        x_mod = modulate(
+            nn.LayerNorm(use_bias=False, use_scale=False, dtype=jnp.float32, name="norm")(
+                x.astype(jnp.float32)
+            ),
+            shift,
+            scale,
+        ).astype(dt)
+
+        qkv_mlp = nn.Dense(3 * D + mlp_dim, dtype=dt, name="linear1")(x_mod)
+        q, k, v, mlp = jnp.split(qkv_mlp, [D, 2 * D, 3 * D], axis=-1)
+        split = lambda t: t.reshape(t.shape[0], t.shape[1], H, D // H).transpose(0, 2, 1, 3)
+        q, k, v = split(q), split(k), split(v)
+        q, k = QKNorm(D // H, name="qk_norm")(q, k)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        attn = dot_product_attention(q, k, v, backend=cfg.attn_backend)
+        attn = attn.transpose(0, 2, 1, 3).reshape(x.shape[0], -1, D)
+        out = nn.Dense(D, dtype=dt, name="linear2")(
+            jnp.concatenate([attn, nn.gelu(mlp, approximate=True)], axis=-1)
+        )
+        return x + gate[:, None].astype(x.dtype) * out
+
+
+class FluxTransformer(nn.Module):
+    """Packed-latent hybrid DiT. timestep & guidance in scheduler scale."""
+
+    cfg: FluxConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        latents: jax.Array,  # (B, L_img, in_channels) packed
+        timestep: jax.Array,  # (B,) scheduler scale [0, 1000]
+        encoder_hidden_states: jax.Array,  # (B, L_txt, context_dim)
+        pooled_projections: jax.Array,  # (B, pooled_dim)
+        img_ids: jax.Array,  # (L_img, 3)
+        txt_ids: jax.Array,  # (L_txt, 3)
+        guidance: Optional[jax.Array] = None,  # (B,) CFG scale (distilled)
+    ) -> jax.Array:
+        cfg = self.cfg
+        dt = cfg.compute_dtype
+
+        img = nn.Dense(cfg.hidden_dim, dtype=dt, name="x_embedder")(latents.astype(dt))
+        txt = nn.Dense(cfg.hidden_dim, dtype=dt, name="context_embedder")(
+            encoder_hidden_states.astype(dt)
+        )
+        # diffusers FluxTransformer scales timestep to [0, 1]
+        temb = TimestepEmbedder(cfg.hidden_dim, dtype=jnp.float32, name="time_embed")(
+            timestep / 1000.0 * 1000.0
+        )
+        if cfg.guidance_embeds and guidance is not None:
+            temb = temb + TimestepEmbedder(cfg.hidden_dim, dtype=jnp.float32, name="guidance_embed")(
+                guidance * 1000.0
+            )
+        temb = temb + PooledTextEmbedder(cfg.hidden_dim, dtype=jnp.float32, name="text_embed")(
+            pooled_projections.astype(jnp.float32)
+        )
+
+        ids = jnp.concatenate([txt_ids, img_ids], axis=0)  # (L, 3)
+        cos, sin = rope_frequencies(ids, cfg.axes_dim, cfg.rope_theta)
+
+        for i in range(cfg.num_double_blocks):
+            img, txt = FluxDoubleBlock(cfg, name=f"double_{i}")(img, txt, temb, cos, sin)
+
+        x = jnp.concatenate([txt, img], axis=1)
+        for i in range(cfg.num_single_blocks):
+            x = FluxSingleBlock(cfg, name=f"single_{i}")(x, temb, cos, sin)
+        img = x[:, txt.shape[1]:]
+
+        img = AdaLayerNormContinuous(cfg.hidden_dim, name="norm_out")(img, temb)
+        return nn.Dense(cfg.in_channels, dtype=jnp.float32, name="proj_out")(
+            img.astype(jnp.float32)
+        )

@@ -276,6 +276,38 @@ class SelfAttention(nn.Module):
         return nn.Dense(D, dtype=self.dtype, name="to_out")(_merge_heads(out))
 
 
+# ---------------------------------------------------------------------------
+# Rotary position embeddings (FLUX / Qwen-Image / video DiTs)
+# ---------------------------------------------------------------------------
+
+def rope_frequencies(
+    ids: jax.Array, axes_dim: Sequence[int], theta: float = 10000.0
+) -> Tuple[jax.Array, jax.Array]:
+    """Multi-axis RoPE tables.
+
+    ``ids``: (L, A) integer coordinates per token per axis (e.g. FLUX uses
+    A=3: [batch/text, height, width]). ``axes_dim``: rotary dims per axis,
+    summing to the head dim. Returns (cos, sin) of shape (L, head_dim/2).
+    """
+    ids = jnp.asarray(ids, jnp.float32)
+    parts_cos, parts_sin = [], []
+    for a, dim in enumerate(axes_dim):
+        half = dim // 2
+        freqs = 1.0 / (theta ** (jnp.arange(half, dtype=jnp.float32) * 2.0 / dim))
+        angles = ids[:, a][:, None] * freqs[None, :]  # (L, half)
+        parts_cos.append(jnp.cos(angles))
+        parts_sin.append(jnp.sin(angles))
+    return jnp.concatenate(parts_cos, axis=-1), jnp.concatenate(parts_sin, axis=-1)
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """Rotate (B, H, L, D) by per-position tables (L, D/2) — interleaved pairs."""
+    xf = x.astype(jnp.float32)
+    x1, x2 = xf[..., 0::2], xf[..., 1::2]
+    out = jnp.stack([x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1)
+    return out.reshape(x.shape).astype(x.dtype)
+
+
 def unpatchify(x: jax.Array, h: int, w: int, patch_size: int, channels: int) -> jax.Array:
     """(B, h*w, p*p*C) → (B, H, W, C) channel-last."""
     B = x.shape[0]

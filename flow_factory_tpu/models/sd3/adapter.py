@@ -280,152 +280,6 @@ class SD35Adapter(BaseAdapter):
         )
         return v.astype(jnp.float32)
 
-    @functools.partial(jax.jit, static_argnums=(0,), static_argnames=(
-        "do_cfg", "compute_log_prob", "dynamics_type", "num_latent_slots", "num_logprob_slots",
-        "store_means",
-    ))
-    def _rollout_impl(
-        self,
-        trainable: Dict[str, Any],
-        x0: jax.Array,  # (B, H, W, C) fp32 initial noise
-        embeds: Dict[str, jax.Array],
-        guidance_scale: jax.Array,
-        sigmas: jax.Array,  # (T+1,)
-        timesteps: jax.Array,  # (T,)
-        noise_levels: jax.Array,  # (T,)
-        latent_store_slot: jax.Array,  # (T+1,) int32
-        logprob_store_slot: jax.Array,  # (T,) int32
-        key: jax.Array,
-        *,
-        do_cfg: bool,
-        compute_log_prob: bool,
-        dynamics_type: str,
-        num_latent_slots: int,
-        num_logprob_slots: int,
-        store_means: bool = False,
-    ):
-        merged = self.merged_params("transformer", trainable)
-        B = x0.shape[0]
-        storage_dtype = self.training_args.storage_dtype
-        T = timesteps.shape[0]
-        sigma_max = sigmas[1] if sigmas.shape[0] > 1 else jnp.float32(0.999)
-
-        lat_buf = jnp.zeros((num_latent_slots + 1, *x0.shape), storage_dtype)
-        lat_buf = lat_buf.at[latent_store_slot[0]].set(x0.astype(storage_dtype))
-        lp_buf = jnp.zeros((num_logprob_slots + 1, B), jnp.float32)
-        mean_buf = (
-            jnp.zeros((num_latent_slots + 1, *x0.shape), storage_dtype) if store_means else None
-        )
-
-        def body(carry, inp):
-            x, k, lat_buf, lp_buf, mean_buf = carry
-            sigma, sigma_next, t, nl, lat_slot, lp_slot = inp
-            k, sub = jax.random.split(k)
-            v = self._velocity(merged, x, jnp.full((B,), t), embeds, guidance_scale, do_cfg)
-            out = sde_step(
-                v,
-                x,
-                sigma,
-                sigma_next,
-                dynamics_type=dynamics_type,
-                noise_level=nl,
-                key=sub,
-                compute_log_prob=compute_log_prob,
-                storage_dtype=storage_dtype,
-                sigma_max=sigma_max,
-            )
-            lat_buf = lat_buf.at[lat_slot].set(out.next_latents.astype(storage_dtype))
-            if compute_log_prob:
-                lp_buf = lp_buf.at[lp_slot].set(out.log_prob)
-            if mean_buf is not None:
-                mean_buf = mean_buf.at[lat_slot].set(out.next_latents_mean.astype(storage_dtype))
-            return (out.next_latents, k, lat_buf, lp_buf, mean_buf), None
-
-        inputs = (
-            sigmas[:-1],
-            sigmas[1:],
-            timesteps,
-            noise_levels,
-            latent_store_slot[1:],
-            logprob_store_slot,
-        )
-        (x_final, _, lat_buf, lp_buf, mean_buf), _ = jax.lax.scan(
-            body, (x0, key, lat_buf, lp_buf, mean_buf), inputs
-        )
-        return x_final, lat_buf[:-1], lp_buf[:-1], (mean_buf[:-1] if store_means else None)
-
-    @functools.partial(jax.jit, static_argnums=(0,), static_argnames=("do_cfg", "compute_log_prob", "dynamics_type"))
-    def _forward_impl(
-        self,
-        trainable: Dict[str, Any],
-        latents: jax.Array,
-        next_latents: Optional[jax.Array],
-        timestep: jax.Array,  # (B,)
-        sigma: jax.Array,  # (B,)
-        sigma_next: jax.Array,  # (B,)
-        noise_level: jax.Array,  # (B,) or scalar
-        embeds: Dict[str, jax.Array],
-        guidance_scale: jax.Array,
-        sigma_max: jax.Array,
-        key: Optional[jax.Array],
-        *,
-        do_cfg: bool,
-        compute_log_prob: bool,
-        dynamics_type: str,
-    ):
-        merged = self.merged_params("transformer", trainable)
-        v = self._velocity(merged, latents, timestep, embeds, guidance_scale, do_cfg)
-        return sde_step(
-            v,
-            latents,
-            sigma,
-            sigma_next,
-            dynamics_type=dynamics_type,
-            noise_level=noise_level,
-            key=key,
-            next_latents=next_latents,
-            compute_log_prob=compute_log_prob,
-            storage_dtype=self.training_args.storage_dtype,
-            sigma_max=sigma_max,
-        )
-
-    def training_forward(
-        self,
-        trainable: Dict[str, Any],
-        batch: Dict[str, jax.Array],
-        *,
-        compute_log_prob: bool = True,
-        key: Optional[jax.Array] = None,
-        dynamics_type: Optional[str] = None,
-    ):
-        """Replay (or re-sample) one transition; differentiable wrt trainable.
-
-        ``batch`` holds fp32 jnp arrays: latents, next_latents (optional),
-        timestep, sigma, sigma_next, noise_level, prompt/pooled (+negative)
-        embeds, guidance_scale scalar, sigma_max scalar.
-        """
-        embeds = {k: batch[k] for k in (
-            "prompt_embeds", "pooled_prompt_embeds",
-            "negative_prompt_embeds", "negative_pooled_prompt_embeds",
-        ) if k in batch}
-        do_cfg = "negative_prompt_embeds" in embeds and bool(batch.get("do_cfg", True))
-        return self._forward_impl(
-            trainable,
-            batch["latents"],
-            batch.get("next_latents"),
-            batch["timestep"],
-            batch["sigma"],
-            batch["sigma_next"],
-            batch.get("noise_level", jnp.float32(0.0)),
-            embeds,
-            batch.get("guidance_scale", jnp.float32(self.training_args.guidance_scale)),
-            batch.get("sigma_max", jnp.float32(0.999)),
-            key,
-            do_cfg=do_cfg,
-            compute_log_prob=compute_log_prob,
-            dynamics_type=dynamics_type or self.scheduler.dynamics_type,
-        )
-
     # ------------------------------------------------------------------
     # Rollout → samples
     # ------------------------------------------------------------------

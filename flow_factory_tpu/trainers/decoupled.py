@@ -109,17 +109,11 @@ class DecoupledTrainer(BaseTrainer):
             mb = [samples[i] for i in perm[start : start + B]]
             yield mb, stack_samples(mb)
 
-    @staticmethod
-    def batch_embeds(batch_np: Dict[str, Any]) -> Dict[str, jnp.ndarray]:
+    def batch_embeds(self, batch_np: Dict[str, Any]) -> Dict[str, jnp.ndarray]:
         return {
             k: jnp.asarray(batch_np[k], jnp.float32)
-            for k in (
-                "prompt_embeds",
-                "pooled_prompt_embeds",
-                "negative_prompt_embeds",
-                "negative_pooled_prompt_embeds",
-            )
-            if k in batch_np
+            for k in self.adapter.embed_keys
+            if k in batch_np and batch_np[k] is not None
         }
 
     @staticmethod

@@ -100,13 +100,8 @@ class GRPOTrainer(BaseTrainer):
                 )
                 embeds = {
                     k: jnp.asarray(batch_np[k], jnp.float32)
-                    for k in (
-                        "prompt_embeds",
-                        "pooled_prompt_embeds",
-                        "negative_prompt_embeds",
-                        "negative_pooled_prompt_embeds",
-                    )
-                    if k in batch_np
+                    for k in self.adapter.embed_keys
+                    if k in batch_np and batch_np[k] is not None
                 }
                 means = (
                     jnp.asarray(batch_np["next_latents_mean"], jnp.float32)
