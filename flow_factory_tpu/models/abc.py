@@ -99,9 +99,15 @@ class BaseAdapter(ABC):
     def load_models(self) -> None:
         """Populate ``self.modules`` / ``self.params`` / ``self.component_configs``."""
 
+    #: default scheduler registry key (adapters override; Wan uses 'unipc')
+    default_scheduler: str = "flow_match_euler"
+
     def load_scheduler(self) -> FlowMatchEulerSDE:
+        from ..scheduler.registry import get_scheduler_class
+
         sa = self.scheduler_args
-        return FlowMatchEulerSDE(
+        cls = get_scheduler_class(sa.scheduler_type or self.default_scheduler)
+        return cls(
             noise_level=sa.noise_level,
             sde_steps=sa.sde_steps,
             num_sde_steps=sa.num_sde_steps,

@@ -21,6 +21,8 @@ _MODEL_ADAPTER_REGISTRY: Dict[str, str] = {
     "z-image": "flow_factory_tpu.models.z_image.adapter:ZImageAdapter",
     "wan2-t2v": "flow_factory_tpu.models.wan.t2v:WanT2VAdapter",
     "wan2-i2v": "flow_factory_tpu.models.wan.i2v:WanI2VAdapter",
+    "wan21": "flow_factory_tpu.models.wan.t2v:WanT2VAdapter",
+    "wan22": "flow_factory_tpu.models.wan.t2v:WanT2VAdapter",
     "wan2-v2v": "flow_factory_tpu.models.wan.v2v:WanV2VAdapter",
     "ltx2-t2av": "flow_factory_tpu.models.ltx2.t2av:LTX2T2AVAdapter",
     "ltx2-i2av": "flow_factory_tpu.models.ltx2.i2av:LTX2I2AVAdapter",

@@ -1,0 +1,179 @@
+"""Wan image→video and video→video adapters.
+
+TPU-native re-design of the reference Wan conditioned adapters
+(``src/flow_factory/models/wan/wan2_i2v.py``, ``wan2_v2v.py``). Conditioning
+is channel-concatenation in latent space (the Wan "y" tensor): the condition
+media is VAE-encoded, placed on its temporal span (first frame for I2V, the
+full clip for V2V), zero-padded elsewhere, and concatenated with a binary
+presence mask to the denoised latents before patch embedding. The
+transformer's ``in_channels`` widens accordingly; everything else (CFG,
+UniPC-SDE, MoE routing) is inherited from the T2V adapter.
+"""
+from __future__ import annotations
+
+import logging
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...samples import I2VSample, V2VSample
+from ...utils.media import standardize_image_batch, standardize_video_batch
+from .t2v import WanT2VAdapter, _preset
+from .transformer import WanConfig, WanTransformer
+
+logger = logging.getLogger(__name__)
+
+
+class WanI2VAdapter(WanT2VAdapter):
+    """First-frame-conditioned video generation."""
+
+    sample_class = I2VSample
+    embed_keys = ("prompt_embeds", "negative_prompt_embeds", "cond_latents")
+
+    #: extra channels: condition latents + 1 mask channel
+    @property
+    def cond_channels(self) -> int:
+        return self.latent_channels + 1
+
+    def load_models(self) -> None:
+        super().load_models()
+        # widen the transformer input for the conditioning channels
+        ma = self.model_args
+        variant = getattr(ma, "variant", None) or (
+            "tiny" if ma.model_name_or_path in ("", "tiny") else "1.3b"
+        )
+        preset = _preset(variant, ma.attn_backend, ma.inference_dtype)
+        base_cfg: WanConfig = preset["transformer"]
+        import dataclasses
+
+        wide_cfg = dataclasses.replace(
+            base_cfg, in_channels=base_cfg.in_channels + self.cond_channels
+        )
+        self.modules["transformer"] = WanTransformer(wide_cfg)
+        self.component_configs["transformer"] = wide_cfg
+        if "transformer_2" in self.modules:
+            self.modules["transformer_2"] = WanTransformer(wide_cfg)
+        # re-init the widened transformer params (host RAM)
+        from ...utils.base import derive_key
+
+        key = derive_key("wan_i2v_init", self.training_args.seed)
+        lat = jnp.zeros((1, 2, 2 * wide_cfg.patch_size[1], 2 * wide_cfg.patch_size[2], wide_cfg.in_channels))
+        cast = lambda tree: jax.tree.map(
+            lambda x: x.astype(self.inference_dtype) if x.dtype == jnp.float32 else x, tree
+        )
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            for i, comp in enumerate(c for c in ("transformer", "transformer_2") if c in self.modules):
+                p = self.modules[comp].init(
+                    jax.random.fold_in(key, i), lat, jnp.zeros((1,)),
+                    jnp.zeros((1, 4, wide_cfg.context_dim)),
+                )["params"]
+                if ma.finetune_type != "full":
+                    p = cast(p)
+                self.params[comp] = p
+        if jax.devices()[0].platform != "cpu" and self.mesh is None:
+            for comp in ("transformer", "transformer_2"):
+                if comp in self.params:
+                    self.params[comp] = jax.device_put(self.params[comp], jax.devices()[0])
+
+    # ------------------------------------------------------------------
+    def build_condition(
+        self, images: Sequence[Any], num_frames: int, height: int, width: int
+    ) -> np.ndarray:
+        """First-frame image → (B, T', h, w, c+1) conditioning tensor."""
+        arr = standardize_image_batch(list(images), output_type="np")  # (B,3,H,W)
+        videos = arr[:, None]  # (B, 1, 3, H, W) single-frame clip
+        lat = self.encode_video(videos)  # (B, 1, h, w, c)
+        tl, h, w, c = self.latent_shape(height, width, num_frames)
+        B = lat.shape[0]
+        cond = np.zeros((B, tl, h, w, c + 1), np.float32)
+        cond[:, :1, ..., :c] = lat[:, :1]
+        cond[:, :1, ..., c] = 1.0  # presence mask on the conditioned frame
+        return cond
+
+    def _velocity(self, merged, latents, t, embeds, guidance_scale, do_cfg):
+        cond = embeds["cond_latents"].astype(latents.dtype)
+        x = jnp.concatenate([latents, cond], axis=-1)
+        sub = {k: v for k, v in embeds.items() if k != "cond_latents"}
+        return super()._velocity(merged, x, t, sub, guidance_scale, do_cfg)[..., : self.latent_channels]
+
+    def inference(self, images=None, cond_latents=None, **kwargs):
+        ta = self.training_args
+        num_frames = kwargs.get("num_frames") or int(getattr(ta, "num_frames", 5))
+        height = kwargs.get("height") or ta.height
+        width = kwargs.get("width") or ta.width
+        if cond_latents is None and images is not None:
+            cond_latents = self.build_condition(images, num_frames, height, width)
+        if cond_latents is None:
+            raise ValueError("WanI2VAdapter.inference needs images or cond_latents")
+        samples = super().inference(
+            extra_embeds={"cond_latents": jnp.asarray(cond_latents, jnp.float32)}, **kwargs
+        )
+        for i, s in enumerate(samples):
+            s.extra_kwargs["cond_latents"] = np.asarray(cond_latents[i], np.float32)
+            if images is not None:
+                s.images = [standardize_image_batch([images[i]], output_type="np")[0]]
+                s._unique_id = None
+        return samples
+
+    def preprocess_func(self, batch: Dict[str, Any], **kwargs) -> Dict[str, Any]:
+        out = super().preprocess_func(batch, **kwargs)
+        images = batch.get("images") or batch.get("image")
+        if images is not None:
+            ta = self.training_args
+            flat = [im[0] if isinstance(im, list) else im for im in images]
+            out["cond_latents"] = self.build_condition(
+                flat, int(getattr(ta, "num_frames", 5)), ta.height, ta.width
+            )
+        return out
+
+
+class WanV2VAdapter(WanI2VAdapter):
+    """Video-conditioned video generation (full-clip conditioning)."""
+
+    sample_class = V2VSample
+    embed_keys = ("prompt_embeds", "negative_prompt_embeds", "cond_latents")
+
+    def build_condition(
+        self, videos: Sequence[Any], num_frames: int, height: int, width: int
+    ) -> np.ndarray:
+        arr = standardize_video_batch(list(videos), output_type="np")  # (B,T,3,H,W)
+        lat = self.encode_video(arr)  # (B, Tl, h, w, c)
+        tl, h, w, c = self.latent_shape(height, width, num_frames)
+        B = lat.shape[0]
+        cond = np.zeros((B, tl, h, w, c + 1), np.float32)
+        span = min(tl, lat.shape[1])
+        cond[:, :span, ..., :c] = lat[:, :span]
+        cond[:, :span, ..., c] = 1.0
+        return cond
+
+    def inference(self, condition_video=None, images=None, cond_latents=None, **kwargs):
+        ta = self.training_args
+        num_frames = kwargs.get("num_frames") or int(getattr(ta, "num_frames", 5))
+        height = kwargs.get("height") or ta.height
+        width = kwargs.get("width") or ta.width
+        if cond_latents is None and condition_video is not None:
+            cond_latents = self.build_condition(condition_video, num_frames, height, width)
+        if cond_latents is None:
+            raise ValueError("WanV2VAdapter.inference needs condition_video or cond_latents")
+        samples = WanT2VAdapter.inference(
+            self, extra_embeds={"cond_latents": jnp.asarray(cond_latents, jnp.float32)}, **kwargs
+        )
+        for i, s in enumerate(samples):
+            s.extra_kwargs["cond_latents"] = np.asarray(cond_latents[i], np.float32)
+            if condition_video is not None:
+                s.condition_video = standardize_video_batch([condition_video[i]], output_type="np")[0]
+                s._unique_id = None
+        return samples
+
+    def preprocess_func(self, batch: Dict[str, Any], **kwargs) -> Dict[str, Any]:
+        out = WanT2VAdapter.preprocess_func(self, batch, **kwargs)
+        videos = batch.get("condition_video") or batch.get("video")
+        if videos is not None:
+            ta = self.training_args
+            out["cond_latents"] = self.build_condition(
+                videos, int(getattr(ta, "num_frames", 5)), ta.height, ta.width
+            )
+        return out

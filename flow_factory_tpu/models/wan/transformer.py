@@ -1,0 +1,189 @@
+"""Wan 2.x video DiT in flax.linen.
+
+TPU-first re-implementation of the architecture behind the reference Wan
+adapters (``src/flow_factory/models/wan/wan2_t2v.py`` wraps diffusers'
+``WanTransformer3DModel``). Structure per block:
+
+    self-attention over (t·h·w) video tokens with 3-D RoPE + RMS QK-norm
+    cross-attention to UMT5 text embeddings
+    feed-forward, all modulated by AdaLN with per-block learned offsets
+    (Wan's "scale_shift_table" convention: modulation = table + time_proj(t))
+
+Latents are 5-D (B, T, H, W, C) channel-last; patching is (1, 2, 2).
+Wan2.2-A14B's temporal MoE (two experts routed by boundary timestep,
+reference ``wan2_t2v.py:474-490``) lives in the adapter as two parameter
+sets over this one module.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ...ops.attention import dot_product_attention
+from ..layers import QKNorm, TimestepEmbedder, apply_rope, rope_frequencies
+
+
+@dataclass(frozen=True)
+class WanConfig:
+    in_channels: int = 16
+    out_channels: int = 16
+    patch_size: Tuple[int, int, int] = (1, 2, 2)  # (t, h, w)
+    hidden_dim: int = 1536
+    ffn_dim: int = 8960
+    num_heads: int = 12
+    num_layers: int = 30
+    context_dim: int = 4096  # UMT5
+    freq_dim: int = 256
+    axes_dim: Tuple[int, ...] = (44, 42, 42)  # rope dims for (t, h, w); sums to head_dim
+    rope_theta: float = 10000.0
+    qk_norm: bool = True
+    attn_backend: str = "auto"
+    dtype: str = "bfloat16"
+
+    @property
+    def compute_dtype(self) -> jnp.dtype:
+        return jnp.dtype(self.dtype)
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_dim // self.num_heads
+
+    @staticmethod
+    def wan21_1_3b(**o) -> "WanConfig":
+        return WanConfig(**o)
+
+    @staticmethod
+    def wan21_14b(**o) -> "WanConfig":
+        base = dict(hidden_dim=5120, ffn_dim=13824, num_heads=40, num_layers=40)
+        base.update(o)
+        return WanConfig(**base)
+
+    @staticmethod
+    def tiny(**o) -> "WanConfig":
+        base = dict(
+            hidden_dim=64, ffn_dim=128, num_heads=4, num_layers=2,
+            context_dim=48, freq_dim=32, axes_dim=(8, 4, 4),
+        )
+        base.update(o)
+        return WanConfig(**base)
+
+
+class WanBlock(nn.Module):
+    cfg: WanConfig
+
+    @nn.compact
+    def __call__(self, x, context, temb6, cos, sin):
+        """x: (B, L, D); context: (B, Lc, D_ctx); temb6: (B, 6, D)."""
+        cfg = self.cfg
+        dt = cfg.compute_dtype
+        D, H = cfg.hidden_dim, cfg.num_heads
+
+        # Wan per-block modulation: learned table + projected time embedding
+        table = self.param("scale_shift_table", nn.initializers.normal(0.02), (1, 6, D), jnp.float32)
+        mods = table + temb6.astype(jnp.float32)
+        shift_sa, scale_sa, gate_sa, shift_ff, scale_ff, gate_ff = [
+            mods[:, i] for i in range(6)
+        ]
+
+        ln = lambda name: nn.LayerNorm(use_bias=False, use_scale=False, dtype=jnp.float32, name=name)
+        split = lambda t: t.reshape(t.shape[0], t.shape[1], H, D // H).transpose(0, 2, 1, 3)
+        merge = lambda t: t.transpose(0, 2, 1, 3).reshape(t.shape[0], -1, D)
+
+        # --- self attention (RoPE over video tokens)
+        h = (ln("norm1")(x.astype(jnp.float32)) * (1 + scale_sa[:, None]) + shift_sa[:, None]).astype(dt)
+        q = split(nn.Dense(D, dtype=dt, name="sa_q")(h))
+        k = split(nn.Dense(D, dtype=dt, name="sa_k")(h))
+        v = split(nn.Dense(D, dtype=dt, name="sa_v")(h))
+        if cfg.qk_norm:
+            q, k = QKNorm(D // H, name="sa_qk_norm")(q, k)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        attn = dot_product_attention(q, k, v, backend=cfg.attn_backend)
+        x = x + gate_sa[:, None].astype(x.dtype) * nn.Dense(D, dtype=dt, name="sa_out")(merge(attn))
+
+        # --- cross attention (no RoPE, plain LN)
+        h = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x.astype(jnp.float32)).astype(dt)
+        ctx = context.astype(dt)
+        q = split(nn.Dense(D, dtype=dt, name="ca_q")(h))
+        ck = nn.Dense(D, dtype=dt, name="ca_k")(ctx)
+        cv = nn.Dense(D, dtype=dt, name="ca_v")(ctx)
+        ck = ck.reshape(ck.shape[0], ck.shape[1], H, D // H).transpose(0, 2, 1, 3)
+        cv = cv.reshape(cv.shape[0], cv.shape[1], H, D // H).transpose(0, 2, 1, 3)
+        if cfg.qk_norm:
+            q, ck = QKNorm(D // H, name="ca_qk_norm")(q, ck)
+        attn = dot_product_attention(q, ck, cv, backend=cfg.attn_backend)
+        x = x + nn.Dense(D, dtype=dt, name="ca_out")(merge(attn))
+
+        # --- feed forward
+        h = (ln("norm3")(x.astype(jnp.float32)) * (1 + scale_ff[:, None]) + shift_ff[:, None]).astype(dt)
+        h = nn.Dense(cfg.ffn_dim, dtype=dt, name="ffn1")(h)
+        h = nn.gelu(h, approximate=True)
+        h = nn.Dense(D, dtype=dt, name="ffn2")(h)
+        return x + gate_ff[:, None].astype(x.dtype) * h
+
+
+class WanTransformer(nn.Module):
+    """Video DiT. Input (B, T, H, W, C) channel-last; t in scheduler scale."""
+
+    cfg: WanConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        latents: jax.Array,  # (B, T, H, W, C)
+        timestep: jax.Array,  # (B,) scheduler scale [0, 1000]
+        encoder_hidden_states: jax.Array,  # (B, Lc, context_dim)
+    ) -> jax.Array:
+        cfg = self.cfg
+        dt = cfg.compute_dtype
+        B, T, H, W, C = latents.shape
+        pt, ph, pw = cfg.patch_size
+        gt, gh, gw = T // pt, H // ph, W // pw
+
+        # 3-D patch embed
+        x = latents.reshape(B, gt, pt, gh, ph, gw, pw, C)
+        x = jnp.einsum("btphqwrc->bthwpqrc", x).reshape(B, gt * gh * gw, pt * ph * pw * C)
+        x = nn.Dense(cfg.hidden_dim, dtype=dt, name="patch_embedding")(x.astype(dt))
+
+        # time conditioning: sinusoidal → MLP → 6-way per-token table offset
+        temb = TimestepEmbedder(cfg.hidden_dim, freq_dim=cfg.freq_dim, dtype=jnp.float32, name="time_embed")(timestep)
+        temb6 = nn.Dense(6 * cfg.hidden_dim, dtype=jnp.float32, name="time_proj")(
+            nn.silu(temb)
+        ).reshape(B, 6, cfg.hidden_dim)
+
+        context = nn.Dense(cfg.hidden_dim, dtype=dt, name="ctx_proj1")(
+            nn.gelu(
+                nn.Dense(cfg.hidden_dim, dtype=dt, name="ctx_proj0")(encoder_hidden_states.astype(dt)),
+                approximate=True,
+            )
+        )
+
+        # 3-D RoPE ids: (t, h, w) coordinates per token
+        tt = jnp.repeat(jnp.arange(gt), gh * gw)
+        hh = jnp.tile(jnp.repeat(jnp.arange(gh), gw), gt)
+        ww = jnp.tile(jnp.arange(gw), gt * gh)
+        ids = jnp.stack([tt, hh, ww], axis=-1)  # (L, 3)
+        cos, sin = rope_frequencies(ids, cfg.axes_dim, cfg.rope_theta)
+
+        for i in range(cfg.num_layers):
+            x = WanBlock(cfg, name=f"block_{i}")(x, context, temb6, cos, sin)
+
+        # head: modulated norm + linear to patch voxels
+        head_table = self.param("head_table", nn.initializers.normal(0.02), (1, 2, cfg.hidden_dim), jnp.float32)
+        head_mod = head_table + nn.Dense(2 * cfg.hidden_dim, dtype=jnp.float32, name="head_time")(
+            nn.silu(temb)
+        ).reshape(B, 2, cfg.hidden_dim)
+        shift, scale = head_mod[:, 0], head_mod[:, 1]
+        x = nn.LayerNorm(use_bias=False, use_scale=False, dtype=jnp.float32, name="head_norm")(
+            x.astype(jnp.float32)
+        ) * (1 + scale[:, None]) + shift[:, None]
+        x = nn.Dense(pt * ph * pw * cfg.out_channels, dtype=jnp.float32, name="head_out")(x)
+
+        # unpatchify back to (B, T, H, W, C)
+        x = x.reshape(B, gt, gh, gw, pt, ph, pw, cfg.out_channels)
+        x = jnp.einsum("bthwpqrc->btphqwrc", x)
+        return x.reshape(B, T, H, W, cfg.out_channels)

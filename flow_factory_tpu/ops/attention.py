@@ -157,7 +157,7 @@ def _flash_forward(
         _flash_fwd_kernel, scale=scale, kv_len=Sk, block_k=block_k
     )
     # Interpret mode lets the CPU test mesh execute the TPU kernel faithfully.
-    interpret = jax.default_backend() != "tpu"
+    interpret = _active_platform() != "tpu"
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -231,11 +231,26 @@ def flash_attention(
 # Dispatch
 # ---------------------------------------------------------------------------
 
-def _on_tpu() -> bool:
+def _active_platform() -> str:
+    """Platform the current trace will execute on.
+
+    Honors an active ``jax.default_device(...)`` context (e.g. host-RAM model
+    init), falling back to the process default backend.
+    """
     try:
-        return jax.devices()[0].platform == "tpu"
+        dev = jax.config.jax_default_device
+        if dev is not None:
+            return dev.platform
     except Exception:
-        return False
+        pass
+    try:
+        return jax.default_backend()
+    except Exception:
+        return "cpu"
+
+
+def _on_tpu() -> bool:
+    return _active_platform() == "tpu"
 
 
 def dot_product_attention(

@@ -6,6 +6,7 @@ from .flow_match_euler import (
     sde_step,
 )
 from .registry import get_scheduler_class, register_scheduler
+from .unipc import UniPCCarry, UniPCSDEScheduler, init_unipc_carry, unipc_eval_step
 
 __all__ = [
     "SDEStepOutput",
@@ -16,4 +17,8 @@ __all__ = [
     "sde_step",
     "get_scheduler_class",
     "register_scheduler",
+    "UniPCSDEScheduler",
+    "UniPCCarry",
+    "init_unipc_carry",
+    "unipc_eval_step",
 ]

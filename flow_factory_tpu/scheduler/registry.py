@@ -32,12 +32,18 @@ def get_scheduler_class(name: str) -> Type:
 
 def _register_builtin():
     from .flow_match_euler import FlowMatchEulerSDE
+    from .unipc import UniPCSDEScheduler
 
     register_scheduler(
         "flow_match_euler",
         "FlowMatchEulerDiscreteScheduler",
         "flowmatcheulerdiscrete",
     )(FlowMatchEulerSDE)
+    register_scheduler(
+        "unipc",
+        "UniPCMultistepScheduler",
+        "unipcmultistep",
+    )(UniPCSDEScheduler)
 
 
 _register_builtin()
