@@ -268,6 +268,7 @@ class Flux1Adapter(BaseAdapter):
         store_means: bool = False,
         decode: bool = True,
         extra_embeds: Optional[Dict[str, jnp.ndarray]] = None,
+        do_cfg_override: Optional[bool] = None,
         **_,
     ) -> List[T2ISample]:
         ta = self.training_args
@@ -278,7 +279,8 @@ class Flux1Adapter(BaseAdapter):
 
         if prompt_embeds is None:
             enc = self.encode_prompt(list(prompt))
-            prompt_embeds, pooled_prompt_embeds = enc["prompt_embeds"], enc["pooled_prompt_embeds"]
+            prompt_embeds = enc["prompt_embeds"]
+            pooled_prompt_embeds = enc.get("pooled_prompt_embeds", pooled_prompt_embeds)
         B = len(prompt_embeds)
 
         h, w, c = self.latent_shape(height, width)
@@ -291,10 +293,11 @@ class Flux1Adapter(BaseAdapter):
 
         embeds = {
             "prompt_embeds": jnp.asarray(prompt_embeds),
-            "pooled_prompt_embeds": jnp.asarray(pooled_prompt_embeds),
             "img_ids": jnp.asarray(self.latent_image_ids(h, w)),
             "txt_ids": jnp.zeros((np.asarray(prompt_embeds).shape[1], 3), jnp.float32),
         }
+        if pooled_prompt_embeds is not None:
+            embeds["pooled_prompt_embeds"] = jnp.asarray(pooled_prompt_embeds)
         if extra_embeds:
             embeds.update(extra_embeds)
 
@@ -326,7 +329,7 @@ class Flux1Adapter(BaseAdapter):
             jnp.asarray(maps.latent_store_slot),
             jnp.asarray(maps.logprob_store_slot),
             scan_key,
-            do_cfg=False,  # guidance is embedded, not CFG-doubled
+            do_cfg=bool(do_cfg_override) if do_cfg_override is not None else False,
             compute_log_prob=compute_log_prob,
             dynamics_type=dynamics,
             num_latent_slots=maps.num_latent_slots,
@@ -349,10 +352,11 @@ class Flux1Adapter(BaseAdapter):
                 "sigmas": np.asarray(sigmas, np.float32),
                 "noise_levels": np.asarray(noise_levels, np.float32),
                 "guidance_scale": g,
-                "pooled_prompt_embeds": np.asarray(pooled_prompt_embeds[i], np.float32),
                 "img_ids": np.asarray(self.latent_image_ids(h, w)),
                 "txt_ids": np.zeros((np.asarray(prompt_embeds).shape[1], 3), np.float32),
             }
+            if pooled_prompt_embeds is not None:
+                extra["pooled_prompt_embeds"] = np.asarray(pooled_prompt_embeds[i], np.float32)
             if mean_np is not None:
                 extra["next_latents_mean"] = mean_np[:, i]
             samples.append(

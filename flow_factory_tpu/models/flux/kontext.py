@@ -26,6 +26,26 @@ from .adapter import Flux1Adapter
 
 logger = logging.getLogger(__name__)
 
+def _pad_cond_rows(lat_rows, id_rows):
+    """Pad ragged per-record condition token sequences to the batch max.
+
+    XLA needs static shapes; records with fewer reference images get
+    zero tokens with ids[:, 0] = -1 (a coordinate no real token uses).
+    """
+    import numpy as np
+
+    max_len = max(r.shape[0] for r in lat_rows)
+    lats, ids = [], []
+    for lat, rid in zip(lat_rows, id_rows):
+        pad = max_len - lat.shape[0]
+        if pad:
+            lat = np.concatenate([lat, np.zeros((pad, lat.shape[1]), lat.dtype)], axis=0)
+            pad_ids = np.full((pad, 3), -1.0, np.float32)
+            rid = np.concatenate([rid, pad_ids], axis=0)
+        lats.append(lat)
+        ids.append(rid)
+    return np.stack(lats), np.stack(ids)
+
 
 class Flux1KontextAdapter(Flux1Adapter):
     sample_class = I2ISample
@@ -74,8 +94,7 @@ class Flux1KontextAdapter(Flux1Adapter):
                     ids.append(rid)
                 lat_rows.append(np.concatenate(toks, axis=0))
                 id_rows.append(np.concatenate(ids, axis=0).astype(np.float32))
-            out["cond_latents"] = np.stack(lat_rows)
-            out["cond_ids"] = np.stack(id_rows)
+            out["cond_latents"], out["cond_ids"] = _pad_cond_rows(lat_rows, id_rows)
         return out
 
     # ------------------------------------------------------------------

@@ -202,9 +202,10 @@ class FluxTransformer(nn.Module):
             temb = temb + TimestepEmbedder(cfg.hidden_dim, dtype=jnp.float32, name="guidance_embed")(
                 guidance * 1000.0
             )
-        temb = temb + PooledTextEmbedder(cfg.hidden_dim, dtype=jnp.float32, name="text_embed")(
-            pooled_projections.astype(jnp.float32)
-        )
+        if cfg.pooled_dim > 0 and pooled_projections is not None:
+            temb = temb + PooledTextEmbedder(cfg.hidden_dim, dtype=jnp.float32, name="text_embed")(
+                pooled_projections.astype(jnp.float32)
+            )
 
         ids = jnp.concatenate([txt_ids, img_ids], axis=0)  # (L, 3)
         cos, sin = rope_frequencies(ids, cfg.axes_dim, cfg.rope_theta)

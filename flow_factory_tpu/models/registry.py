@@ -15,7 +15,7 @@ _MODEL_ADAPTER_REGISTRY: Dict[str, str] = {
     "flux1": "flow_factory_tpu.models.flux.adapter:Flux1Adapter",
     "flux1-kontext": "flow_factory_tpu.models.flux.kontext:Flux1KontextAdapter",
     "flux2": "flow_factory_tpu.models.flux.flux2:Flux2Adapter",
-    "flux2-klein": "flow_factory_tpu.models.flux.flux2_klein:Flux2KleinAdapter",
+    "flux2-klein": "flow_factory_tpu.models.flux.flux2:Flux2KleinAdapter",
     "qwen-image": "flow_factory_tpu.models.qwen_image.adapter:QwenImageAdapter",
     "qwen-image-edit-plus": "flow_factory_tpu.models.qwen_image.edit_plus:QwenImageEditPlusAdapter",
     "z-image": "flow_factory_tpu.models.z_image.adapter:ZImageAdapter",

@@ -1,0 +1,131 @@
+"""Decoder-only LM text encoder (Qwen2.5-VL / Mistral / Gemma role).
+
+The reference's newer adapters condition on hidden states of large causal
+LMs — Qwen2.5-VL for Qwen-Image (``src/flow_factory/models/qwen_image/``),
+Mistral for FLUX.2, Gemma3 for LTX-2, Qwen3 for Z-Image. This module provides
+the TPU-native encoder for that role: a standard pre-norm decoder stack
+(RMSNorm, RoPE attention with GQA, SwiGLU MLP) returning final hidden
+states. Frozen, bf16, preprocessing-only.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..layers import apply_rope, rope_frequencies
+
+
+@dataclass(frozen=True)
+class LMConfig:
+    vocab_size: int = 151936
+    hidden_dim: int = 3584
+    num_layers: int = 28
+    num_heads: int = 28
+    num_kv_heads: int = 4
+    head_dim: int = 128
+    mlp_dim: int = 18944
+    rope_theta: float = 1000000.0
+    dtype: str = "bfloat16"
+
+    @property
+    def compute_dtype(self) -> jnp.dtype:
+        return jnp.dtype(self.dtype)
+
+    @staticmethod
+    def qwen25_7b(**o) -> "LMConfig":
+        return LMConfig(**o)
+
+    @staticmethod
+    def mistral_small(**o) -> "LMConfig":
+        base = dict(vocab_size=131072, hidden_dim=5120, num_layers=40, num_heads=32,
+                    num_kv_heads=8, head_dim=128, mlp_dim=32768)
+        base.update(o)
+        return LMConfig(**base)
+
+    @staticmethod
+    def gemma3(**o) -> "LMConfig":
+        base = dict(vocab_size=262144, hidden_dim=3840, num_layers=48, num_heads=16,
+                    num_kv_heads=8, head_dim=256, mlp_dim=15360)
+        base.update(o)
+        return LMConfig(**base)
+
+    @staticmethod
+    def tiny(**o) -> "LMConfig":
+        base = dict(vocab_size=1000, hidden_dim=32, num_layers=2, num_heads=4,
+                    num_kv_heads=2, head_dim=8, mlp_dim=64, rope_theta=10000.0)
+        base.update(o)
+        return LMConfig(**base)
+
+
+class RMSNorm(nn.Module):
+    dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("weight", nn.initializers.ones, (self.dim,), jnp.float32)
+        xf = x.astype(jnp.float32)
+        var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+        return (xf * jax.lax.rsqrt(var + 1e-6) * scale).astype(x.dtype)
+
+
+class LMBlock(nn.Module):
+    cfg: LMConfig
+
+    @nn.compact
+    def __call__(self, x, cos, sin, mask):
+        cfg = self.cfg
+        dt = cfg.compute_dtype
+        D = cfg.hidden_dim
+        Hq, Hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+
+        h = RMSNorm(D, name="ln1")(x)
+        q = nn.Dense(Hq * hd, use_bias=False, dtype=dt, name="q")(h)
+        k = nn.Dense(Hkv * hd, use_bias=False, dtype=dt, name="k")(h)
+        v = nn.Dense(Hkv * hd, use_bias=False, dtype=dt, name="v")(h)
+        B, L, _ = h.shape
+        q = q.reshape(B, L, Hq, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(B, L, Hkv, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(B, L, Hkv, hd).transpose(0, 2, 1, 3)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        # GQA: repeat kv heads
+        rep = Hq // Hkv
+        k = jnp.repeat(k, rep, axis=1)
+        v = jnp.repeat(v, rep, axis=1)
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) * (hd**-0.5)
+        s = jnp.where(mask, s, -1e30)
+        p = jax.nn.softmax(s, axis=-1).astype(dt)
+        o = jnp.einsum("bhqk,bhkd->bhqd", p, v).transpose(0, 2, 1, 3).reshape(B, L, Hq * hd)
+        x = x + nn.Dense(D, use_bias=False, dtype=dt, name="o")(o)
+
+        h = RMSNorm(D, name="ln2")(x)
+        gate = nn.Dense(cfg.mlp_dim, use_bias=False, dtype=dt, name="gate")(h)
+        up = nn.Dense(cfg.mlp_dim, use_bias=False, dtype=dt, name="up")(h)
+        x = x + nn.Dense(D, use_bias=False, dtype=dt, name="down")(nn.silu(gate) * up)
+        return x
+
+
+class LMEncoder(nn.Module):
+    """Causal LM; returns final hidden states (B, L, D)."""
+
+    cfg: LMConfig
+
+    @nn.compact
+    def __call__(self, input_ids: jax.Array, attention_mask: Optional[jax.Array] = None) -> jax.Array:
+        cfg = self.cfg
+        B, L = input_ids.shape
+        x = nn.Embed(cfg.vocab_size, cfg.hidden_dim, dtype=cfg.compute_dtype, name="token_embedding")(
+            input_ids
+        )
+        pos = jnp.arange(L)[:, None].astype(jnp.float32)
+        cos, sin = rope_frequencies(pos, (cfg.head_dim,), cfg.rope_theta)
+        causal = jnp.tril(jnp.ones((L, L), bool))[None, None]
+        if attention_mask is not None:
+            causal = causal & attention_mask[:, None, None, :].astype(bool)
+        for i in range(cfg.num_layers):
+            x = LMBlock(cfg, name=f"layer_{i}")(x, cos, sin, causal)
+        return RMSNorm(cfg.hidden_dim, name="final_ln")(x)

@@ -1,0 +1,162 @@
+"""Z-Image adapter (single-stream DiT, Qwen3-conditioned).
+
+TPU-native re-design of the reference Z-Image adapter
+(``src/flow_factory/models/z_image/z_image.py``): a single-stream DiT —
+text tokens and packed image tokens concatenated through one stack of fused
+attention+MLP blocks (the FLUX single-block form) with RoPE, conditioned on
+a Qwen3 LM's hidden states; embedded guidance (distillation), no pooled
+vector.
+"""
+from __future__ import annotations
+
+import logging
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...samples import T2ISample
+from ...utils.base import derive_key
+from ...utils.tokenizer import load_tokenizer
+from ..flux.adapter import Flux1Adapter
+from ..flux.transformer import FluxConfig, FluxTransformer
+from ..text_encoders.lm import LMConfig, LMEncoder
+from ..vae import AutoencoderKL, VAEConfig
+
+logger = logging.getLogger(__name__)
+
+
+def _preset(name: str, attn_backend: str, dtype: str) -> Dict[str, Any]:
+    if name == "tiny":
+        return dict(
+            transformer=FluxConfig.tiny(
+                attn_backend=attn_backend, dtype=dtype, context_dim=32, pooled_dim=0,
+                num_double_blocks=0, num_single_blocks=3,
+            ),
+            vae=VAEConfig.tiny(latent_channels=4, dtype=dtype),
+            lm=LMConfig.tiny(hidden_dim=32, dtype=dtype),
+            max_length=16,
+        )
+    if name in ("z-image", "6b"):
+        return dict(
+            transformer=FluxConfig(
+                in_channels=64, hidden_dim=3072, num_heads=24,
+                num_double_blocks=0, num_single_blocks=38,
+                context_dim=2560, pooled_dim=0, guidance_embeds=True,
+                axes_dim=(16, 56, 56), attn_backend=attn_backend, dtype=dtype,
+            ),
+            vae=VAEConfig(latent_channels=16, dtype=dtype),
+            lm=LMConfig(vocab_size=151936, hidden_dim=2560, num_layers=36, num_heads=32,
+                        num_kv_heads=8, head_dim=128, mlp_dim=9728, dtype=dtype),
+            max_length=512,
+        )
+    raise ValueError(f"Unknown Z-Image preset {name!r}")
+
+
+class ZImageAdapter(Flux1Adapter):
+    sample_class = T2ISample
+    embed_keys = ("prompt_embeds", "img_ids", "txt_ids")
+
+    def load_models(self) -> None:
+        ma = self.model_args
+        variant = getattr(ma, "variant", None) or (
+            "tiny" if ma.model_name_or_path in ("", "tiny") else "z-image"
+        )
+        preset = _preset(variant, ma.attn_backend, ma.inference_dtype)
+        self.max_length = preset["max_length"]
+
+        self.modules = {
+            "transformer": FluxTransformer(preset["transformer"]),
+            "vae": AutoencoderKL(preset["vae"]),
+            "text_encoder": LMEncoder(preset["lm"]),
+        }
+        self.component_configs = {
+            "transformer": preset["transformer"],
+            "vae": preset["vae"],
+            "text_encoder": preset["lm"],
+        }
+        wanted = getattr(ma, "load_components", None)
+        if wanted:
+            self.modules = {k: v for k, v in self.modules.items() if k in set(wanted)}
+
+        tcfg: FluxConfig = preset["transformer"]
+        self.packed_channels = tcfg.in_channels
+        key = derive_key("z_image_init", self.training_args.seed)
+        L = 16
+        init_fns = {
+            "transformer": lambda m, k: m.init(
+                k, jnp.zeros((1, L, tcfg.in_channels)), jnp.zeros((1,)),
+                jnp.zeros((1, 4, tcfg.context_dim)), None,
+                jnp.zeros((L, 3)), jnp.zeros((4, 3)), jnp.zeros((1,)),
+            ),
+            "vae": lambda m, k: m.init(
+                k, jnp.zeros((1, 3, 8 * preset["vae"].downscale, 8 * preset["vae"].downscale))
+            ),
+            "text_encoder": lambda m, k: m.init(k, jnp.zeros((1, 4), jnp.int32)),
+        }
+        cast = lambda tree: jax.tree.map(
+            lambda x: x.astype(self.inference_dtype) if x.dtype == jnp.float32 else x, tree
+        )
+        cpu = jax.devices("cpu")[0]
+        self.params = {}
+        with jax.default_device(cpu):
+            for i, (comp, module) in enumerate(self.modules.items()):
+                p = init_fns[comp](module, jax.random.fold_in(key, i))["params"]
+                if not (ma.finetune_type == "full" and comp == "transformer"):
+                    p = cast(p)
+                self.params[comp] = p
+        if jax.devices()[0].platform != "cpu" and self.mesh is None:
+            for comp in ("transformer", "vae"):
+                if comp in self.params:
+                    self.params[comp] = jax.device_put(self.params[comp], jax.devices()[0])
+
+        self.tokenizer = load_tokenizer(
+            ma.model_name_or_path, "tokenizer", preset["lm"].vocab_size,
+            self.max_length, eos_token_id=2, pad_token_id=0,
+        )
+        self.latent_channels = preset["vae"].latent_channels
+        self.vae_downscale = preset["vae"].downscale
+        self._encode_jit = None
+        self._decode_jit = None
+
+    def _encode_impl(self, params, ids, mask):
+        emb = self.modules["text_encoder"].apply({"params": params}, ids, mask)
+        return emb.astype(jnp.float32)
+
+    def encode_prompt(self, prompts: Sequence[str], **_) -> Dict[str, np.ndarray]:
+        if isinstance(prompts, str):
+            prompts = [prompts]
+        if "text_encoder" not in self.params:
+            raise RuntimeError("text_encoder not loaded (load_components)")
+        enc = self.tokenizer(list(prompts), max_length=self.max_length)
+        if self._encode_jit is None:
+            self._encode_jit = jax.jit(self._encode_impl)
+        dev = list(jax.tree.leaves(self.params["text_encoder"])[0].devices())[0]
+        emb = self._encode_jit(
+            self.params["text_encoder"],
+            jax.device_put(jnp.asarray(enc["input_ids"]), dev),
+            jax.device_put(jnp.asarray(enc["attention_mask"]), dev),
+        )
+        return {"prompt_embeds": np.asarray(jax.device_get(emb), np.float32)}
+
+    def preprocess_func(self, batch: Dict[str, Any], **kwargs) -> Dict[str, Any]:
+        out: Dict[str, Any] = {}
+        if batch.get("prompt") is not None:
+            out.update(self.encode_prompt(batch["prompt"]))
+        return out
+
+    def _velocity(self, merged, latents, t, embeds, guidance_scale, do_cfg):
+        model = self.modules["transformer"]
+        dt = self.component_configs["transformer"].compute_dtype
+        B = latents.shape[0]
+        guidance = jnp.broadcast_to(jnp.asarray(guidance_scale, jnp.float32), (B,))
+        img_ids = embeds["img_ids"]
+        img_ids = img_ids[0] if img_ids.ndim == 3 else img_ids
+        txt_ids = embeds["txt_ids"]
+        txt_ids = txt_ids[0] if txt_ids.ndim == 3 else txt_ids
+        v = model.apply(
+            {"params": merged}, latents.astype(dt), t,
+            embeds["prompt_embeds"], None, img_ids, txt_ids, guidance,
+        )
+        return v.astype(jnp.float32)
