@@ -61,7 +61,7 @@ def main() -> None:
 
     def denoise_step(trainable, x, k):
         return adapter._forward_impl(
-            trainable, x, None,
+            trainable, adapter.frozen_velocity_params(), x, None,
             jnp.full((B,), 800.0), jnp.full((B,), 0.8), jnp.full((B,), 0.72),
             jnp.full((B,), 0.7),
             embeds, jnp.float32(4.5), jnp.float32(0.95), k,

@@ -225,20 +225,33 @@ class BaseAdapter(ABC):
         self.trainable: Dict[str, Any] = trainable
 
     def merged_params(
-        self, component: str, trainable: Optional[Dict[str, Any]] = None
+        self,
+        component: str,
+        trainable: Optional[Dict[str, Any]] = None,
+        frozen: Optional[Dict[str, Any]] = None,
     ) -> Any:
         """Effective params for ``modules[component].apply`` (differentiable).
 
         LoRA: frozen + scaled delta (cast to inference dtype). Full: the
-        trainable pytree itself in master dtype (matmuls still run in the
-        module compute dtype).
+        trainable pytree itself in master dtype. ``frozen`` MUST be passed
+        explicitly inside jitted functions — reading ``self.params`` under a
+        trace bakes the weights into the executable as constants (GBs of
+        duplicated HBM + recompiles).
         """
         trainable = self.trainable if trainable is None else trainable
+        frozen = self.params if frozen is None else frozen
         if component not in trainable:
-            return self.params[component]
+            return frozen[component]
         if self.is_lora:
-            return merge_lora(self.params[component], trainable[component], self.lora_scale)
+            return merge_lora(frozen[component], trainable[component], self.lora_scale)
         return trainable[component]
+
+    def frozen_velocity_params(self) -> Dict[str, Any]:
+        """Frozen pytrees the velocity path needs (passed into jit as args)."""
+        comps = {self.velocity_component}
+        if "transformer_2" in self.params:
+            comps.add("transformer_2")
+        return {c: self.params[c] for c in comps if c in self.params}
 
     # ------------------------------------------------------------------
     # EMA (reference abc.py:493-530)
@@ -494,6 +507,7 @@ class BaseAdapter(ABC):
     def _rollout_impl(
         self,
         trainable: Dict[str, Any],
+        frozen: Dict[str, Any],
         x0: jax.Array,
         embeds: Dict[str, jax.Array],
         guidance_scale: jax.Array,
@@ -520,7 +534,7 @@ class BaseAdapter(ABC):
         """
         from ..scheduler.flow_match_euler import sde_step
 
-        merged = self.merged_params(self.velocity_component, trainable)
+        merged = self.merged_params(self.velocity_component, trainable, frozen)
         B = x0.shape[0]
         storage_dtype = self.training_args.storage_dtype
         sigma_max = sigmas[1] if sigmas.shape[0] > 1 else jnp.float32(0.999)
@@ -575,6 +589,7 @@ class BaseAdapter(ABC):
     def _forward_impl(
         self,
         trainable: Dict[str, Any],
+        frozen: Dict[str, Any],
         latents: jax.Array,
         next_latents: Optional[jax.Array],
         timestep: jax.Array,
@@ -593,7 +608,7 @@ class BaseAdapter(ABC):
         """Single-step replay/sample forward — same math path as the scan."""
         from ..scheduler.flow_match_euler import sde_step
 
-        merged = self.merged_params(self.velocity_component, trainable)
+        merged = self.merged_params(self.velocity_component, trainable, frozen)
         v = self._velocity(merged, latents, timestep, embeds, guidance_scale, do_cfg)
         return sde_step(
             v,
@@ -624,6 +639,7 @@ class BaseAdapter(ABC):
         do_cfg = "negative_prompt_embeds" in embeds and bool(batch.get("do_cfg", True))
         return self._forward_impl(
             trainable,
+            self.frozen_velocity_params(),
             batch["latents"],
             batch.get("next_latents"),
             batch["timestep"],
@@ -650,6 +666,7 @@ class BaseAdapter(ABC):
         do_cfg = "negative_prompt_embeds" in embeds and bool(batch.get("do_cfg", True))
         return self._training_velocity_jit(
             trainable,
+            self.frozen_velocity_params(),
             batch["latents"],
             batch["timestep"],
             embeds,
@@ -657,16 +674,14 @@ class BaseAdapter(ABC):
             do_cfg=do_cfg,
         )
 
-    def _training_velocity_jit(self, trainable, latents, t, embeds, guidance_scale, *, do_cfg):
-        import functools
-
+    def _training_velocity_jit(self, trainable, frozen, latents, t, embeds, guidance_scale, *, do_cfg):
         if not hasattr(self, "_tv_jit"):
-            def fn(trainable, latents, t, embeds, guidance_scale, do_cfg):
-                merged = self.merged_params(self.velocity_component, trainable)
+            def fn(trainable, frozen, latents, t, embeds, guidance_scale, do_cfg):
+                merged = self.merged_params(self.velocity_component, trainable, frozen)
                 return self._velocity(merged, latents, t, embeds, guidance_scale, do_cfg)
 
             self._tv_jit = jax.jit(fn, static_argnames=("do_cfg",))
-        return self._tv_jit(trainable, latents, t, embeds, guidance_scale, do_cfg=do_cfg)
+        return self._tv_jit(trainable, frozen, latents, t, embeds, guidance_scale, do_cfg=do_cfg)
 
     # ------------------------------------------------------------------
     # Component device management (reference abc.py:1847-1953 on/off_load)

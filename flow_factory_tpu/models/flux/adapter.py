@@ -320,6 +320,7 @@ class Flux1Adapter(BaseAdapter):
 
         x_final, lat_buf, lp_buf, mean_buf = self._rollout_impl(
             trainable if trainable is not None else self.trainable,
+            self.frozen_velocity_params(),
             x0,
             embeds,
             jnp.float32(g),

@@ -214,13 +214,14 @@ class WanT2VAdapter(BaseAdapter):
             return v_uncond + guidance_scale * (v_cond - v_uncond)
         return forward_once(latents, t, embeds["prompt_embeds"].astype(dt)).astype(jnp.float32)
 
-    def merged_params(self, component: str, trainable=None):
+    def merged_params(self, component: str, trainable=None, frozen=None):
         # Wan2.2 MoE: present both experts to _velocity as a pair
-        if component == "transformer" and self.boundary_ratio is not None and "transformer_2" in self.params:
-            low = super().merged_params("transformer", trainable)
-            high = super().merged_params("transformer_2", trainable)
+        frozen_src = frozen if frozen is not None else self.params
+        if component == "transformer" and self.boundary_ratio is not None and "transformer_2" in frozen_src:
+            low = super().merged_params("transformer", trainable, frozen)
+            high = super().merged_params("transformer_2", trainable, frozen)
             return (low, high)
-        return super().merged_params(component, trainable)
+        return super().merged_params(component, trainable, frozen)
 
     # ------------------------------------------------------------------
     def latent_shape(self, height: int, width: int, num_frames: int) -> Tuple[int, int, int, int]:
@@ -290,6 +291,7 @@ class WanT2VAdapter(BaseAdapter):
 
         x_final, lat_buf, lp_buf, mean_buf = self._rollout_impl(
             trainable if trainable is not None else self.trainable,
+            self.frozen_velocity_params(),
             x0,
             embeds,
             jnp.float32(g),
