@@ -1,0 +1,98 @@
+"""LTX-2 image→audio-video adapter.
+
+TPU-native re-design of the reference I2AV adapter
+(``src/flow_factory/models/ltx2/ltx2_i2av.py``): the condition image is
+VAE-encoded to the first video latent frame; its tokens REPLACE the noise at
+the first temporal position each step (hard conditioning on t=0 tokens),
+which is the sequence-domain analog of the reference's conditioned first
+frame. Everything else (joint scan, dual schedulers, decode) is inherited.
+"""
+from __future__ import annotations
+
+import logging
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...samples import I2AVSample
+from ...utils.media import standardize_image_batch
+from ..wan.video_vae import VideoVAE
+from .t2av import LTX2T2AVAdapter
+
+logger = logging.getLogger(__name__)
+
+
+class LTX2I2AVAdapter(LTX2T2AVAdapter):
+    sample_class = I2AVSample
+    embed_keys = (
+        "prompt_embeds",
+        "negative_prompt_embeds",
+        "video_ids",
+        "audio_ids",
+        "cond_mask",
+        "cond_tokens",
+    )
+
+    def encode_first_frame(self, images: Sequence[Any], height: int, width: int,
+                           num_frames: int) -> np.ndarray:
+        """Images → video tokens for the first latent frame, zero elsewhere."""
+        arr = standardize_image_batch(list(images), output_type="np")  # (B,3,H,W)
+        videos = jnp.asarray(arr[:, None], jnp.float32)  # (B,1,3,H,W)
+
+        def _encode(params, v):
+            v = jnp.transpose(v, (0, 2, 1, 3, 4)) * 2.0 - 1.0
+            return self.modules["vae"].apply(
+                {"params": params}, v, None, False, method=VideoVAE.encode
+            ).astype(jnp.float32)
+
+        lat = np.asarray(jax.device_get(jax.jit(_encode)(self.params["vae"], videos)))
+        tl, h, w = self.video_token_geometry(height, width, num_frames)
+        B = lat.shape[0]
+        tokens = np.zeros((B, tl * h * w, self.video_latent_channels), np.float32)
+        first = lat[:, 0].reshape(B, h * w, -1)[..., : self.video_latent_channels]
+        tokens[:, : h * w] = first
+        mask = np.zeros((B, tl * h * w, 1), np.float32)
+        mask[:, : h * w] = 1.0
+        return tokens, mask
+
+    def _joint_velocity(self, merged, v_lat, a_lat, t, embeds, guidance_scale, do_cfg):
+        if "cond_tokens" in embeds:
+            # hard-condition the first-frame tokens every forward
+            m = embeds["cond_mask"]
+            v_lat = v_lat * (1.0 - m) + embeds["cond_tokens"] * m
+            embeds = {k: v for k, v in embeds.items() if k not in ("cond_tokens", "cond_mask")}
+        return super()._joint_velocity(merged, v_lat, a_lat, t, embeds, guidance_scale, do_cfg)
+
+    def inference(self, images=None, cond_tokens=None, cond_mask=None, **kwargs):
+        ta = self.training_args
+        height = kwargs.get("height") or ta.height
+        width = kwargs.get("width") or ta.width
+        num_frames = kwargs.get("num_frames") or int(getattr(ta, "num_frames", 5))
+        extra = kwargs.pop("extra_embeds", None) or {}
+        if cond_tokens is None and images is not None:
+            cond_tokens, cond_mask = self.encode_first_frame(images, height, width, num_frames)
+        if cond_tokens is None:
+            raise ValueError("LTX2I2AVAdapter.inference needs images or cond_tokens")
+        extra["cond_tokens"] = jnp.asarray(cond_tokens, jnp.float32)
+        extra["cond_mask"] = jnp.asarray(cond_mask, jnp.float32)
+        samples = super().inference(extra_embeds=extra, **kwargs)
+        for i, s in enumerate(samples):
+            s.extra_kwargs["cond_tokens"] = np.asarray(cond_tokens[i], np.float32)
+            s.extra_kwargs["cond_mask"] = np.asarray(cond_mask[i], np.float32)
+            if images is not None:
+                s.images = [standardize_image_batch([images[i]], output_type="np")[0]]
+                s._unique_id = None
+        return samples
+
+    def preprocess_func(self, batch: Dict[str, Any], **kwargs) -> Dict[str, Any]:
+        out = super().preprocess_func(batch, **kwargs)
+        images = batch.get("images") or batch.get("image")
+        if images is not None:
+            ta = self.training_args
+            flat = [im[0] if isinstance(im, list) else im for im in images]
+            out["cond_tokens"], out["cond_mask"] = self.encode_first_frame(
+                flat, ta.height, ta.width, int(getattr(ta, "num_frames", 5))
+            )
+        return out

@@ -1,0 +1,515 @@
+"""LTX-2 text→audio-video adapter (joint AV rollout + RL).
+
+TPU-native re-design of the reference LTX-2 T2AV adapter
+(``src/flow_factory/models/ltx2/ltx2_t2av.py``):
+
+* unified sequence: video tokens then audio tokens (``:680-705``);
+* TWO schedulers — video Flow-SDE (log-probs for RL) + a dedicated audio
+  scheduler running ODE (``:146-175,919-940``; the reference needs two
+  INSTANCES because diffusers ``step()`` mutates state — here both are pure,
+  but sigma schedules and noise gating still differ per modality);
+* Gemma3-role LM conditioning through dual connectors (in the transformer);
+* decode: video VAE for frames + audio VAE → mel → vocoder (``:494-594``);
+* CFG via batch doubling. (STG perturbed-block guidance and
+  modality-isolation guidance — reference ``:635-760`` — are tracked
+  follow-ups; the x0↔velocity conversion helpers they need are in the
+  scheduler module already.)
+
+The joint rollout is a custom ``lax.scan``: per step one transformer call
+yields (v_video, v_audio); the video part takes an SDE step with log-prob,
+the audio part an ODE step on its own sigma grid.
+"""
+from __future__ import annotations
+
+import functools
+import logging
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...samples import T2AVSample
+from ...scheduler.flow_match_euler import FlowMatchEulerSDE, sde_step
+from ...utils.base import derive_key
+from ...utils.tokenizer import load_tokenizer
+from ...utils.trajectory import build_store_maps
+from ..abc import BaseAdapter
+from ..text_encoders.lm import LMConfig, LMEncoder
+from ..wan.video_vae import VideoVAE, VideoVAEConfig
+from .audio import AudioVAE, AudioVAEConfig
+from .transformer import LTX2Config, LTX2Transformer
+
+logger = logging.getLogger(__name__)
+
+LTX2_LORA_TARGETS = (
+    r".*block_\d+/(sa|ca)_(q|k|v|out)/kernel$",
+    r".*block_\d+/(ffn1|ffn2)/kernel$",
+)
+
+
+def _preset(name: str, attn_backend: str, dtype: str) -> Dict[str, Any]:
+    if name == "tiny":
+        return dict(
+            transformer=LTX2Config.tiny(attn_backend=attn_backend, dtype=dtype),
+            video_vae=VideoVAEConfig.tiny(latent_channels=16, dtype=dtype),
+            audio_vae=AudioVAEConfig.tiny(dtype=dtype),
+            lm=LMConfig.tiny(hidden_dim=32, dtype=dtype),
+            max_length=16,
+        )
+    if name in ("ltx2",):
+        return dict(
+            transformer=LTX2Config.ltx2(attn_backend=attn_backend, dtype=dtype,
+                                        video_channels=128, audio_channels=128),
+            video_vae=VideoVAEConfig.wan(latent_channels=128, base_channels=128, dtype=dtype),
+            audio_vae=AudioVAEConfig.ltx2(latent_channels=128, dtype=dtype),
+            lm=LMConfig.gemma3(dtype=dtype),
+            max_length=512,
+        )
+    raise ValueError(f"Unknown LTX-2 preset {name!r}")
+
+
+class LTX2T2AVAdapter(BaseAdapter):
+    sample_class = T2AVSample
+    default_target_patterns = LTX2_LORA_TARGETS
+    embed_keys = ("prompt_embeds", "negative_prompt_embeds", "video_ids", "audio_ids")
+
+    def load_models(self) -> None:
+        ma = self.model_args
+        variant = getattr(ma, "variant", None) or (
+            "tiny" if ma.model_name_or_path in ("", "tiny") else "ltx2"
+        )
+        preset = _preset(variant, ma.attn_backend, ma.inference_dtype)
+        self.max_length = preset["max_length"]
+
+        self.modules = {
+            "transformer": LTX2Transformer(preset["transformer"]),
+            "vae": VideoVAE(preset["video_vae"]),
+            "audio_vae": AudioVAE(preset["audio_vae"]),
+            "text_encoder": LMEncoder(preset["lm"]),
+        }
+        self.component_configs = {
+            "transformer": preset["transformer"],
+            "vae": preset["video_vae"],
+            "audio_vae": preset["audio_vae"],
+            "text_encoder": preset["lm"],
+        }
+        wanted = getattr(ma, "load_components", None)
+        if wanted:
+            self.modules = {k: v for k, v in self.modules.items() if k in set(wanted)}
+
+        tcfg: LTX2Config = preset["transformer"]
+        acfg: AudioVAEConfig = preset["audio_vae"]
+        key = derive_key("ltx2_init", self.training_args.seed)
+        init_fns = {
+            "transformer": lambda m, k: m.init(
+                k, jnp.zeros((1, 8, tcfg.video_channels)), jnp.zeros((1, 4, tcfg.audio_channels)),
+                jnp.zeros((1,)), jnp.zeros((1, 4, tcfg.context_dim)),
+                jnp.zeros((8, 3)), jnp.zeros((4, 3)),
+            ),
+            "vae": lambda m, k: m.init(
+                k, jnp.zeros((1, 3, 5, preset["video_vae"].spatial_down * 2,
+                              preset["video_vae"].spatial_down * 2))
+            ),
+            "audio_vae": lambda m, k: m.init(
+                k, jnp.zeros((1, 1, acfg.n_fft + acfg.hop * 15))
+            ),
+            "text_encoder": lambda m, k: m.init(k, jnp.zeros((1, 4), jnp.int32)),
+        }
+        cast = lambda tree: jax.tree.map(
+            lambda x: x.astype(self.inference_dtype) if x.dtype == jnp.float32 else x, tree
+        )
+        cpu = jax.devices("cpu")[0]
+        self.params = {}
+        with jax.default_device(cpu):
+            for i, (comp, module) in enumerate(self.modules.items()):
+                p = init_fns[comp](module, jax.random.fold_in(key, i))["params"]
+                if not (ma.finetune_type == "full" and comp == "transformer"):
+                    p = cast(p)
+                self.params[comp] = p
+        if jax.devices()[0].platform != "cpu" and self.mesh is None:
+            for comp in ("transformer", "vae", "audio_vae"):
+                if comp in self.params:
+                    self.params[comp] = jax.device_put(self.params[comp], jax.devices()[0])
+
+        self.tokenizer = load_tokenizer(
+            ma.model_name_or_path, "tokenizer", preset["lm"].vocab_size,
+            self.max_length, eos_token_id=2, pad_token_id=0,
+        )
+        self.video_latent_channels = preset["video_vae"].latent_channels
+        self.audio_latent_channels = preset["audio_vae"].latent_channels
+        self.vae_spatial_down = preset["video_vae"].spatial_down
+        self.vae_temporal_down = preset["video_vae"].temporal_down
+        self.audio_cfg = acfg
+
+        # dedicated AUDIO scheduler (ODE) — reference ltx2_t2av.py:146-175
+        self.audio_scheduler = FlowMatchEulerSDE(
+            noise_level=0.0, dynamics_type="ODE", seed=self.scheduler_args.seed,
+        )
+        self._encode_jit = None
+        self._decode_jit = None
+        self._audio_decode_jit = None
+
+    # ------------------------------------------------------------------
+    def _encode_impl(self, params, ids, mask):
+        emb = self.modules["text_encoder"].apply({"params": params}, ids, mask)
+        return emb.astype(jnp.float32)
+
+    def encode_prompt(self, prompts: Sequence[str], **_) -> Dict[str, np.ndarray]:
+        if isinstance(prompts, str):
+            prompts = [prompts]
+        enc = self.tokenizer(list(prompts), max_length=self.max_length)
+        if self._encode_jit is None:
+            self._encode_jit = jax.jit(self._encode_impl)
+        dev = list(jax.tree.leaves(self.params["text_encoder"])[0].devices())[0]
+        emb = self._encode_jit(
+            self.params["text_encoder"],
+            jax.device_put(jnp.asarray(enc["input_ids"]), dev),
+            jax.device_put(jnp.asarray(enc["attention_mask"]), dev),
+        )
+        return {"prompt_embeds": np.asarray(jax.device_get(emb), np.float32)}
+
+    def preprocess_func(self, batch: Dict[str, Any], **kwargs) -> Dict[str, Any]:
+        out: Dict[str, Any] = {}
+        if batch.get("prompt") is not None:
+            out.update(self.encode_prompt(batch["prompt"]))
+            neg = batch.get("negative_prompt") or [""] * len(batch["prompt"])
+            out["negative_prompt_embeds"] = self.encode_prompt(neg)["prompt_embeds"]
+        return out
+
+    def enhance_prompt(self, prompts: Sequence[str]) -> List[str]:
+        """LLM prompt enhancement hook (reference ltx2_t2av.py:340-368).
+
+        Pluggable: assign ``self.prompt_enhancer`` (callable) to rewrite
+        prompts through an LLM before encoding. Identity by default.
+        """
+        fn = getattr(self, "prompt_enhancer", None)
+        return list(fn(prompts)) if fn is not None else list(prompts)
+
+    # ------------------------------------------------------------------
+    # Geometry
+    # ------------------------------------------------------------------
+    def video_token_geometry(self, height, width, num_frames):
+        tl = max(1, -(-num_frames // self.vae_temporal_down))
+        h = height // self.vae_spatial_down
+        w = width // self.vae_spatial_down
+        return tl, h, w
+
+    def audio_token_count(self, duration_frames: int) -> int:
+        # mel frames per video clip: proportional stand-in geometry
+        acfg = self.audio_cfg
+        samples = int(duration_frames / 24.0 * acfg.sample_rate) + acfg.n_fft
+        mel_frames = max(1, (samples - acfg.n_fft) // acfg.hop + 1)
+        return max(1, mel_frames // acfg.temporal_down)
+
+    @staticmethod
+    def _video_ids(tl, h, w) -> np.ndarray:
+        tt = np.repeat(np.arange(tl), h * w)
+        hh = np.tile(np.repeat(np.arange(h), w), tl)
+        ww = np.tile(np.arange(w), tl * h)
+        return np.stack([tt, hh, ww], axis=-1).astype(np.float32)
+
+    @staticmethod
+    def _audio_ids(la, tl) -> np.ndarray:
+        t = np.linspace(0, max(tl - 1, 0), la)
+        return np.stack([t, np.zeros(la), np.zeros(la)], axis=-1).astype(np.float32)
+
+    # ------------------------------------------------------------------
+    # Velocity (joint, CFG batch doubling)
+    # ------------------------------------------------------------------
+    def _joint_velocity(self, merged, v_lat, a_lat, t, embeds, guidance_scale, do_cfg):
+        model = self.modules["transformer"]
+        dt = self.component_configs["transformer"].compute_dtype
+        vid_ids = embeds["video_ids"]
+        vid_ids = vid_ids[0] if vid_ids.ndim == 3 else vid_ids
+        aud_ids = embeds["audio_ids"]
+        aud_ids = aud_ids[0] if aud_ids.ndim == 3 else aud_ids
+
+        def fwd(v, a, tt, ctx):
+            vv, va = model.apply({"params": merged}, v.astype(dt), a.astype(dt), tt, ctx, vid_ids, aud_ids)
+            return vv.astype(jnp.float32), va.astype(jnp.float32)
+
+        if do_cfg:
+            v2 = jnp.concatenate([v_lat, v_lat], axis=0)
+            a2 = jnp.concatenate([a_lat, a_lat], axis=0)
+            t2 = jnp.concatenate([t, t], axis=0)
+            ctx = jnp.concatenate([embeds["negative_prompt_embeds"], embeds["prompt_embeds"]], axis=0)
+            vv, va = fwd(v2, a2, t2, ctx)
+            vv_u, vv_c = jnp.split(vv, 2, axis=0)
+            va_u, va_c = jnp.split(va, 2, axis=0)
+            return (
+                vv_u + guidance_scale * (vv_c - vv_u),
+                va_u + guidance_scale * (va_c - va_u),
+            )
+        return fwd(v_lat, a_lat, t, embeds["prompt_embeds"])
+
+    # overridden `_velocity` contract is unused: LTX-2 has a custom joint path
+    def _velocity(self, merged, latents, t, embeds, guidance_scale, do_cfg):
+        raise NotImplementedError("LTX-2 uses the joint AV forward")
+
+    # ------------------------------------------------------------------
+    # Joint rollout scan (dual schedulers)
+    # ------------------------------------------------------------------
+    @functools.partial(jax.jit, static_argnums=(0,), static_argnames=(
+        "do_cfg", "compute_log_prob", "dynamics_type", "num_latent_slots", "num_logprob_slots",
+    ))
+    def _joint_rollout(
+        self,
+        trainable,
+        frozen,
+        v0,  # (B, Lv, Cv)
+        a0,  # (B, La, Ca)
+        embeds,
+        guidance_scale,
+        v_sigmas,  # (T+1,) video sigma grid
+        a_sigmas,  # (T+1,) audio sigma grid
+        timesteps,  # (T,)
+        noise_levels,  # (T,) video SDE gating
+        latent_store_slot,
+        logprob_store_slot,
+        key,
+        *,
+        do_cfg: bool,
+        compute_log_prob: bool,
+        dynamics_type: str,
+        num_latent_slots: int,
+        num_logprob_slots: int,
+    ):
+        merged = self.merged_params("transformer", trainable, frozen)
+        B = v0.shape[0]
+        storage_dtype = self.training_args.storage_dtype
+        sigma_max = v_sigmas[1] if v_sigmas.shape[0] > 1 else jnp.float32(0.999)
+
+        v_buf = jnp.zeros((num_latent_slots + 1, *v0.shape), storage_dtype)
+        v_buf = v_buf.at[latent_store_slot[0]].set(v0.astype(storage_dtype))
+        a_buf = jnp.zeros((num_latent_slots + 1, *a0.shape), storage_dtype)
+        a_buf = a_buf.at[latent_store_slot[0]].set(a0.astype(storage_dtype))
+        lp_buf = jnp.zeros((num_logprob_slots + 1, B), jnp.float32)
+
+        def body(carry, inp):
+            v, a, k, v_buf, a_buf, lp_buf = carry
+            vs, vs_next, as_, as_next, t, nl, lat_slot, lp_slot = inp
+            k, sub = jax.random.split(k)
+            vel_v, vel_a = self._joint_velocity(
+                merged, v, a, jnp.full((B,), t), embeds, guidance_scale, do_cfg
+            )
+            out_v = sde_step(
+                vel_v, v, vs, vs_next,
+                dynamics_type=dynamics_type, noise_level=nl, key=sub,
+                compute_log_prob=compute_log_prob, storage_dtype=storage_dtype,
+                sigma_max=sigma_max,
+            )
+            out_a = sde_step(
+                vel_a, a, as_, as_next,
+                dynamics_type="ODE", noise_level=0.0, key=None,
+                compute_log_prob=False, storage_dtype=storage_dtype,
+            )
+            v_buf = v_buf.at[lat_slot].set(out_v.next_latents.astype(storage_dtype))
+            a_buf = a_buf.at[lat_slot].set(out_a.next_latents.astype(storage_dtype))
+            if compute_log_prob:
+                lp_buf = lp_buf.at[lp_slot].set(out_v.log_prob)
+            return (out_v.next_latents, out_a.next_latents, k, v_buf, a_buf, lp_buf), None
+
+        inputs = (
+            v_sigmas[:-1], v_sigmas[1:], a_sigmas[:-1], a_sigmas[1:],
+            timesteps, noise_levels, latent_store_slot[1:], logprob_store_slot,
+        )
+        (v_fin, a_fin, _, v_buf, a_buf, lp_buf), _ = jax.lax.scan(
+            body, (v0, a0, key, v_buf, a_buf, lp_buf), inputs
+        )
+        return v_fin, a_fin, v_buf[:-1], a_buf[:-1], lp_buf[:-1]
+
+    # ------------------------------------------------------------------
+    def training_forward(self, trainable, batch, *, compute_log_prob=True, key=None,
+                         dynamics_type=None):
+        """Replay a stored VIDEO transition (audio context from the same step)."""
+        embeds = {k: batch[k] for k in self.embed_keys if k in batch}
+        do_cfg = "negative_prompt_embeds" in embeds
+        return self._training_forward_jit(
+            trainable, self.frozen_velocity_params(),
+            batch["latents"], batch["audio_latents"], batch.get("next_latents"),
+            batch["timestep"], batch["sigma"], batch["sigma_next"],
+            batch.get("noise_level", jnp.float32(0.0)), embeds,
+            batch.get("guidance_scale", jnp.float32(self.training_args.guidance_scale)),
+            batch.get("sigma_max", jnp.float32(0.999)), key,
+            do_cfg=do_cfg, compute_log_prob=compute_log_prob,
+            dynamics_type=dynamics_type or self.scheduler.dynamics_type,
+        )
+
+    @functools.partial(jax.jit, static_argnums=(0,), static_argnames=(
+        "do_cfg", "compute_log_prob", "dynamics_type",
+    ))
+    def _training_forward_jit(
+        self, trainable, frozen, v_lat, a_lat, next_latents, timestep, sigma, sigma_next,
+        noise_level, embeds, guidance_scale, sigma_max, key,
+        *, do_cfg, compute_log_prob, dynamics_type,
+    ):
+        merged = self.merged_params("transformer", trainable, frozen)
+        vel_v, _ = self._joint_velocity(merged, v_lat, a_lat, timestep, embeds, guidance_scale, do_cfg)
+        return sde_step(
+            vel_v, v_lat, sigma, sigma_next,
+            dynamics_type=dynamics_type, noise_level=noise_level, key=key,
+            next_latents=next_latents, compute_log_prob=compute_log_prob,
+            storage_dtype=self.training_args.storage_dtype, sigma_max=sigma_max,
+        )
+
+    # ------------------------------------------------------------------
+    def inference(
+        self,
+        prompt: Optional[Sequence[str]] = None,
+        prompt_embeds: Optional[np.ndarray] = None,
+        negative_prompt: Optional[Sequence[str]] = None,
+        negative_prompt_embeds: Optional[np.ndarray] = None,
+        height: Optional[int] = None,
+        width: Optional[int] = None,
+        num_frames: Optional[int] = None,
+        num_inference_steps: Optional[int] = None,
+        guidance_scale: Optional[float] = None,
+        compute_log_prob: bool = True,
+        trajectory_indices: Optional[Any] = "all",
+        key: Optional[jax.Array] = None,
+        keys: Optional[jax.Array] = None,
+        seed: Optional[int] = None,
+        trainable: Optional[Dict[str, Any]] = None,
+        decode: bool = True,
+        extra_embeds: Optional[Dict[str, jnp.ndarray]] = None,
+        **_,
+    ) -> List[T2AVSample]:
+        ta = self.training_args
+        height = height or ta.height
+        width = width or ta.width
+        num_frames = num_frames or int(getattr(ta, "num_frames", 5))
+        T = num_inference_steps or ta.num_inference_steps
+        g = float(ta.guidance_scale if guidance_scale is None else guidance_scale)
+        do_cfg = g > 1.0
+
+        if prompt_embeds is None:
+            prompt_embeds = self.encode_prompt(self.enhance_prompt(list(prompt)))["prompt_embeds"]
+        if do_cfg and negative_prompt_embeds is None:
+            neg = list(negative_prompt) if negative_prompt is not None else [""] * len(prompt_embeds)
+            negative_prompt_embeds = self.encode_prompt(neg)["prompt_embeds"]
+        B = len(prompt_embeds)
+
+        tl, h, w = self.video_token_geometry(height, width, num_frames)
+        Lv = tl * h * w
+        La = self.audio_token_count(num_frames)
+        video_ids = self._video_ids(tl, h, w)
+        audio_ids = self._audio_ids(La, tl)
+
+        embeds = {
+            "prompt_embeds": jnp.asarray(prompt_embeds),
+            "video_ids": jnp.asarray(video_ids),
+            "audio_ids": jnp.asarray(audio_ids),
+        }
+        if do_cfg:
+            embeds["negative_prompt_embeds"] = jnp.asarray(negative_prompt_embeds)
+        if extra_embeds:
+            embeds.update(extra_embeds)
+
+        timesteps = self.scheduler.set_timesteps(T)
+        v_sigmas = self.scheduler.sigmas
+        self.audio_scheduler.set_timesteps(T)
+        a_sigmas = self.audio_scheduler.sigmas
+        noise_levels = self.scheduler.get_noise_levels()
+        dynamics = "ODE" if self.scheduler.is_eval else self.scheduler.dynamics_type
+        maps = build_store_maps(trajectory_indices, T)
+
+        if keys is None:
+            if key is None:
+                key = derive_key("rollout", seed if seed is not None else ta.seed)
+            keys = jax.random.split(key, B)
+        v0 = jax.vmap(lambda k: jax.random.normal(k, (Lv, self.video_latent_channels), jnp.float32))(keys)
+        a0 = jax.vmap(lambda k: jax.random.normal(
+            jax.random.fold_in(k, 1), (La, self.audio_latent_channels), jnp.float32
+        ))(keys)
+        v0, a0 = self.cast_latents(v0), self.cast_latents(a0)
+        scan_key = jax.random.fold_in(keys[0], 7)
+        v0, a0 = self.shard_batch(v0), self.shard_batch(a0)
+        embeds = {
+            k: (self.shard_batch(v) if v.ndim >= 2 and v.shape[0] == B else v)
+            for k, v in embeds.items()
+        }
+
+        v_fin, a_fin, v_buf, a_buf, lp_buf = self._joint_rollout(
+            trainable if trainable is not None else self.trainable,
+            self.frozen_velocity_params(),
+            v0, a0, embeds, jnp.float32(g),
+            jnp.asarray(v_sigmas), jnp.asarray(a_sigmas), jnp.asarray(timesteps),
+            jnp.asarray(noise_levels),
+            jnp.asarray(maps.latent_store_slot), jnp.asarray(maps.logprob_store_slot),
+            scan_key,
+            do_cfg=do_cfg, compute_log_prob=compute_log_prob, dynamics_type=dynamics,
+            num_latent_slots=maps.num_latent_slots, num_logprob_slots=maps.num_logprob_slots,
+        )
+
+        if decode:
+            videos = self.decode_latents(v_fin, tl=tl, h=h, w=w, num_frames=num_frames)
+            audios = self.decode_audio(a_fin)
+        else:
+            videos = audios = [None] * B
+
+        v_np = np.asarray(jax.device_get(v_buf.astype(jnp.float32)))
+        a_np = np.asarray(jax.device_get(a_buf.astype(jnp.float32)))
+        lp_np = np.asarray(jax.device_get(lp_buf))
+        ts_np = np.asarray(timesteps, np.float32)
+
+        samples: List[T2AVSample] = []
+        for i in range(B):
+            samples.append(
+                self.sample_class(
+                    timesteps=ts_np,
+                    all_latents=v_np[:, i],
+                    latent_index_map=maps.latent_index_map,
+                    log_probs=lp_np[:, i] if compute_log_prob else None,
+                    log_prob_index_map=maps.logprob_index_map,
+                    height=height,
+                    width=width,
+                    video=videos[i],
+                    audio=audios[i],
+                    audio_sample_rate=self.audio_cfg.sample_rate,
+                    prompt=prompt[i] if prompt is not None else None,
+                    prompt_embeds=np.asarray(prompt_embeds[i], np.float32),
+                    negative_prompt_embeds=(
+                        np.asarray(negative_prompt_embeds[i], np.float32) if do_cfg else None
+                    ),
+                    extra_kwargs={
+                        "sigmas": np.asarray(v_sigmas, np.float32),
+                        "audio_sigmas": np.asarray(a_sigmas, np.float32),
+                        "noise_levels": np.asarray(noise_levels, np.float32),
+                        "guidance_scale": g,
+                        "audio_all_latents": a_np[:, i],
+                        "video_ids": video_ids,
+                        "audio_ids": audio_ids,
+                        "num_frames": num_frames,
+                    },
+                )
+            )
+        return samples
+
+    # ------------------------------------------------------------------
+    def decode_latents(self, latents: jax.Array, tl: int, h: int, w: int,
+                       num_frames: int) -> np.ndarray:
+        """Video tokens (B, Lv, Cv) → (B, T, C, H, W) in [0, 1]."""
+        def _decode(params, z):
+            z5 = z.reshape(z.shape[0], tl, h, w, z.shape[-1]).astype(jnp.float32)
+            video = self.modules["vae"].apply({"params": params}, z5, num_frames, method=VideoVAE.decode)
+            video = jnp.clip(video.astype(jnp.float32) / 2.0 + 0.5, 0.0, 1.0)
+            return jnp.transpose(video, (0, 2, 1, 3, 4))
+
+        out = jax.jit(_decode)(self.params["vae"], latents)
+        return np.asarray(jax.device_get(out))
+
+    def decode_audio(self, latents: jax.Array) -> np.ndarray:
+        """Audio tokens (B, La, Ca) → waveforms (B, 1, T) in [-1, 1]."""
+        if self._audio_decode_jit is None:
+            def _decode(params, z):
+                return self.modules["audio_vae"].apply(
+                    {"params": params}, z.astype(jnp.float32), method=AudioVAE.decode
+                )
+
+            self._audio_decode_jit = jax.jit(_decode)
+        out = self._audio_decode_jit(self.params["audio_vae"], latents)
+        return np.asarray(jax.device_get(out), np.float32)
+
+    def frozen_velocity_params(self) -> Dict[str, Any]:
+        return {"transformer": self.params["transformer"]}
