@@ -39,7 +39,8 @@ def main() -> None:
 
     if on_tpu:
         B, res, steps = 4, 512, 10
-        config = g._make_config(tiny=False, load_components=["transformer", "vae"])
+        config = g._make_config(tiny=False, load_components=["transformer"])
+        config.model_args.extra_kwargs["init_on_device"] = True
     else:
         B, res, steps = 2, 32, 4
         config = g._make_config(tiny=True)
@@ -59,9 +60,11 @@ def main() -> None:
         "negative_pooled_prompt_embeds": jax.random.normal(key, (B, tcfg.pooled_dim), jnp.float32),
     }
 
-    def denoise_step(trainable, x, k):
+    frozen = adapter.frozen_velocity_params()
+
+    def denoise_step(trainable, frozen, x, k):
         return adapter._forward_impl(
-            trainable, adapter.frozen_velocity_params(), x, None,
+            trainable, frozen, x, None,
             jnp.full((B,), 800.0), jnp.full((B,), 0.8), jnp.full((B,), 0.72),
             jnp.full((B,), 0.7),
             embeds, jnp.float32(4.5), jnp.float32(0.95), k,
@@ -70,14 +73,14 @@ def main() -> None:
 
     step = jax.jit(denoise_step)
     # warmup/compile
-    out = step(adapter.trainable, latents, key)
+    out = step(adapter.trainable, frozen, latents, key)
     jax.block_until_ready(out)
 
     n_iters = 3 * steps
     t0 = time.perf_counter()
     x = latents
     for i in range(n_iters):
-        x = step(adapter.trainable, x, jax.random.fold_in(key, i))
+        x = step(adapter.trainable, frozen, x, jax.random.fold_in(key, i))
     jax.block_until_ready(x)
     dt = (time.perf_counter() - t0) / n_iters
 

@@ -120,6 +120,20 @@ class BaseAdapter(ABC):
         """Per-model sigma-schedule knobs (shift, dynamic shifting...)."""
         return {}
 
+    def init_device_context(self):
+        """Where to materialize random-init params.
+
+        Default: host RAM (large models OOM HBM in fp32 and may not even fit
+        beside other components). ``model.init_on_device: true`` initializes
+        directly on the accelerator — much faster when the selected
+        components fit (e.g. the bench's transformer-only load).
+        """
+        import contextlib
+
+        if getattr(self.model_args, "init_on_device", False):
+            return contextlib.nullcontext()
+        return jax.default_device(jax.devices("cpu")[0])
+
     @abstractmethod
     def encode_prompt(self, prompts: Sequence[str], **kwargs) -> Dict[str, np.ndarray]:
         """Text encoders → embedding dict (host numpy, feeds preprocessing cache)."""

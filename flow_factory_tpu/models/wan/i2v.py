@@ -63,8 +63,7 @@ class WanI2VAdapter(WanT2VAdapter):
         cast = lambda tree: jax.tree.map(
             lambda x: x.astype(self.inference_dtype) if x.dtype == jnp.float32 else x, tree
         )
-        cpu = jax.devices("cpu")[0]
-        with jax.default_device(cpu):
+        with self.init_device_context():
             for i, comp in enumerate(c for c in ("transformer", "transformer_2") if c in self.modules):
                 p = self.modules[comp].init(
                     jax.random.fold_in(key, i), lat, jnp.zeros((1,)),

@@ -98,9 +98,8 @@ class ZImageAdapter(Flux1Adapter):
         cast = lambda tree: jax.tree.map(
             lambda x: x.astype(self.inference_dtype) if x.dtype == jnp.float32 else x, tree
         )
-        cpu = jax.devices("cpu")[0]
         self.params = {}
-        with jax.default_device(cpu):
+        with self.init_device_context():
             for i, (comp, module) in enumerate(self.modules.items()):
                 p = init_fns[comp](module, jax.random.fold_in(key, i))["params"]
                 if not (ma.finetune_type == "full" and comp == "transformer"):

@@ -170,6 +170,19 @@ class BaseTrainer(ABC):
             payload = {**metrics, **loss_info, "time/epoch_s": time.time() - t0}
             if self.logger_backend:
                 self.logger_backend.log_data(payload, epoch)
+                n_media = getattr(self.log_args, "log_train_samples", 0)
+                if n_media:
+                    from ..logger.formatting import samples_to_media_payload
+
+                    media = samples_to_media_payload(samples, n_media)
+                    if media["images"]:
+                        self.logger_backend.log_images(
+                            "train/samples", media["images"], media["captions"], step=epoch
+                        )
+                    if media["videos"]:
+                        self.logger_backend.log_videos(
+                            "train/samples", media["videos"], media["captions"], step=epoch
+                        )
         # final save
         if self.log_args.save_freq:
             self.save_checkpoint(os.path.join(save_dir, "final"))

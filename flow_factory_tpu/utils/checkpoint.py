@@ -1,0 +1,211 @@
+"""Checkpoint key mapping: torch/diffusers/PEFT → flax pytrees.
+
+Counterpart of the reference's LoRA key remapping + rank/alpha/target
+inference (``src/flow_factory/utils/checkpoint.py:28-160``), extended with
+the weight-porting surface this framework needs: importing pretrained
+diffusers safetensors into our flax parameter trees.
+
+Conventions:
+* torch Linear weight (out, in)  → flax Dense kernel (in, out): TRANSPOSE.
+* torch Conv2d weight (out, in, kh, kw) → flax Conv kernel (kh, kw, in, out).
+* PEFT LoRA ``...lora_A.weight`` (r, in) / ``...lora_B.weight`` (out, r)
+  → our {'a': (in, r), 'b': (r, out)}: transpose both.
+"""
+from __future__ import annotations
+
+import logging
+import re
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def torch_linear_to_dense(w: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(w.T)
+
+
+def torch_conv2d_to_flax(w: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(np.transpose(w, (2, 3, 1, 0)))
+
+
+def torch_conv3d_to_flax(w: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(np.transpose(w, (2, 3, 4, 1, 0)))
+
+
+# ---------------------------------------------------------------------------
+# PEFT LoRA import (legacy + standard layouts)
+# ---------------------------------------------------------------------------
+
+def infer_lora_config(state_dict: Dict[str, np.ndarray]) -> Tuple[int, list]:
+    """(rank, target module names) from a bare LoRA state dict
+    (reference rank/alpha/target inference, ``checkpoint.py``)."""
+    rank = 0
+    targets = set()
+    for k, v in state_dict.items():
+        if "lora_A" in k or "lora_down" in k:
+            rank = max(rank, v.shape[0])
+            base = re.sub(r"\.(lora_A|lora_down).*", "", k)
+            targets.add(base.split(".")[-1])
+    return rank, sorted(targets)
+
+
+def normalize_peft_keys(state_dict: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Canonicalize PEFT/legacy LoRA key spellings.
+
+    Handles: ``base_model.model.`` prefixes, ``.default.weight`` adapter
+    suffixes, kohya ``lora_down/lora_up`` naming.
+    """
+    out = {}
+    for k, v in state_dict.items():
+        k = re.sub(r"^base_model\.model\.", "", k)
+        k = re.sub(r"^transformer\.", "", k)
+        k = k.replace(".lora_down.weight", ".lora_A.weight")
+        k = k.replace(".lora_up.weight", ".lora_B.weight")
+        k = k.replace(".lora_A.default.weight", ".lora_A.weight")
+        k = k.replace(".lora_B.default.weight", ".lora_B.weight")
+        out[k] = v
+    return out
+
+
+def import_peft_lora(
+    state_dict: Dict[str, np.ndarray],
+    path_map: Dict[str, str],
+) -> Dict[str, Dict[str, np.ndarray]]:
+    """PEFT LoRA state dict → our LoRA tree {our_path: {'a', 'b'}}.
+
+    ``path_map``: torch module path (dot, no suffix) → our param path
+    (slash, ending ``/kernel``). Unmapped modules warn and are skipped.
+    """
+    sd = normalize_peft_keys(state_dict)
+    tree: Dict[str, Dict[str, np.ndarray]] = {}
+    for k, v in sd.items():
+        m = re.match(r"(.+)\.(lora_A|lora_B)\.weight$", k)
+        if not m:
+            continue
+        module, which = m.group(1), m.group(2)
+        our = path_map.get(module)
+        if our is None:
+            logger.warning("LoRA import: no mapping for %s; skipped", module)
+            continue
+        slot = tree.setdefault(our, {})
+        if which == "lora_A":
+            slot["a"] = torch_linear_to_dense(np.asarray(v))  # (in, r)
+        else:
+            slot["b"] = torch_linear_to_dense(np.asarray(v))  # (r, out)
+    missing = [k for k, d in tree.items() if set(d) != {"a", "b"}]
+    if missing:
+        raise ValueError(f"LoRA import incomplete for paths: {missing}")
+    return tree
+
+
+# ---------------------------------------------------------------------------
+# Diffusers SD3 transformer key map (weight porting)
+# ---------------------------------------------------------------------------
+
+def sd3_transformer_key_map(depth: int, dual_attention_layers=()) -> Dict[str, str]:
+    """diffusers ``SD3Transformer2DModel`` module path → our param path.
+
+    Linear/conv transposes are applied by :func:`import_diffusers_params`;
+    this map only renames. Covers the MMDiT(-X) blocks, embedders, and head.
+    """
+    m: Dict[str, str] = {
+        "pos_embed.proj": "pos_embed/proj",
+        "context_embedder": "context_embedder",
+        "time_text_embed.timestep_embedder.linear_1": "time_embed/linear_1",
+        "time_text_embed.timestep_embedder.linear_2": "time_embed/linear_2",
+        "time_text_embed.text_embedder.linear_1": "text_embed/linear_1",
+        "time_text_embed.text_embedder.linear_2": "text_embed/linear_2",
+        "norm_out.linear": "norm_out/linear",
+        "proj_out": "proj_out",
+    }
+    for i in range(depth):
+        b, o = f"transformer_blocks.{i}", f"block_{i}"
+        m[f"{b}.norm1.linear"] = f"{o}/norm1/linear"
+        last = i == depth - 1
+        m[f"{b}.norm1_context.linear"] = f"{o}/norm1_context/linear"
+        m[f"{b}.attn.to_q"] = f"{o}/attn/to_q"
+        m[f"{b}.attn.to_k"] = f"{o}/attn/to_k"
+        m[f"{b}.attn.to_v"] = f"{o}/attn/to_v"
+        m[f"{b}.attn.to_out.0"] = f"{o}/attn/to_out"
+        m[f"{b}.attn.add_q_proj"] = f"{o}/attn/add_q_proj"
+        m[f"{b}.attn.add_k_proj"] = f"{o}/attn/add_k_proj"
+        m[f"{b}.attn.add_v_proj"] = f"{o}/attn/add_v_proj"
+        m[f"{b}.attn.to_add_out"] = f"{o}/attn/to_add_out"
+        m[f"{b}.attn.norm_q"] = f"{o}/attn/qk_norm/q_norm"
+        m[f"{b}.attn.norm_k"] = f"{o}/attn/qk_norm/k_norm"
+        m[f"{b}.attn.norm_added_q"] = f"{o}/attn/added_qk_norm/q_norm"
+        m[f"{b}.attn.norm_added_k"] = f"{o}/attn/added_qk_norm/k_norm"
+        m[f"{b}.ff.net.0.proj"] = f"{o}/ff/fc1"
+        m[f"{b}.ff.net.2"] = f"{o}/ff/fc2"
+        m[f"{b}.ff_context.net.0.proj"] = f"{o}/ff_context/fc1"
+        m[f"{b}.ff_context.net.2"] = f"{o}/ff_context/fc2"
+        if i in dual_attention_layers:
+            m[f"{b}.attn2.to_q"] = f"{o}/attn2/to_q"
+            m[f"{b}.attn2.to_k"] = f"{o}/attn2/to_k"
+            m[f"{b}.attn2.to_v"] = f"{o}/attn2/to_v"
+            m[f"{b}.attn2.to_out.0"] = f"{o}/attn2/to_out"
+            m[f"{b}.attn2.norm_q"] = f"{o}/attn2/qk_norm/q_norm"
+            m[f"{b}.attn2.norm_k"] = f"{o}/attn2/qk_norm/k_norm"
+    return m
+
+
+def import_diffusers_params(
+    state_dict: Dict[str, np.ndarray],
+    key_map: Dict[str, str],
+    template: Any,
+) -> Any:
+    """Torch state dict + key map → flax params matching ``template``.
+
+    Applies layout transposes by tensor rank, validates shapes against the
+    template, and reports unmapped/missing keys.
+    """
+    import jax
+
+    flat_t, treedef = jax.tree_util.tree_flatten_with_path(template)
+    want = {}
+    for path, leaf in flat_t:
+        key = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+        want[key] = leaf
+
+    converted: Dict[str, np.ndarray] = {}
+    for tk, v in state_dict.items():
+        base = re.sub(r"\.(weight|bias)$", "", tk)
+        suffix = tk.rsplit(".", 1)[-1]
+        our_base = key_map.get(base)
+        if our_base is None:
+            continue
+        v = np.asarray(v)
+        if suffix == "weight":
+            if v.ndim == 2:
+                name, v = "kernel", torch_linear_to_dense(v)
+            elif v.ndim == 4:
+                name, v = "kernel", torch_conv2d_to_flax(v)
+            elif v.ndim == 5:
+                name, v = "kernel", torch_conv3d_to_flax(v)
+            else:
+                name = "scale"  # norms / 1-D weights
+        else:
+            name = "bias"
+        converted[f"{our_base}/{name}"] = v
+
+    leaves = []
+    missing, mismatched = [], []
+    for path, leaf in flat_t:
+        key = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+        if key in converted:
+            arr = converted[key]
+            if tuple(arr.shape) != tuple(leaf.shape):
+                mismatched.append((key, arr.shape, tuple(leaf.shape)))
+                leaves.append(leaf)
+            else:
+                leaves.append(np.asarray(arr, dtype=np.asarray(leaf).dtype))
+        else:
+            missing.append(key)
+            leaves.append(leaf)
+    if mismatched:
+        raise ValueError(f"Shape mismatches during import: {mismatched[:5]}")
+    if missing:
+        logger.warning("Import left %d params at init (first: %s)", len(missing), missing[:5])
+    return jax.tree_util.tree_unflatten(treedef, leaves)

@@ -1,0 +1,192 @@
+"""Opt-in memory profiling (TPU/HBM edition).
+
+Re-design of the reference memory trackers
+(``src/flow_factory/utils/memory_tracker.py:27-508``: ModelMemoryTracker,
+TensorMemoryTracker, OptimizerMemoryTracker, GPUMemoryTracker, facade
+MemoryProfiler). Same opt-in shape, TPU-native sources:
+
+* parameter/buffer sizes from pytree leaves,
+* per-stage tensor accumulation for arbitrary pytrees (incl. samples),
+* device memory from ``Device.memory_stats()`` (HBM bytes-in-use / peak) and
+  ``jax.live_arrays()``,
+* plus a :func:`trace` context manager wrapping ``jax.profiler`` for
+  fleet-level traces (the reference has no torch.profiler integration; this
+  is an addition).
+"""
+from __future__ import annotations
+
+import contextlib
+import logging
+import os
+import time
+from collections import defaultdict
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def tree_nbytes(tree: Any) -> int:
+    import jax
+
+    return sum(
+        int(np.prod(l.shape)) * l.dtype.itemsize
+        for l in jax.tree.leaves(tree)
+        if hasattr(l, "shape")
+    )
+
+
+def _fmt(n: int) -> str:
+    for unit in ("B", "KiB", "MiB", "GiB"):
+        if abs(n) < 1024:
+            return f"{n:.2f}{unit}"
+        n /= 1024
+    return f"{n:.2f}TiB"
+
+
+class ModelMemoryTracker:
+    """Parameter/buffer footprint per component."""
+
+    def __init__(self):
+        self.components: Dict[str, int] = {}
+
+    def track(self, name: str, params: Any) -> int:
+        n = tree_nbytes(params)
+        self.components[name] = n
+        return n
+
+    def report(self) -> Dict[str, str]:
+        return {k: _fmt(v) for k, v in self.components.items()}
+
+
+class TensorMemoryTracker:
+    """Per-stage accumulation of tensor bytes (reference ``track_samples``)."""
+
+    def __init__(self):
+        self.stages: Dict[str, int] = defaultdict(int)
+        self.counts: Dict[str, int] = defaultdict(int)
+
+    def track(self, stage: str, tree: Any) -> None:
+        self.stages[stage] += tree_nbytes(tree)
+        self.counts[stage] += 1
+
+    def track_samples(self, stage: str, samples: List[Any]) -> None:
+        total = 0
+        for s in samples:
+            for v in getattr(s, "asdict", dict)().values() if hasattr(s, "asdict") else []:
+                if isinstance(v, np.ndarray):
+                    total += v.nbytes
+        self.stages[stage] += total
+        self.counts[stage] += len(samples)
+
+    def report(self) -> Dict[str, str]:
+        return {k: f"{_fmt(v)} ({self.counts[k]}x)" for k, v in self.stages.items()}
+
+
+class OptimizerMemoryTracker:
+    def __init__(self):
+        self.size = 0
+
+    def track(self, opt_state: Any) -> int:
+        self.size = tree_nbytes(opt_state)
+        return self.size
+
+    def report(self) -> Dict[str, str]:
+        return {"optimizer_state": _fmt(self.size)}
+
+
+class DeviceMemoryTracker:
+    """HBM snapshots per stage (reference GPUMemoryTracker analog)."""
+
+    def __init__(self):
+        self.snapshots: Dict[str, Dict[str, int]] = {}
+
+    def snapshot(self, stage: str) -> Dict[str, int]:
+        import jax
+
+        stats: Dict[str, int] = {}
+        try:
+            dev = jax.devices()[0]
+            s = dev.memory_stats() or {}
+            stats = {
+                "bytes_in_use": int(s.get("bytes_in_use", 0)),
+                "peak_bytes_in_use": int(s.get("peak_bytes_in_use", 0)),
+                "bytes_limit": int(s.get("bytes_limit", 0)),
+            }
+        except Exception:
+            # CPU backend: fall back to live-array accounting
+            live = jax.live_arrays()
+            stats = {"bytes_in_use": sum(
+                int(np.prod(a.shape)) * a.dtype.itemsize for a in live
+            )}
+        self.snapshots[stage] = stats
+        return stats
+
+    def report(self) -> Dict[str, str]:
+        return {
+            stage: " ".join(f"{k}={_fmt(v)}" for k, v in s.items())
+            for stage, s in self.snapshots.items()
+        }
+
+
+class MemoryProfiler:
+    """Facade bundling all trackers (reference ``MemoryProfiler``)."""
+
+    def __init__(self, enabled: bool = True):
+        self.enabled = enabled
+        self.model = ModelMemoryTracker()
+        self.tensors = TensorMemoryTracker()
+        self.optimizer = OptimizerMemoryTracker()
+        self.device = DeviceMemoryTracker()
+
+    @contextlib.contextmanager
+    def stage(self, name: str):
+        if not self.enabled:
+            yield
+            return
+        self.device.snapshot(f"{name}/enter")
+        t0 = time.perf_counter()
+        yield
+        self.device.snapshot(f"{name}/exit")
+        logger.info("[memory] stage %s took %.3fs", name, time.perf_counter() - t0)
+
+    def report(self) -> Dict[str, Dict[str, str]]:
+        return {
+            "model": self.model.report(),
+            "tensors": self.tensors.report(),
+            "optimizer": self.optimizer.report(),
+            "device": self.device.report(),
+        }
+
+    def log_report(self) -> None:
+        for section, rows in self.report().items():
+            for k, v in rows.items():
+                logger.info("[memory] %s/%s: %s", section, k, v)
+
+
+@contextlib.contextmanager
+def trace(log_dir: str = "/tmp/fft_trace", annotate: Optional[str] = None):
+    """``jax.profiler`` trace context (view with TensorBoard / xprof)."""
+    import jax
+
+    os.makedirs(log_dir, exist_ok=True)
+    jax.profiler.start_trace(log_dir)
+    try:
+        if annotate:
+            with jax.profiler.TraceAnnotation(annotate):
+                yield log_dir
+        else:
+            yield log_dir
+    finally:
+        jax.profiler.stop_trace()
+        logger.info("Profiler trace written to %s", log_dir)
+
+
+def device_memory_profile(path: str = "/tmp/fft_memory.prof") -> str:
+    """Dump a pprof-format device memory profile (jax.profiler)."""
+    import jax
+
+    with open(path, "wb") as f:
+        f.write(jax.profiler.device_memory_profile())
+    return path

@@ -1,0 +1,77 @@
+"""Checkpoint key mapping, memory tracking, logging formatting."""
+import numpy as np
+import pytest
+
+from flow_factory_tpu.logger.formatting import LogFormatter, make_image_grid, samples_to_media_payload
+from flow_factory_tpu.samples import BaseSample
+from flow_factory_tpu.utils.checkpoint import (
+    import_diffusers_params,
+    import_peft_lora,
+    infer_lora_config,
+    normalize_peft_keys,
+    sd3_transformer_key_map,
+    torch_linear_to_dense,
+)
+from flow_factory_tpu.utils.memory_tracker import MemoryProfiler, tree_nbytes
+
+
+def test_peft_lora_import_and_inference():
+    sd = {
+        "base_model.model.transformer_blocks.0.attn.to_q.lora_A.default.weight": np.ones((4, 16), np.float32),
+        "base_model.model.transformer_blocks.0.attn.to_q.lora_B.default.weight": np.zeros((16, 4), np.float32),
+        "transformer_blocks.0.attn.to_k.lora_down.weight": np.ones((4, 16), np.float32),
+        "transformer_blocks.0.attn.to_k.lora_up.weight": np.zeros((16, 4), np.float32),
+    }
+    rank, targets = infer_lora_config(sd)
+    assert rank == 4 and "to_q" in targets and "to_k" in targets
+    tree = import_peft_lora(sd, {
+        "transformer_blocks.0.attn.to_q": "block_0/attn/to_q/kernel",
+        "transformer_blocks.0.attn.to_k": "block_0/attn/to_k/kernel",
+    })
+    assert tree["block_0/attn/to_q/kernel"]["a"].shape == (16, 4)
+    assert tree["block_0/attn/to_q/kernel"]["b"].shape == (4, 16)
+
+
+def test_diffusers_import_transposes_and_validates():
+    template = {"context_embedder": {"kernel": np.zeros((8, 4), np.float32),
+                                     "bias": np.zeros((4,), np.float32)}}
+    sd = {"context_embedder.weight": np.arange(32, dtype=np.float32).reshape(4, 8),
+          "context_embedder.bias": np.ones((4,), np.float32)}
+    out = import_diffusers_params(sd, {"context_embedder": "context_embedder"}, template)
+    np.testing.assert_array_equal(out["context_embedder"]["kernel"],
+                                  torch_linear_to_dense(sd["context_embedder.weight"]))
+    with pytest.raises(ValueError):
+        bad = {"context_embedder.weight": np.zeros((5, 9), np.float32)}
+        import_diffusers_params(bad, {"context_embedder": "context_embedder"}, template)
+
+
+def test_sd3_key_map_covers_dual_attention():
+    m = sd3_transformer_key_map(2, dual_attention_layers=(0,))
+    assert m["transformer_blocks.0.attn2.to_q"] == "block_0/attn2/to_q"
+    assert "transformer_blocks.1.attn2.to_q" not in m
+    assert m["norm_out.linear"] == "norm_out/linear"
+
+
+def test_memory_profiler():
+    prof = MemoryProfiler()
+    tree = {"w": np.zeros((128, 128), np.float32)}
+    assert tree_nbytes(tree) == 128 * 128 * 4
+    prof.model.track("transformer", tree)
+    prof.optimizer.track({"m": tree, "v": tree})
+    with prof.stage("rollout"):
+        pass
+    rep = prof.report()
+    assert "transformer" in rep["model"]
+    assert "rollout/enter" in rep["device"]
+
+
+def test_image_grid_and_payload():
+    imgs = [np.random.rand(3, 8, 8).astype(np.float32) for _ in range(5)]
+    grid = make_image_grid(imgs, cols=2)
+    assert grid.dtype == np.uint8 and grid.ndim == 3
+    samples = [BaseSample(prompt=f"p{i}", image=imgs[i]) for i in range(3)]
+    samples[0].extra_kwargs["reward"] = 0.5
+    payload = samples_to_media_payload(samples)
+    assert len(payload["images"]) == 3 and "r=0.5" in payload["captions"][0]
+    scalars = LogFormatter.to_scalar({"a": 1.0, "b": [1.0, 3.0], "c": "text"})
+    assert scalars == {"a": 1.0, "b_mean": 2.0}
