@@ -1,0 +1,108 @@
+"""Registry coverage + conditioned (Kontext) and joint-AV (LTX-2) paths.
+
+The remaining families (Qwen, FLUX.2, Z-Image, Wan-I2V/V2V) share these code
+paths; their per-family rollouts are exercised by the smoke scripts and CI
+marks to keep the suite fast.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from flow_factory_tpu.hparams.args import Arguments
+from flow_factory_tpu.models import load_adapter, resolve_adapter_class
+from flow_factory_tpu.samples import stack_samples
+
+ALL_KEYS = [
+    "sd3-5", "flux1", "flux1-kontext", "flux2", "flux2-klein",
+    "qwen-image", "qwen-image-edit-plus", "z-image",
+    "wan2-t2v", "wan2-i2v", "wan2-v2v", "ltx2-t2av", "ltx2-i2av",
+]
+
+
+def test_registry_resolves_every_adapter():
+    for key in ALL_KEYS:
+        cls = resolve_adapter_class(key)
+        assert cls.__name__.endswith("Adapter"), key
+
+
+def _cfg(model_type, g=3.0, steps=3):
+    return Arguments.from_dict({
+        "data": {},
+        "model": {"model_type": model_type, "model_name_or_path": "tiny", "finetune_type": "lora",
+                  "lora_rank": 4, "lora_alpha": 8, "attn_backend": "native",
+                  "master_dtype": "float32", "inference_dtype": "float32"},
+        "scheduler": {"dynamics_type": "Flow-SDE", "noise_level": 0.7,
+                      "num_sde_steps": 2, "sde_steps": [0, 1, 2]},
+        "train": {"trainer_type": "grpo", "resolution": 32, "num_inference_steps": steps,
+                  "guidance_scale": g, "per_device_batch_size": 2, "group_size": 2,
+                  "unique_sample_num_per_epoch": 2, "latent_storage_dtype": "fp32",
+                  "num_frames": 5},
+        "eval": {}, "log": {}, "rewards": [],
+    })
+
+
+def test_kontext_conditioned_replay():
+    adapter = load_adapter(_cfg("flux1-kontext", g=3.5))
+    adapter.rollout()
+    rng = np.random.default_rng(0)
+    images = [rng.random((3, 32, 32)).astype(np.float32) for _ in range(2)]
+    samples = adapter.inference(
+        prompt=["edit a", "edit b"], images=images, compute_log_prob=True, seed=0
+    )
+    s = samples[0]
+    assert s.images and s.unique_id != samples[1].unique_id
+    b = stack_samples(samples)
+    sig, nl = s.extra_kwargs["sigmas"], s.extra_kwargs["noise_levels"]
+    i = int(np.nonzero(nl)[0][0])
+    li, lni, lpi = s.latent_index_map[i], s.latent_index_map[i + 1], s.log_prob_index_map[i]
+    batch = {
+        "latents": jnp.asarray(b["all_latents"][:, li]),
+        "next_latents": jnp.asarray(b["all_latents"][:, lni]),
+        "timestep": jnp.full((2,), float(s.timesteps[i])),
+        "sigma": jnp.full((2,), float(sig[i])),
+        "sigma_next": jnp.full((2,), float(sig[i + 1])),
+        "noise_level": jnp.full((2,), float(nl[i])),
+        "guidance_scale": jnp.float32(3.5),
+        "sigma_max": jnp.float32(sig[1]),
+        "prompt_embeds": jnp.asarray(b["prompt_embeds"]),
+        "pooled_prompt_embeds": jnp.asarray(b["pooled_prompt_embeds"]),
+        "img_ids": jnp.asarray(b["img_ids"]),
+        "txt_ids": jnp.asarray(b["txt_ids"]),
+        "cond_latents": jnp.asarray(b["cond_latents"]),
+        "cond_ids": jnp.asarray(b["cond_ids"]),
+    }
+    out = adapter.training_forward(adapter.trainable, batch)
+    ratio = np.exp(np.asarray(out.log_prob) - b["log_probs"][:, lpi])
+    np.testing.assert_allclose(ratio, 1.0, atol=1e-4)
+
+
+def test_ltx2_joint_av_replay():
+    adapter = load_adapter(_cfg("ltx2-t2av"))
+    adapter.rollout()
+    samples = adapter.inference(prompt=["a drum solo", "rain"], compute_log_prob=True, seed=0)
+    s = samples[0]
+    assert s.video.shape[0] == 5 and s.audio is not None and s.audio_sample_rate > 0
+    b = stack_samples(samples)
+    sig, nl = s.extra_kwargs["sigmas"], s.extra_kwargs["noise_levels"]
+    i = int(np.nonzero(nl)[0][0])
+    li, lni, lpi = s.latent_index_map[i], s.latent_index_map[i + 1], s.log_prob_index_map[i]
+    batch = {
+        "latents": jnp.asarray(b["all_latents"][:, li]),
+        "audio_latents": jnp.asarray(b["audio_all_latents"][:, li]),
+        "next_latents": jnp.asarray(b["all_latents"][:, lni]),
+        "timestep": jnp.full((2,), float(s.timesteps[i])),
+        "sigma": jnp.full((2,), float(sig[i])),
+        "sigma_next": jnp.full((2,), float(sig[i + 1])),
+        "noise_level": jnp.full((2,), float(nl[i])),
+        "guidance_scale": jnp.float32(3.0),
+        "sigma_max": jnp.float32(sig[1]),
+        "prompt_embeds": jnp.asarray(b["prompt_embeds"]),
+        "negative_prompt_embeds": jnp.asarray(b["negative_prompt_embeds"]),
+        "video_ids": jnp.asarray(b["video_ids"]),
+        "audio_ids": jnp.asarray(b["audio_ids"]),
+    }
+    out = adapter.training_forward(adapter.trainable, batch)
+    ratio = np.exp(np.asarray(out.log_prob) - b["log_probs"][:, lpi])
+    np.testing.assert_allclose(ratio, 1.0, atol=1e-4)
