@@ -73,6 +73,12 @@ class Flux1Adapter(BaseAdapter):
             "tiny" if ma.model_name_or_path in ("", "tiny") else "dev"
         )
         preset = _preset(variant, ma.attn_backend, ma.inference_dtype)
+        if self.training_args.enable_gradient_checkpointing or (
+            self.model_args.enable_gradient_checkpointing_override
+        ):
+            import dataclasses as _dc
+
+            preset["transformer"] = _dc.replace(preset["transformer"], remat=True)
         self.t5_max_length = preset["t5_max_length"]
         self.clip_max_length = preset["clip_max_length"]
 

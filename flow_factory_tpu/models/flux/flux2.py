@@ -80,6 +80,12 @@ class Flux2Adapter(Flux1KontextAdapter):
     def load_models(self) -> None:
         ma = self.model_args
         preset = _preset(self._variant(), ma.attn_backend, ma.inference_dtype)
+        if self.training_args.enable_gradient_checkpointing or (
+            self.model_args.enable_gradient_checkpointing_override
+        ):
+            import dataclasses as _dc
+
+            preset["transformer"] = _dc.replace(preset["transformer"], remat=True)
         self.max_length = preset["max_length"]
 
         self.modules = {

@@ -53,6 +53,7 @@ class FluxConfig:
     mlp_ratio: float = 4.0
     attn_backend: str = "auto"
     dtype: str = "bfloat16"
+    remat: bool = False  # gradient checkpointing (rematerialize blocks)
 
     @property
     def compute_dtype(self) -> jnp.dtype:
@@ -210,12 +211,14 @@ class FluxTransformer(nn.Module):
         ids = jnp.concatenate([txt_ids, img_ids], axis=0)  # (L, 3)
         cos, sin = rope_frequencies(ids, cfg.axes_dim, cfg.rope_theta)
 
+        DoubleCls = nn.remat(FluxDoubleBlock) if cfg.remat else FluxDoubleBlock
+        SingleCls = nn.remat(FluxSingleBlock) if cfg.remat else FluxSingleBlock
         for i in range(cfg.num_double_blocks):
-            img, txt = FluxDoubleBlock(cfg, name=f"double_{i}")(img, txt, temb, cos, sin)
+            img, txt = DoubleCls(cfg, name=f"double_{i}")(img, txt, temb, cos, sin)
 
         x = jnp.concatenate([txt, img], axis=1)
         for i in range(cfg.num_single_blocks):
-            x = FluxSingleBlock(cfg, name=f"single_{i}")(x, temb, cos, sin)
+            x = SingleCls(cfg, name=f"single_{i}")(x, temb, cos, sin)
         img = x[:, txt.shape[1]:]
 
         img = AdaLayerNormContinuous(cfg.hidden_dim, name="norm_out")(img, temb)

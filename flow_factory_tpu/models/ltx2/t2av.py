@@ -80,6 +80,12 @@ class LTX2T2AVAdapter(BaseAdapter):
             "tiny" if ma.model_name_or_path in ("", "tiny") else "ltx2"
         )
         preset = _preset(variant, ma.attn_backend, ma.inference_dtype)
+        if self.training_args.enable_gradient_checkpointing or (
+            self.model_args.enable_gradient_checkpointing_override
+        ):
+            import dataclasses as _dc
+
+            preset["transformer"] = _dc.replace(preset["transformer"], remat=True)
         self.max_length = preset["max_length"]
 
         self.modules = {

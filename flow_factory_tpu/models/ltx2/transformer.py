@@ -39,6 +39,7 @@ class LTX2Config:
     rope_theta: float = 10000.0
     attn_backend: str = "auto"
     dtype: str = "bfloat16"
+    remat: bool = False  # gradient checkpointing (rematerialize blocks)
 
     @property
     def compute_dtype(self) -> jnp.dtype:
@@ -70,6 +71,7 @@ class LTX2Config:
             rope_theta=self.rope_theta,
             attn_backend=self.attn_backend,
             dtype=self.dtype,
+            remat=False,  # remat is applied at the LTX2 block level
         )
 
 
@@ -122,8 +124,9 @@ class LTX2Transformer(nn.Module):
         cos, sin = rope_frequencies(ids, cfg.axes_dim, cfg.rope_theta)
 
         wcfg = self.cfg.wan_block_config()
+        BlockCls = nn.remat(WanBlock) if cfg.remat else WanBlock
         for i in range(cfg.num_layers):
-            x = WanBlock(wcfg, name=f"block_{i}")(x, context, temb6, cos, sin)
+            x = BlockCls(wcfg, name=f"block_{i}")(x, context, temb6, cos, sin)
 
         head_table = self.param("head_table", nn.initializers.normal(0.02), (1, 2, cfg.hidden_dim), jnp.float32)
         head_mod = head_table + nn.Dense(2 * cfg.hidden_dim, dtype=jnp.float32, name="head_time")(

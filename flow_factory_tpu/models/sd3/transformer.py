@@ -52,6 +52,7 @@ class MMDiTConfig:
     dual_attention_layers: Tuple[int, ...] = ()
     attn_backend: str = "auto"
     dtype: str = "bfloat16"
+    remat: bool = False  # gradient checkpointing (rematerialize blocks)
 
     @property
     def compute_dtype(self) -> jnp.dtype:
@@ -218,8 +219,9 @@ class SD3Transformer(nn.Module):
             encoder_hidden_states.astype(dt)
         )
 
+        BlockCls = nn.remat(JointTransformerBlock) if cfg.remat else JointTransformerBlock
         for i in range(cfg.depth):
-            x, context = JointTransformerBlock(
+            x, context = BlockCls(
                 cfg,
                 context_pre_only=(i == cfg.depth - 1),
                 use_dual_attention=(i in cfg.dual_attention_layers),

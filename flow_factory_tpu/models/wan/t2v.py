@@ -82,6 +82,12 @@ class WanT2VAdapter(BaseAdapter):
             "tiny" if ma.model_name_or_path in ("", "tiny") else "1.3b"
         )
         preset = _preset(variant, ma.attn_backend, ma.inference_dtype)
+        if self.training_args.enable_gradient_checkpointing or (
+            self.model_args.enable_gradient_checkpointing_override
+        ):
+            import dataclasses as _dc
+
+            preset["transformer"] = _dc.replace(preset["transformer"], remat=True)
         self.t5_max_length = preset["t5_max_length"]
         self.boundary_ratio = getattr(ma, "boundary_ratio", None) or preset["boundary_ratio"]
 

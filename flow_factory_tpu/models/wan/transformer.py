@@ -43,6 +43,7 @@ class WanConfig:
     qk_norm: bool = True
     attn_backend: str = "auto"
     dtype: str = "bfloat16"
+    remat: bool = False  # gradient checkpointing (rematerialize blocks)
 
     @property
     def compute_dtype(self) -> jnp.dtype:
@@ -169,8 +170,9 @@ class WanTransformer(nn.Module):
         ids = jnp.stack([tt, hh, ww], axis=-1)  # (L, 3)
         cos, sin = rope_frequencies(ids, cfg.axes_dim, cfg.rope_theta)
 
+        BlockCls = nn.remat(WanBlock) if cfg.remat else WanBlock
         for i in range(cfg.num_layers):
-            x = WanBlock(cfg, name=f"block_{i}")(x, context, temb6, cos, sin)
+            x = BlockCls(cfg, name=f"block_{i}")(x, context, temb6, cos, sin)
 
         # head: modulated norm + linear to patch voxels
         head_table = self.param("head_table", nn.initializers.normal(0.02), (1, 2, cfg.hidden_dim), jnp.float32)

@@ -64,6 +64,12 @@ class ZImageAdapter(Flux1Adapter):
             "tiny" if ma.model_name_or_path in ("", "tiny") else "z-image"
         )
         preset = _preset(variant, ma.attn_backend, ma.inference_dtype)
+        if self.training_args.enable_gradient_checkpointing or (
+            self.model_args.enable_gradient_checkpointing_override
+        ):
+            import dataclasses as _dc
+
+            preset["transformer"] = _dc.replace(preset["transformer"], remat=True)
         self.max_length = preset["max_length"]
 
         self.modules = {
