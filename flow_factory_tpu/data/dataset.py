@@ -155,6 +155,24 @@ class PreprocessedDataset:
             item[k] = lst[idx]
         return item
 
+    def get_batch(self, indices) -> Dict[str, Any]:
+        """Batched fetch: mmap array fields gather through the native kernel
+        (one threaded memcpy per field instead of per-row Python copies)."""
+        from .native_gather import gather_rows
+
+        out: Dict[str, Any] = {}
+        for k, arr in self.arrays.items():
+            out[k] = gather_rows(arr, indices)
+        for k, lst in self.lists.items():
+            out[k] = [lst[i] for i in indices]
+        record_keys = set()
+        for i in indices:
+            record_keys |= set(self.records[i])
+        for k in record_keys:
+            if k not in out:
+                out[k] = [self.records[i].get(k) for i in indices]
+        return out
+
     def column(self, name: str) -> Any:
         if name in self.arrays:
             return self.arrays[name]

@@ -55,9 +55,14 @@ class DataLoader:
 
     def __iter__(self) -> Iterator[Dict[str, Any]]:
         for idx_batch in self.batch_sampler:
-            batch = collate([self.dataset[i] for i in idx_batch])
+            batch = self._fetch(list(idx_batch))
             batch["_indices"] = list(idx_batch)
             yield batch
+
+    def _fetch(self, idxs):
+        if hasattr(self.dataset, "get_batch"):
+            return self.dataset.get_batch(idxs)
+        return collate([self.dataset[i] for i in idxs])
 
 
 class MultiReplicaLoader:
@@ -90,7 +95,10 @@ class MultiReplicaLoader:
     def __iter__(self) -> Iterator[Dict[str, Any]]:
         for idx_batches in zip(*self.samplers):
             idxs = [i for b in idx_batches for i in b]
-            batch = collate([self.dataset[i] for i in idxs])
+            if hasattr(self.dataset, "get_batch"):
+                batch = self.dataset.get_batch(idxs)
+            else:
+                batch = collate([self.dataset[i] for i in idxs])
             batch["_indices"] = idxs
             yield batch
 
@@ -109,7 +117,10 @@ class SequentialLoader:
     def __iter__(self) -> Iterator[Dict[str, Any]]:
         for b in range(len(self)):
             idxs = self.indices[b * self.batch_size : (b + 1) * self.batch_size]
-            batch = collate([self.dataset[i] for i in idxs])
+            if hasattr(self.dataset, "get_batch"):
+                batch = self.dataset.get_batch(idxs)
+            else:
+                batch = collate([self.dataset[i] for i in idxs])
             batch["_indices"] = idxs
             yield batch
 
