@@ -717,10 +717,48 @@ class BaseAdapter(ABC):
     # ------------------------------------------------------------------
     # Mesh placement
     # ------------------------------------------------------------------
+    #: column-parallel projections (output dim sharded over 'tensor')
+    tp_col_pattern = (
+        r".*/(to_q|to_k|to_v|add_q_proj|add_k_proj|add_v_proj"
+        r"|img_q|img_k|img_v|txt_q|txt_k|txt_v"
+        r"|sa_q|sa_k|sa_v|ca_q|ca_k|ca_v"
+        r"|fc1|ffn1|linear1|wi_0|wi_1|gate|up)/kernel$"
+    )
+    #: row-parallel projections (input dim sharded over 'tensor')
+    tp_row_pattern = (
+        r".*/(to_out|to_add_out|img_attn_out|txt_attn_out"
+        r"|sa_out|ca_out|fc2|ffn2|linear2|wo|down)/kernel$"
+    )
+    tp_col_bias_pattern = (
+        r".*/(to_q|to_k|to_v|add_q_proj|add_k_proj|add_v_proj"
+        r"|img_q|img_k|img_v|txt_q|txt_k|txt_v"
+        r"|sa_q|sa_k|sa_v|ca_q|ca_k|ca_v"
+        r"|fc1|ffn1|linear1|wi_0|wi_1|gate|up)/bias$"
+    )
+
     def param_sharding_rules(self) -> Optional[Dict[str, Any]]:
-        """Regex → PartitionSpec rules; adapters override for tensor
-        parallelism (attention heads / FFN over the 'tensor' axis)."""
-        return None
+        """Regex → PartitionSpec rules (Megatron-style tensor parallelism).
+
+        Column-parallel: qkv / FF-in kernels shard the OUTPUT dim over
+        'tensor' (+ their biases); row-parallel: attention-out / FF-out
+        kernels shard the INPUT dim — XLA GSPMD inserts the all-reduce after
+        each row-parallel matmul. Active only when the mesh has a non-trivial
+        tensor axis; rules that do not divide a given kernel fall back to the
+        FSDP default (mesh._spec_fits).
+        """
+        if self.mesh is None:
+            return None
+        from jax.sharding import PartitionSpec as P
+
+        from ..parallel.mesh import TENSOR_AXIS
+
+        if dict(self.mesh.shape).get(TENSOR_AXIS, 1) <= 1:
+            return None
+        return {
+            self.tp_col_pattern: P(None, TENSOR_AXIS),
+            self.tp_row_pattern: P(TENSOR_AXIS, None),
+            self.tp_col_bias_pattern: P(TENSOR_AXIS),
+        }
 
     def place_on_mesh(self) -> None:
         """Place frozen + trainable pytrees on the mesh.

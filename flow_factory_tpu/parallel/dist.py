@@ -138,6 +138,66 @@ def host_allgather_objects(objs: List[Any]) -> List[List[Any]]:
     return [pickle.loads(row[:ln].tobytes()) for row, ln in zip(gathered, lens)]
 
 
+def global_tensor_stats_batch(metrics: dict) -> dict:
+    """Global {min, max, mean, std} for N metrics in ONE packed gather.
+
+    The reference computes stats for N metrics in exactly 3 all-reduces
+    (``utils/dist.py:724-809``); here one packed (N, 5) row of
+    (count, sum, sumsq, min, max) per process does it in a single
+    ``process_allgather``. Single-process runs never communicate.
+    """
+    names = sorted(metrics)
+    packed = np.zeros((len(names), 5), np.float64)
+    for i, name in enumerate(names):
+        v = np.asarray(metrics[name], np.float64).reshape(-1)
+        if v.size == 0:
+            packed[i] = [0, 0, 0, np.inf, -np.inf]
+        else:
+            packed[i] = [v.size, v.sum(), (v * v).sum(), v.min(), v.max()]
+    if is_distributed():
+        rows = host_allgather(packed[None]).reshape(-1, len(names), 5)
+        counts = rows[:, :, 0].sum(0)
+        sums = rows[:, :, 1].sum(0)
+        sumsqs = rows[:, :, 2].sum(0)
+        mins = rows[:, :, 3].min(0)
+        maxs = rows[:, :, 4].max(0)
+    else:
+        counts, sums, sumsqs, mins, maxs = packed.T
+    out = {}
+    for i, name in enumerate(names):
+        n = max(counts[i], 1.0)
+        mean = sums[i] / n
+        var = max(sumsqs[i] / n - mean * mean, 0.0)
+        out[name] = {
+            "mean": float(mean),
+            "std": float(var ** 0.5),
+            "min": float(mins[i]) if np.isfinite(mins[i]) else 0.0,
+            "max": float(maxs[i]) if np.isfinite(maxs[i]) else 0.0,
+        }
+    return out
+
+
+def reduce_loss_info(loss_info: dict) -> dict:
+    """Cross-process metric reduction (reference ``reduce_loss_info``,
+    ``utils/dist.py:812-859``): per-sample vectors → {mean,std,min,max},
+    scalars → global mean. Flat ``metric`` / ``metric_{std,min,max}`` keys."""
+    vectors = {k: v for k, v in loss_info.items()
+               if np.asarray(v).size > 1}
+    scalars = {k: v for k, v in loss_info.items() if k not in vectors}
+    out: dict = {}
+    if scalars:
+        stats = global_tensor_stats_batch(scalars)
+        out.update({k: s["mean"] for k, s in stats.items()})
+    if vectors:
+        stats = global_tensor_stats_batch(vectors)
+        for k, s in stats.items():
+            out[k] = s["mean"]
+            out[f"{k}_std"] = s["std"]
+            out[f"{k}_min"] = s["min"]
+            out[f"{k}_max"] = s["max"]
+    return out
+
+
 def global_stats(values: np.ndarray) -> tuple:
     """Global (mean, std) across processes via one packed (count,sum,sumsq)
     reduction — the reference's single-reduce trick (``utils/dist.py:414-489``)."""

@@ -96,15 +96,33 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
 # Parameter sharding
 # ---------------------------------------------------------------------------
 
-def _default_leaf_spec(path: str, leaf: Any, fsdp: int, rules) -> P:
+def _spec_fits(spec: P, shape, axis_sizes: Dict[str, int]) -> bool:
+    """A PartitionSpec applies only when every named dim divides evenly."""
+    if len(spec) > len(shape):
+        return False
+    for dim, names in enumerate(spec):
+        if names is None:
+            continue
+        group = names if isinstance(names, tuple) else (names,)
+        total = 1
+        for n in group:
+            total *= axis_sizes.get(n, 1)
+        if total > 1 and shape[dim] % total != 0:
+            return False
+    return True
+
+
+def _default_leaf_spec(path: str, leaf: Any, fsdp: int, rules, axis_sizes=None) -> P:
     """FSDP default: shard the largest dim divisible by the fsdp size.
 
     Model-specific ``rules`` (regex → PartitionSpec) take precedence; they are
     how adapters express tensor parallelism (attention heads / FFN over
-    'tensor').
+    'tensor'). A rule that does not divide the leaf's shape falls through to
+    the next rule / the FSDP default.
     """
+    axis_sizes = axis_sizes or {}
     for pattern, spec in rules:
-        if re.search(pattern, path):
+        if re.search(pattern, path) and _spec_fits(spec, getattr(leaf, "shape", ()), axis_sizes):
             return spec
     shape = getattr(leaf, "shape", ())
     if fsdp <= 1 or len(shape) == 0:
@@ -131,6 +149,7 @@ def shard_params(params: Any, mesh: Mesh, rules: Optional[Dict[str, P]] = None) 
     """Device-put a parameter pytree with NamedShardings over the mesh."""
     rule_list = param_sharding_rules(rules)
     fsdp = mesh.shape[FSDP_AXIS]
+    axis_sizes = dict(mesh.shape)
     flat, treedef = jax.tree_util.tree_flatten_with_path(params)
 
     def path_str(kp):
@@ -138,7 +157,7 @@ def shard_params(params: Any, mesh: Mesh, rules: Optional[Dict[str, P]] = None) 
 
     out = []
     for kp, leaf in flat:
-        spec = _default_leaf_spec(path_str(kp), leaf, fsdp, rule_list)
+        spec = _default_leaf_spec(path_str(kp), leaf, fsdp, rule_list, axis_sizes)
         out.append(jax.device_put(leaf, NamedSharding(mesh, spec)))
     return jax.tree_util.tree_unflatten(treedef, out)
 
@@ -153,8 +172,9 @@ def sharding_spec_tree(params: Any, mesh: Mesh, rules: Optional[Dict[str, P]] = 
     def path_str(kp):
         return "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in kp)
 
+    axis_sizes = dict(mesh.shape)
     out = [
-        NamedSharding(mesh, _default_leaf_spec(path_str(kp), leaf, fsdp, rule_list))
+        NamedSharding(mesh, _default_leaf_spec(path_str(kp), leaf, fsdp, rule_list, axis_sizes))
         for kp, leaf in flat
     ]
     return jax.tree_util.tree_unflatten(treedef, out)

@@ -146,13 +146,12 @@ class GRPOTrainer(BaseTrainer):
             gnorm = self.apply_accumulated()
             infos[-1]["train/grad_norm"] = gnorm
 
-        agg: Dict[str, float] = {}
-        if infos:
-            keys = set().union(*(i.keys() for i in infos))
-            for k in keys:
-                vals = [i[k] for i in infos if k in i]
-                agg[k] = float(np.mean(vals))
-        return agg
+        if not infos:
+            return {}
+        from ..parallel.dist import reduce_loss_info
+
+        keys = set().union(*(i.keys() for i in infos))
+        return reduce_loss_info({k: [i[k] for i in infos if k in i] for k in keys})
 
     # ------------------------------------------------------------------
     # Loss

@@ -75,3 +75,17 @@ def test_image_grid_and_payload():
     assert len(payload["images"]) == 3 and "r=0.5" in payload["captions"][0]
     scalars = LogFormatter.to_scalar({"a": 1.0, "b": [1.0, 3.0], "c": "text"})
     assert scalars == {"a": 1.0, "b_mean": 2.0}
+
+
+def test_global_tensor_stats_batch_single_process():
+    from flow_factory_tpu.parallel.dist import global_tensor_stats_batch, reduce_loss_info
+
+    stats = global_tensor_stats_batch({"a": [1.0, 3.0], "b": 5.0})
+    assert stats["a"]["mean"] == pytest.approx(2.0)
+    assert stats["a"]["std"] == pytest.approx(1.0)
+    assert stats["a"]["min"] == 1.0 and stats["a"]["max"] == 3.0
+    assert stats["b"]["mean"] == 5.0
+
+    out = reduce_loss_info({"loss": [1.0, 2.0, 3.0], "lr": 0.1})
+    assert out["loss"] == pytest.approx(2.0)
+    assert out["loss_max"] == 3.0 and "lr" in out
