@@ -597,6 +597,61 @@ class BaseAdapter(ABC):
         )
         return x_final, lat_buf[:-1], lp_buf[:-1], (mean_buf[:-1] if store_means else None)
 
+    def rollout_compute(self, *args, **kwargs):
+        """Dispatch rollout: SDE scan normally; UniPC predictor-corrector in
+        eval mode when the scheduler provides it (Wan family)."""
+        if getattr(self.scheduler, "use_unipc_eval", False) and self.scheduler.is_eval:
+            return self._unipc_eval_impl(*args, **kwargs)
+        return self._rollout_impl(*args, **kwargs)
+
+    @functools.partial(jax.jit, static_argnums=(0,), static_argnames=(
+        "do_cfg", "compute_log_prob", "dynamics_type", "num_latent_slots",
+        "num_logprob_slots", "store_means",
+    ))
+    def _unipc_eval_impl(
+        self,
+        trainable: Dict[str, Any],
+        frozen: Dict[str, Any],
+        x0: jax.Array,
+        embeds: Dict[str, jax.Array],
+        guidance_scale: jax.Array,
+        sigmas: jax.Array,
+        timesteps: jax.Array,
+        noise_levels: jax.Array,  # unused (deterministic)
+        latent_store_slot: jax.Array,
+        logprob_store_slot: jax.Array,
+        key: jax.Array,
+        *,
+        do_cfg: bool,
+        compute_log_prob: bool,
+        dynamics_type: str,
+        num_latent_slots: int,
+        num_logprob_slots: int,
+        store_means: bool = False,
+    ):
+        """Eval-mode UniPC(bh2) rollout — same signature as ``_rollout_impl``
+        so adapters dispatch transparently; log-probs are zeros (ODE)."""
+        from ..scheduler.unipc import init_unipc_carry, unipc_eval_step
+
+        merged = self.merged_params(self.velocity_component, trainable, frozen)
+        B = x0.shape[0]
+        storage_dtype = self.training_args.storage_dtype
+        lat_buf = jnp.zeros((num_latent_slots + 1, *x0.shape), storage_dtype)
+        lat_buf = lat_buf.at[latent_store_slot[0]].set(x0.astype(storage_dtype))
+        lp_buf = jnp.zeros((num_logprob_slots + 1, B), jnp.float32)
+
+        def body(carry, inp):
+            uc, lat_buf = carry
+            sigma, sigma_next, t, lat_slot = inp
+            v = self._velocity(merged, uc.x, jnp.full((B,), t), embeds, guidance_scale, do_cfg)
+            uc, x_next = unipc_eval_step(uc, v, sigma, sigma_next)
+            lat_buf = lat_buf.at[lat_slot].set(x_next.astype(storage_dtype))
+            return (uc, lat_buf), None
+
+        inputs = (sigmas[:-1], sigmas[1:], timesteps, latent_store_slot[1:])
+        (uc, lat_buf), _ = jax.lax.scan(body, (init_unipc_carry(x0), lat_buf), inputs)
+        return uc.x, lat_buf[:-1], lp_buf[:-1], None
+
     @functools.partial(jax.jit, static_argnums=(0,), static_argnames=(
         "do_cfg", "compute_log_prob", "dynamics_type",
     ))

@@ -28,8 +28,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_BLOCK_Q = 256
-DEFAULT_BLOCK_K = 256
+# Tuned on v5e (SD3.5-M geometry, S=4429 D=64): 512x1024 sustains ~34 TF/s
+# per kernel vs ~13 TF/s at 256x256 (bigger K-blocks amortize the online-
+# softmax VPU work against the small-D MXU matmuls).
+DEFAULT_BLOCK_Q = 512
+DEFAULT_BLOCK_K = 1024
 _NEG_INF = -1e30
 
 
