@@ -323,7 +323,7 @@ class Flux1Adapter(BaseAdapter):
                 for k, v in embeds.items()
             }
 
-        x_final, lat_buf, lp_buf, mean_buf = self._rollout_impl(
+        x_final, lat_buf, lp_buf, mean_buf = self.rollout_compute(
             trainable if trainable is not None else self.trainable,
             self.frozen_velocity_params(),
             x0,

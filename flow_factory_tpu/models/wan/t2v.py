@@ -294,7 +294,7 @@ class WanT2VAdapter(BaseAdapter):
         x0 = self.shard_batch(x0)
         embeds = self.shard_batch(embeds)
 
-        x_final, lat_buf, lp_buf, mean_buf = self._rollout_impl(
+        x_final, lat_buf, lp_buf, mean_buf = self.rollout_compute(
             trainable if trainable is not None else self.trainable,
             self.frozen_velocity_params(),
             x0,

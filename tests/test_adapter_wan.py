@@ -97,3 +97,17 @@ def test_unipc_beats_euler_on_curved_field():
     exact = 1.0 - 0.5
     x_unipc, x_euler = run(None, 8)
     assert abs(x_unipc - exact) < abs(x_euler - exact)
+
+
+def test_eval_rollout_uses_unipc(adapter):
+    adapter.eval()
+    s1 = adapter.inference(prompt=["same"], compute_log_prob=False,
+                           trajectory_indices=None, seed=3)
+    s2 = adapter.inference(prompt=["same"], compute_log_prob=False,
+                           trajectory_indices=None, seed=3)
+    np.testing.assert_allclose(s1[0].video, s2[0].video, atol=1e-6)
+    adapter.train()
+    # train-mode rollouts (Euler SDE) must differ from eval UniPC rollouts
+    s3 = adapter.inference(prompt=["same"], compute_log_prob=True,
+                           trajectory_indices=None, seed=3)
+    assert not np.allclose(s1[0].video, s3[0].video, atol=1e-4)
