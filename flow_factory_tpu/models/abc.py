@@ -701,14 +701,20 @@ class BaseAdapter(ABC):
         compute_log_prob: bool = True,
         key: Optional[jax.Array] = None,
         dynamics_type: Optional[str] = None,
+        frozen: Optional[Dict[str, Any]] = None,
     ):
         """Replay (or re-sample) one stored transition; differentiable wrt
-        ``trainable``. The coupled-paradigm trainers' forward."""
+        ``trainable``. The coupled-paradigm trainers' forward.
+
+        IMPORTANT: when called inside an outer jit (trainer loss fns), pass
+        ``frozen`` explicitly — the default reads ``self.params`` at trace
+        time and bakes the weights in as constants.
+        """
         embeds = {k: batch[k] for k in self.embed_keys if k in batch}
         do_cfg = "negative_prompt_embeds" in embeds and bool(batch.get("do_cfg", True))
         return self._forward_impl(
             trainable,
-            self.frozen_velocity_params(),
+            frozen if frozen is not None else self.frozen_velocity_params(),
             batch["latents"],
             batch.get("next_latents"),
             batch["timestep"],
@@ -724,18 +730,22 @@ class BaseAdapter(ABC):
             dynamics_type=dynamics_type or self.scheduler.dynamics_type,
         )
 
-    def training_velocity(self, trainable: Dict[str, Any], batch: Dict[str, Any]) -> jax.Array:
+    def training_velocity(
+        self, trainable: Dict[str, Any], batch: Dict[str, Any],
+        frozen: Optional[Dict[str, Any]] = None,
+    ) -> jax.Array:
         """Velocity at arbitrary (latents, t) — the decoupled-trainer forward.
 
         Replaces the reference's ``adapter.forward(..., return_kwargs=
         ['noise_pred'], noise_level=0.0)`` calls (``trainers/dpo.py:465-470``,
-        ``nft.py``, ``awm.py``). Differentiable wrt ``trainable``.
+        ``nft.py``, ``awm.py``). Differentiable wrt ``trainable``. Pass
+        ``frozen`` when tracing under an outer jit (constants hazard).
         """
         embeds = {k: batch[k] for k in self.embed_keys if k in batch}
         do_cfg = "negative_prompt_embeds" in embeds and bool(batch.get("do_cfg", True))
         return self._training_velocity_jit(
             trainable,
-            self.frozen_velocity_params(),
+            frozen if frozen is not None else self.frozen_velocity_params(),
             batch["latents"],
             batch["timestep"],
             embeds,

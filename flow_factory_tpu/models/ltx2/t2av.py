@@ -326,12 +326,12 @@ class LTX2T2AVAdapter(BaseAdapter):
 
     # ------------------------------------------------------------------
     def training_forward(self, trainable, batch, *, compute_log_prob=True, key=None,
-                         dynamics_type=None):
+                         dynamics_type=None, frozen=None):
         """Replay a stored VIDEO transition (audio context from the same step)."""
         embeds = {k: batch[k] for k in self.embed_keys if k in batch}
         do_cfg = "negative_prompt_embeds" in embeds
         return self._training_forward_jit(
-            trainable, self.frozen_velocity_params(),
+            trainable, frozen if frozen is not None else self.frozen_velocity_params(),
             batch["latents"], batch["audio_latents"], batch.get("next_latents"),
             batch["timestep"], batch["sigma"], batch["sigma_next"],
             batch.get("noise_level", jnp.float32(0.0)), embeds,

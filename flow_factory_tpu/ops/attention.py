@@ -74,6 +74,7 @@ def _flash_fwd_kernel(
     k_ref,
     v_ref,
     o_ref,
+    lse_ref,
     m_scratch,
     l_scratch,
     acc_scratch,
@@ -133,16 +134,10 @@ def _flash_fwd_kernel(
     def _finalize():
         denom = jnp.maximum(l_scratch[:], 1e-30)
         o_ref[0, 0] = (acc_scratch[:] / denom).astype(o_ref.dtype)
+        lse_ref[0, 0] = m_scratch[:] + jnp.log(denom)  # (Bq, 1)
 
 
-def _flash_forward(
-    q: jax.Array,
-    k: jax.Array,
-    v: jax.Array,
-    scale: float,
-    block_q: int,
-    block_k: int,
-) -> jax.Array:
+def _pad_qkv(q, k, v, block_q, block_k):
     B, H, Sq, D = q.shape
     Sk = k.shape[2]
     block_q = min(block_q, _round_up(Sq, 128))
@@ -154,6 +149,19 @@ def _flash_forward(
     if Sk_pad != Sk:
         k = jnp.pad(k, ((0, 0), (0, 0), (0, Sk_pad - Sk), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, 0), (0, Sk_pad - Sk), (0, 0)))
+    return q, k, v, block_q, block_k, Sq, Sk, Sq_pad, Sk_pad
+
+
+def _flash_forward(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    scale: float,
+    block_q: int,
+    block_k: int,
+):
+    B, H, _, D = q.shape
+    q, k, v, block_q, block_k, Sq, Sk, Sq_pad, Sk_pad = _pad_qkv(q, k, v, block_q, block_k)
 
     grid = (B, H, Sq_pad // block_q, Sk_pad // block_k)
     kernel = functools.partial(
@@ -161,7 +169,7 @@ def _flash_forward(
     )
     # Interpret mode lets the CPU test mesh execute the TPU kernel faithfully.
     interpret = _active_platform() != "tpu"
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -169,10 +177,14 @@ def _flash_forward(
             pl.BlockSpec((1, 1, block_k, D), lambda b, h, i, j: (b, h, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, block_k, D), lambda b, h, i, j: (b, h, j, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (1, 1, block_q, D), lambda b, h, i, j: (b, h, i, 0), memory_space=pltpu.VMEM
+        out_specs=(
+            pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, j: (b, h, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q, 1), lambda b, h, i, j: (b, h, i, 0), memory_space=pltpu.VMEM),
         ),
-        out_shape=jax.ShapeDtypeStruct((B, H, Sq_pad, D), q.dtype),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, H, Sq_pad, D), q.dtype),
+            jax.ShapeDtypeStruct((B, H, Sq_pad, 1), jnp.float32),
+        ),
         scratch_shapes=[
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, 1), jnp.float32),
@@ -190,27 +202,202 @@ def _flash_forward(
     )(q, k, v)
     if Sq_pad != Sq:
         out = out[:, :, :Sq, :]
-    return out
+        lse = lse[:, :, :Sq]
+    return out, lse[..., 0]
+
+
+# ---------------------------------------------------------------------------
+# Pallas flash attention (backward)
+# ---------------------------------------------------------------------------
+
+def _flash_bwd_dq_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_scratch,
+    *, scale: float, kv_len: int, block_k: int,
+):
+    """dq = Σ_j ds_ij k_j · scale, ds = p ∘ (do vᵀ − Δ); grid k-axis innermost."""
+    j = pl.program_id(3)
+    num_k = pl.num_programs(3)
+
+    @pl.when(j == 0)
+    def _init():
+        dq_scratch[:] = jnp.zeros_like(dq_scratch)
+
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    do = do_ref[0, 0].astype(jnp.float32)
+    lse = lse_ref[0, 0]  # (Bq, 1)
+    delta = delta_ref[0, 0]  # (Bq, 1)
+
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    if kv_len % block_k != 0:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_k
+        s = jnp.where(col < kv_len, s, _NEG_INF)
+    p = jnp.exp(s - lse)  # (Bq, Bk)
+    dp = jax.lax.dot_general(
+        do, v.astype(jnp.float32),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - delta) * scale
+    dq_scratch[:] += jax.lax.dot_general(
+        ds, k.astype(jnp.float32),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(j == num_k - 1)
+    def _finalize():
+        dq_ref[0, 0] = dq_scratch[:].astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
+    dk_scratch, dv_scratch,
+    *, scale: float, kv_len: int, block_k: int,
+):
+    """dk, dv accumulated over the q-block axis (innermost)."""
+    i = pl.program_id(3)
+    num_q = pl.num_programs(3)
+    j = pl.program_id(2)
+
+    @pl.when(i == 0)
+    def _init():
+        dk_scratch[:] = jnp.zeros_like(dk_scratch)
+        dv_scratch[:] = jnp.zeros_like(dv_scratch)
+
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    do = do_ref[0, 0].astype(jnp.float32)
+    lse = lse_ref[0, 0]  # (Bq, 1)
+    delta = delta_ref[0, 0]  # (Bq, 1)
+
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    if kv_len % block_k != 0:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_k
+        s = jnp.where(col < kv_len, s, _NEG_INF)
+    p = jnp.exp(s - lse)  # (Bq, Bk)
+    # dv += pᵀ do
+    dv_scratch[:] += jax.lax.dot_general(
+        p, do, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dp = jax.lax.dot_general(
+        do, v.astype(jnp.float32),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - delta) * scale
+    # dk += dsᵀ q
+    dk_scratch[:] += jax.lax.dot_general(
+        ds, q.astype(jnp.float32),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(i == num_q - 1)
+    def _finalize():
+        dk_ref[0, 0] = dk_scratch[:].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scratch[:].astype(dv_ref.dtype)
+
+
+def _flash_backward(q, k, v, out, lse, g, scale, block_q, block_k):
+    B, H, _, D = q.shape
+    Sq0, Sk0 = q.shape[2], k.shape[2]
+    g = g.astype(q.dtype)
+    # Δ = rowsum(dout ∘ out) — tiny elementwise op, leave to XLA
+    delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)  # (B,H,Sq)
+
+    q_p, k_p, v_p, block_q, block_k, Sq, Sk, Sq_pad, Sk_pad = _pad_qkv(q, k, v, block_q, block_k)
+    if Sq_pad != Sq:
+        g = jnp.pad(g, ((0, 0), (0, 0), (0, Sq_pad - Sq), (0, 0)))
+        # padded q rows: lse=+inf ⇒ p=0 ⇒ no contribution
+        lse = jnp.pad(lse, ((0, 0), (0, 0), (0, Sq_pad - Sq)), constant_values=jnp.inf)
+        delta = jnp.pad(delta, ((0, 0), (0, 0), (0, Sq_pad - Sq)))
+    lse = lse[..., None]  # (B,H,Sq,1): TPU-tileable trailing dim
+    delta = delta[..., None]
+
+    interpret = _active_platform() != "tpu"
+    common_in = [
+        pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, j: (b, h, i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_k, D), lambda b, h, i, j: (b, h, j, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_k, D), lambda b, h, i, j: (b, h, j, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, j: (b, h, i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_q, 1), lambda b, h, i, j: (b, h, i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_q, 1), lambda b, h, i, j: (b, h, i, 0), memory_space=pltpu.VMEM),
+    ]
+
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, scale=scale, kv_len=Sk, block_k=block_k),
+        grid=(B, H, Sq_pad // block_q, Sk_pad // block_k),
+        in_specs=common_in,
+        out_specs=pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, j: (b, h, i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, Sq_pad, D), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, D), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q_p, k_p, v_p, g, lse, delta)
+
+    # dkv: q-block axis innermost; swap index maps accordingly
+    dkv_in = [
+        pl.BlockSpec((1, 1, block_q, D), lambda b, h, j, i: (b, h, i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_k, D), lambda b, h, j, i: (b, h, j, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_k, D), lambda b, h, j, i: (b, h, j, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_q, D), lambda b, h, j, i: (b, h, i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_q, 1), lambda b, h, j, i: (b, h, i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_q, 1), lambda b, h, j, i: (b, h, i, 0), memory_space=pltpu.VMEM),
+    ]
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, scale=scale, kv_len=Sk, block_k=block_k),
+        grid=(B, H, Sk_pad // block_k, Sq_pad // block_q),
+        in_specs=dkv_in,
+        out_specs=(
+            pl.BlockSpec((1, 1, block_k, D), lambda b, h, j, i: (b, h, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k, D), lambda b, h, j, i: (b, h, j, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, H, Sk_pad, D), k.dtype),
+            jax.ShapeDtypeStruct((B, H, Sk_pad, D), v.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_k, D), jnp.float32),
+            pltpu.VMEM((block_k, D), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q_p, k_p, v_p, g, lse, delta)
+
+    dq = dq[:, :, :Sq0]
+    dk = dk[:, :, :Sk0]
+    dv = dv[:, :, :Sk0]
+    return dq, dk, dv
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def _flash_attention(q, k, v, scale, block_q, block_k):
-    return _flash_forward(q, k, v, scale, block_q, block_k)
+    out, _ = _flash_forward(q, k, v, scale, block_q, block_k)
+    return out
 
 
 def _flash_attention_fwd(q, k, v, scale, block_q, block_k):
-    out = _flash_forward(q, k, v, scale, block_q, block_k)
-    return out, (q, k, v)
+    out, lse = _flash_forward(q, k, v, scale, block_q, block_k)
+    return out, (q, k, v, out, lse)
 
 
 def _flash_attention_bwd(scale, block_q, block_k, residuals, g):
-    q, k, v = residuals
-
-    def ref(q_, k_, v_):
-        return native_attention(q_, k_, v_, scale=scale)
-
-    _, vjp = jax.vjp(ref, q, k, v)
-    return vjp(g)
+    q, k, v, out, lse = residuals
+    return _flash_backward(q, k, v, out, lse, g, scale, block_q, block_k)
 
 
 _flash_attention.defvjp(_flash_attention_fwd, _flash_attention_bwd)

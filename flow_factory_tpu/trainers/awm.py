@@ -64,6 +64,7 @@ class AWMTrainer(DecoupledTrainer):
         kl_beta = float(getattr(ta, "kl_beta", 0.0))
         ema_kl_beta = float(getattr(ta, "ema_kl_beta", 0.0))
         ref_trainable = self.adapter.ref_trainable() if kl_beta > 0 else None
+        frozen = self.adapter.frozen_velocity_params()
         shard = self.adapter.shard_batch
         infos = []
 
@@ -107,7 +108,7 @@ class AWMTrainer(DecoupledTrainer):
                     )
                     batch = shard(batch)
                     (loss, aux), grads = self._grad_fn(
-                        self.adapter.trainable, batch, ref_trainable, ema_trainable
+                        self.adapter.trainable, frozen, batch, ref_trainable, ema_trainable
                     )
                     self.accumulate_grads(grads)
                     infos.append({k: float(v) for k, v in aux.items()})
@@ -128,11 +129,11 @@ class AWMTrainer(DecoupledTrainer):
             weighting, ghp = ta.awm_weighting, ta.ghuber_power
             adapter = self.adapter
 
-            def loss_fn(trainable, batch, ref_trainable, ema_trainable):
+            def loss_fn(trainable, frozen, batch, ref_trainable, ema_trainable):
                 clean, noise, t = batch["clean"], batch["noise"], batch["timestep"]
                 sigma = (t / 1000.0).reshape(-1, *([1] * (clean.ndim - 1)))
                 x_t = (1.0 - sigma) * clean + sigma * noise
-                v = adapter.training_velocity(trainable, {**batch, "latents": x_t})
+                v = adapter.training_velocity(trainable, {**batch, "latents": x_t}, frozen=frozen)
                 lp = weighted_log_prob(v, noise - clean, t, weighting, ghp)
 
                 ratio = jnp.exp(lp - batch["old_log_prob"])
@@ -150,14 +151,14 @@ class AWMTrainer(DecoupledTrainer):
                 }
                 if kl_beta > 0 and ref_trainable is not None:
                     ref_v = jax.lax.stop_gradient(
-                        adapter.training_velocity(ref_trainable, {**batch, "latents": x_t})
+                        adapter.training_velocity(ref_trainable, {**batch, "latents": x_t}, frozen=frozen)
                     )
                     kl = jnp.mean((v - ref_v) ** 2)
                     loss = loss + kl_beta * kl
                     aux["train/kl"] = kl
                 if ema_kl_beta > 0 and ema_trainable is not None:
                     ema_v = jax.lax.stop_gradient(
-                        adapter.training_velocity(ema_trainable, {**batch, "latents": x_t})
+                        adapter.training_velocity(ema_trainable, {**batch, "latents": x_t}, frozen=frozen)
                     )
                     ekl = jnp.mean((v - ema_v) ** 2)
                     loss = loss + ema_kl_beta * ekl

@@ -120,6 +120,7 @@ class CRDTrainer(DecoupledTrainer):
         shard = self.adapter.shard_batch
         infos = []
         ref_trainable = self.adapter.ref_trainable()
+        frozen = self.adapter.frozen_velocity_params()
         old_trainable = (
             self.adapter.get_named_parameters(self.OLD)
             if ta.use_old_for_loss else ref_trainable
@@ -166,7 +167,7 @@ class CRDTrainer(DecoupledTrainer):
                     )
                     batch = shard(batch)
                     (loss, aux), grads = self._grad_fn(
-                        self.adapter.trainable, batch, ref_trainable
+                        self.adapter.trainable, frozen, batch, ref_trainable
                     )
                     self.accumulate_grads(grads)
                     infos.append({k: float(v) for k, v in aux.items()})
@@ -206,14 +207,14 @@ class CRDTrainer(DecoupledTrainer):
                     )
                 return jnp.mean((crd_beta * Rtc - Rc) ** 2)
 
-            def loss_fn(trainable, batch, ref_trainable):
+            def loss_fn(trainable, frozen, batch, ref_trainable):
                 clean, noise, t = batch["clean"], batch["noise"], batch["timestep"]
                 sigma = (t / 1000.0).reshape(-1, *([1] * (clean.ndim - 1)))
                 x_t = (1.0 - sigma) * clean + sigma * noise
                 target = noise - clean
                 fwd = {**batch, "latents": x_t}
                 fwd_uncfg = {k: v for k, v in fwd.items() if not k.startswith("negative_")}
-                v = adapter.training_velocity(trainable, fwd_uncfg)
+                v = adapter.training_velocity(trainable, fwd_uncfg, frozen=frozen)
                 old_v = batch["old_v"]
 
                 if adaptive:
@@ -268,7 +269,7 @@ class CRDTrainer(DecoupledTrainer):
                         ref_fwd = {**fwd, "guidance_scale": jnp.float32(kl_cfg)}
                     else:
                         ref_fwd = fwd_uncfg
-                    ref_v = sg(adapter.training_velocity(ref_trainable, ref_fwd))
+                    ref_v = sg(adapter.training_velocity(ref_trainable, ref_fwd, frozen=frozen))
                     kl = jnp.mean((v - ref_v).reshape(v.shape[0], -1) ** 2, axis=-1)
                     if reward_adaptive_kl:
                         base_beta = 1e-4

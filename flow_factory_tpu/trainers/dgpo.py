@@ -119,6 +119,7 @@ class DGPOTrainer(DecoupledTrainer):
         shard = self.adapter.shard_batch
         infos = []
         ref_trainable = self.adapter.ref_trainable()
+        frozen = self.adapter.frozen_velocity_params()
         for inner in range(ta.num_inner_epochs):
             shared_t = self._shared_timesteps(epoch, inner)  # (T,)
             for bi, (mb, batch_np) in enumerate(self.iter_micro_batches(samples, epoch, inner)):
@@ -151,7 +152,7 @@ class DGPOTrainer(DecoupledTrainer):
                     )
                     batch = shard(batch)
                     (loss, aux), grads = self._grad_fn(
-                        self.adapter.trainable, batch, ref_trainable, ema_ref_tr, num_groups
+                        self.adapter.trainable, frozen, batch, ref_trainable, ema_ref_tr, num_groups
                     )
                     self.accumulate_grads(grads)
                     infos.append({k: float(v) for k, v in aux.items()})
@@ -182,7 +183,7 @@ class DGPOTrainer(DecoupledTrainer):
                 d = (a - b).reshape(a.shape[0], -1)
                 return jnp.mean(d * d, axis=-1)
 
-            def loss_fn(trainable, batch, ref_trainable, ema_ref_tr, num_groups):
+            def loss_fn(trainable, frozen, batch, ref_trainable, ema_ref_tr, num_groups):
                 clean, noise, t = batch["clean"], batch["noise"], batch["timestep"]
                 sigma = (t / 1000.0).reshape(-1, *([1] * (clean.ndim - 1)))
                 x_t = (1.0 - sigma) * clean + sigma * noise
@@ -192,12 +193,12 @@ class DGPOTrainer(DecoupledTrainer):
                 # dropping the negative embeds makes do_cfg resolve statically.
                 fwd_uncfg = {k: v for k, v in fwd.items() if not k.startswith("negative_")}
 
-                model_v = adapter.training_velocity(trainable, fwd_uncfg)
+                model_v = adapter.training_velocity(trainable, fwd_uncfg, frozen=frozen)
                 dsm = per_sample_mse(model_v, target)
 
                 old_v = None
                 if ema_ref_tr is not None and (clip_dsm or clip_kl or use_ema_ref):
-                    old_v = sg(adapter.training_velocity(ema_ref_tr, fwd_uncfg))
+                    old_v = sg(adapter.training_velocity(ema_ref_tr, fwd_uncfg, frozen=frozen))
 
                 ref_v = None
                 if kl_beta > 0 or not use_ema_ref:
@@ -205,7 +206,7 @@ class DGPOTrainer(DecoupledTrainer):
                         ref_fwd = {**fwd, "guidance_scale": jnp.float32(kl_cfg)}
                     else:
                         ref_fwd = fwd_uncfg
-                    ref_v = sg(adapter.training_velocity(ref_trainable, ref_fwd))
+                    ref_v = sg(adapter.training_velocity(ref_trainable, ref_fwd, frozen=frozen))
 
                 ref_dgpo_v = old_v if use_ema_ref else ref_v
                 ref_dsm = sg(per_sample_mse(ref_dgpo_v, target))
@@ -248,6 +249,6 @@ class DGPOTrainer(DecoupledTrainer):
                 return loss, aux
 
             self._cached_grad_fn = jax.jit(
-                jax.value_and_grad(loss_fn, has_aux=True), static_argnums=(4,)
+                jax.value_and_grad(loss_fn, has_aux=True), static_argnums=(5,)
             )
         return self._cached_grad_fn

@@ -62,6 +62,7 @@ class DPOTrainer(DecoupledTrainer):
             logger.warning("DPO: no usable pairs this epoch")
             return {}
         ref_trainable = self.adapter.ref_trainable()
+        frozen = self.adapter.frozen_velocity_params()
         T = ta.get_num_train_timesteps(self.config)
         B = max(1, min(self.micro_batch_size, len(pairs)))
         shard = self.adapter.shard_batch
@@ -101,7 +102,7 @@ class DPOTrainer(DecoupledTrainer):
                     )
                     batch = shard(batch)
                     (loss, aux), grads = self._grad_fn(
-                        self.adapter.trainable, batch, ref_trainable
+                        self.adapter.trainable, frozen, batch, ref_trainable
                     )
                     self.accumulate_grads(grads)
                     infos.append({k: float(v) for k, v in aux.items()})
@@ -120,7 +121,7 @@ class DPOTrainer(DecoupledTrainer):
             beta = float(ta.beta)
             adapter = self.adapter
 
-            def loss_fn(trainable, batch, ref_trainable):
+            def loss_fn(trainable, frozen, batch, ref_trainable):
                 t, noise = batch["timestep"], batch["noise"]
                 sigma = (t / 1000.0).reshape(-1, *([1] * (batch["chosen"].ndim - 1)))
                 xw = (1.0 - sigma) * batch["chosen"] + sigma * noise
@@ -129,7 +130,7 @@ class DPOTrainer(DecoupledTrainer):
                 target_l = noise - batch["rejected"]
 
                 def err(tr, x, target):
-                    v = adapter.training_velocity(tr, {**batch, "latents": x})
+                    v = adapter.training_velocity(tr, {**batch, "latents": x}, frozen=frozen)
                     d = (v - target).reshape(v.shape[0], -1)
                     return jnp.mean(d * d, axis=-1)
 

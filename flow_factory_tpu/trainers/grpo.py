@@ -81,6 +81,7 @@ class GRPOTrainer(BaseTrainer):
         noise_levels = np.asarray(sched.get_noise_levels(), np.float32)
         kl_beta = float(getattr(ta, "kl_beta", 0.0))
         ref_trainable = self.adapter.ref_trainable() if kl_beta > 0 else None
+        frozen = self.adapter.frozen_velocity_params()
 
         B = self.micro_batch_size
         shard = self.adapter.shard_batch
@@ -134,7 +135,7 @@ class GRPOTrainer(BaseTrainer):
                         batch["rollout_mean"] = means[:, lni]
                     batch = shard(batch)
                     (loss, aux), grads = self._grad_fn(
-                        self.adapter.trainable, batch, ref_trainable
+                        self.adapter.trainable, frozen, batch, ref_trainable
                     )
                     self.accumulate_grads(grads)
                     infos.append({k: float(v) for k, v in aux.items()})
@@ -166,8 +167,8 @@ class GRPOTrainer(BaseTrainer):
         use_guard = self.use_guard
         adapter = self.adapter
 
-        def loss_fn(trainable, batch, ref_trainable):
-            out = adapter.training_forward(trainable, batch, compute_log_prob=True)
+        def loss_fn(trainable, frozen, batch, ref_trainable):
+            out = adapter.training_forward(trainable, batch, compute_log_prob=True, frozen=frozen)
             new_lp, old_lp = out.log_prob, batch["old_log_prob"]
             adv = jnp.clip(batch["advantage"], adv_lo, adv_hi)
 
@@ -205,7 +206,7 @@ class GRPOTrainer(BaseTrainer):
 
             if kl_beta > 0.0 and ref_trainable is not None:
                 ref_out = adapter.training_forward(
-                    ref_trainable, batch, compute_log_prob=False
+                    ref_trainable, batch, compute_log_prob=False, frozen=frozen
                 )
                 if kl_type == "v-based":
                     kl = jnp.mean(

@@ -48,6 +48,7 @@ class NFTTrainer(DecoupledTrainer):
         T = ta.get_num_train_timesteps(self.config)
         kl_beta = float(getattr(ta, "kl_beta", 0.0))
         ref_trainable = self.adapter.ref_trainable() if kl_beta > 0 else None
+        frozen = self.adapter.frozen_velocity_params()
         shard = self.adapter.shard_batch
         infos = []
 
@@ -87,7 +88,7 @@ class NFTTrainer(DecoupledTrainer):
                     )
                     batch = shard(batch)
                     (loss, aux), grads = self._grad_fn(
-                        self.adapter.trainable, batch, ref_trainable
+                        self.adapter.trainable, frozen, batch, ref_trainable
                     )
                     self.accumulate_grads(grads)
                     infos.append({k: float(v) for k, v in aux.items()})
@@ -118,11 +119,11 @@ class NFTTrainer(DecoupledTrainer):
                 d = (x0_pred - clean) ** 2 / w
                 return jnp.mean(d.reshape(clean.shape[0], -1), axis=-1)
 
-            def loss_fn(trainable, batch, ref_trainable):
+            def loss_fn(trainable, frozen, batch, ref_trainable):
                 clean, noise, t = batch["clean"], batch["noise"], batch["timestep"]
                 sigma = (t / 1000.0).reshape(-1, *([1] * (clean.ndim - 1)))
                 x_t = (1.0 - sigma) * clean + sigma * noise
-                new_v = adapter.training_velocity(trainable, {**batch, "latents": x_t})
+                new_v = adapter.training_velocity(trainable, {**batch, "latents": x_t}, frozen=frozen)
                 old_v = batch["old_v"]
 
                 adv = jnp.clip(batch["advantage"], adv_lo, adv_hi)
@@ -143,7 +144,7 @@ class NFTTrainer(DecoupledTrainer):
                 }
                 if kl_beta > 0 and ref_trainable is not None:
                     ref_v = jax.lax.stop_gradient(
-                        adapter.training_velocity(ref_trainable, {**batch, "latents": x_t})
+                        adapter.training_velocity(ref_trainable, {**batch, "latents": x_t}, frozen=frozen)
                     )
                     kl = jnp.mean((new_v - ref_v) ** 2)
                     loss = loss + kl_beta * kl

@@ -35,3 +35,23 @@ def test_dispatch_native_with_mask():
     assert out.shape == q.shape
     with pytest.raises(NotImplementedError):
         dot_product_attention(q, q, q, mask=mask, backend="flash")
+
+
+def test_flash_backward_dq_dk_dv_separately():
+    """Per-input cotangents of the Pallas backward vs einsum reference."""
+    k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(7), 4)
+    q = jax.random.normal(k1, (2, 3, 200, 32), jnp.float32)
+    k = jax.random.normal(k2, (2, 3, 136, 32), jnp.float32)  # ragged kv
+    v = jax.random.normal(k3, (2, 3, 136, 32), jnp.float32)
+    g = jax.random.normal(k4, (2, 3, 200, 32), jnp.float32)
+
+    def f_flash(q, k, v):
+        return (flash_attention(q, k, v, block_q=128, block_k=128) * g).sum()
+
+    def f_native(q, k, v):
+        return (native_attention(q, k, v) * g).sum()
+
+    gf = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
+    gn = jax.grad(f_native, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gf, gn, ("dq", "dk", "dv")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4, err_msg=name)
