@@ -135,11 +135,43 @@ class MultiLogger(BaseLogger):
             b.finish()
 
 
+class SwanlabLogger(BaseLogger):
+    def __init__(self, log_args, run_name: str):
+        super().__init__(log_args, run_name)
+        import swanlab
+
+        self.swanlab = swanlab
+        self.run = swanlab.init(
+            project=getattr(log_args, "project", "flow-factory-tpu"), experiment_name=run_name
+        )
+
+    def log_data(self, data: Dict[str, Any], step: int) -> None:
+        payload = {}
+        for k, v in data.items():
+            try:
+                payload[k] = float(v)
+            except (TypeError, ValueError):
+                continue
+        self.swanlab.log(payload, step=step)
+
+    def log_images(self, tag, images, captions=None, step=0):
+        captions = captions or [None] * len(images)
+        payload = [
+            self.swanlab.Image(np.transpose(np.asarray(i), (1, 2, 0)), caption=c)
+            for i, c in zip(images[:30], captions)
+        ]
+        self.swanlab.log({tag: payload}, step=step)
+
+    def finish(self) -> None:
+        self.swanlab.finish()
+
+
 _LOGGER_REGISTRY = {
     "console": ConsoleLogger,
     "jsonl": JSONLLogger,
     "tensorboard": TensorboardLogger,
     "wandb": WandbLogger,
+    "swanlab": SwanlabLogger,
 }
 
 

@@ -238,10 +238,16 @@ class BaseTrainer(ABC):
         }
         if self.logger_backend:
             self.logger_backend.log_data(metrics, epoch)
-            imgs = [s.image for s in all_samples[:16] if s.image is not None]
-            if imgs:
+            from ..logger.formatting import samples_to_media_payload
+
+            media = samples_to_media_payload(all_samples, 16)
+            if media["images"]:
                 self.logger_backend.log_images(
-                    "eval/samples", imgs, captions=[s.prompt for s in all_samples[:16]], step=epoch
+                    "eval/samples", media["images"], media["captions"], step=epoch
+                )
+            if media["videos"]:
+                self.logger_backend.log_videos(
+                    "eval/samples", media["videos"], media["captions"], step=epoch
                 )
         self.eval_reward_buffer.clear()
         self.adapter.train()
