@@ -209,3 +209,70 @@ def import_diffusers_params(
     if missing:
         logger.warning("Import left %d params at init (first: %s)", len(missing), missing[:5])
     return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def flux_transformer_key_map(num_double: int, num_single: int) -> Dict[str, str]:
+    """diffusers ``FluxTransformer2DModel`` module path → our param path."""
+    m: Dict[str, str] = {
+        "x_embedder": "x_embedder",
+        "context_embedder": "context_embedder",
+        "time_text_embed.timestep_embedder.linear_1": "time_embed/linear_1",
+        "time_text_embed.timestep_embedder.linear_2": "time_embed/linear_2",
+        "time_text_embed.guidance_embedder.linear_1": "guidance_embed/linear_1",
+        "time_text_embed.guidance_embedder.linear_2": "guidance_embed/linear_2",
+        "time_text_embed.text_embedder.linear_1": "text_embed/linear_1",
+        "time_text_embed.text_embedder.linear_2": "text_embed/linear_2",
+        "norm_out.linear": "norm_out/linear",
+        "proj_out": "proj_out",
+    }
+    for i in range(num_double):
+        b, o = f"transformer_blocks.{i}", f"double_{i}"
+        m[f"{b}.norm1.linear"] = f"{o}/img_mod"
+        m[f"{b}.norm1_context.linear"] = f"{o}/txt_mod"
+        m[f"{b}.attn.to_q"] = f"{o}/img_q"
+        m[f"{b}.attn.to_k"] = f"{o}/img_k"
+        m[f"{b}.attn.to_v"] = f"{o}/img_v"
+        m[f"{b}.attn.to_out.0"] = f"{o}/img_attn_out"
+        m[f"{b}.attn.add_q_proj"] = f"{o}/txt_q"
+        m[f"{b}.attn.add_k_proj"] = f"{o}/txt_k"
+        m[f"{b}.attn.add_v_proj"] = f"{o}/txt_v"
+        m[f"{b}.attn.to_add_out"] = f"{o}/txt_attn_out"
+        m[f"{b}.attn.norm_q"] = f"{o}/img_qk_norm/q_norm"
+        m[f"{b}.attn.norm_k"] = f"{o}/img_qk_norm/k_norm"
+        m[f"{b}.attn.norm_added_q"] = f"{o}/txt_qk_norm/q_norm"
+        m[f"{b}.attn.norm_added_k"] = f"{o}/txt_qk_norm/k_norm"
+        m[f"{b}.ff.net.0.proj"] = f"{o}/img_ff/fc1"
+        m[f"{b}.ff.net.2"] = f"{o}/img_ff/fc2"
+        m[f"{b}.ff_context.net.0.proj"] = f"{o}/txt_ff/fc1"
+        m[f"{b}.ff_context.net.2"] = f"{o}/txt_ff/fc2"
+    for i in range(num_single):
+        b, o = f"single_transformer_blocks.{i}", f"single_{i}"
+        m[f"{b}.norm.linear"] = f"{o}/mod"
+        m[f"{b}.proj_mlp"] = f"{o}/linear1"  # NOTE: diffusers splits qkv+mlp; fused import below
+        m[f"{b}.attn.to_q"] = f"{o}/linear1"  # handled by import_flux_single_blocks
+        m[f"{b}.proj_out"] = f"{o}/linear2"
+        m[f"{b}.attn.norm_q"] = f"{o}/qk_norm/q_norm"
+        m[f"{b}.attn.norm_k"] = f"{o}/qk_norm/k_norm"
+    return m
+
+
+def fuse_flux_single_block_qkv_mlp(state_dict: Dict[str, np.ndarray], num_single: int) -> Dict[str, np.ndarray]:
+    """diffusers keeps single-block q/k/v/mlp as separate projections; our
+    module fuses them into one ``linear1``. Concatenate along the output dim
+    (torch layout (out, in)) before key mapping."""
+    out = dict(state_dict)
+    for i in range(num_single):
+        b = f"single_transformer_blocks.{i}"
+        parts = [out.pop(f"{b}.attn.to_q.weight", None),
+                 out.pop(f"{b}.attn.to_k.weight", None),
+                 out.pop(f"{b}.attn.to_v.weight", None),
+                 out.pop(f"{b}.proj_mlp.weight", None)]
+        if all(p is not None for p in parts):
+            out[f"{b}.attn.to_q.weight"] = np.concatenate(parts, axis=0)
+        bias = [out.pop(f"{b}.attn.to_q.bias", None),
+                out.pop(f"{b}.attn.to_k.bias", None),
+                out.pop(f"{b}.attn.to_v.bias", None),
+                out.pop(f"{b}.proj_mlp.bias", None)]
+        if all(p is not None for p in bias):
+            out[f"{b}.attn.to_q.bias"] = np.concatenate(bias, axis=0)
+    return out

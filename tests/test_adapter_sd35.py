@@ -128,3 +128,20 @@ def test_checkpoint_roundtrip(adapter, tmp_path):
     adapter.load_checkpoint(d)
     restored = jax.tree.leaves(adapter.trainable)[0]
     np.testing.assert_allclose(np.asarray(restored), np.asarray(orig), rtol=1e-6)
+
+
+def test_full_state_checkpoint_resume(adapter, tmp_path):
+    """model_only=False: orbax train state roundtrip incl. extra state."""
+    d = str(tmp_path / "state_ckpt")
+    adapter.save_checkpoint(
+        d, model_only=False, save_ema=False,
+        extra_state={"epoch": 3, "global_step": 7},
+    )
+    orig = jax.tree.leaves(adapter.trainable)[0].copy()
+    adapter.trainable = jax.tree.map(lambda x: x * 0.0, adapter.trainable)
+    adapter.load_checkpoint(d, resume_type="state")
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(adapter.trainable)[0]), np.asarray(orig), rtol=1e-6
+    )
+    assert adapter._restored_state["epoch"] == 3
+    assert adapter._restored_state["global_step"] == 7
