@@ -3,6 +3,8 @@ from .flow_match_euler import (
     FlowMatchEulerSDE,
     calculate_shift,
     build_flow_match_sigmas,
+    convert_velocity_to_x0,
+    convert_x0_to_velocity,
     sde_step,
 )
 from .registry import get_scheduler_class, register_scheduler
@@ -14,6 +16,8 @@ __all__ = [
     "FlowMatchEulerSDE",
     "calculate_shift",
     "build_flow_match_sigmas",
+    "convert_velocity_to_x0",
+    "convert_x0_to_velocity",
     "sde_step",
     "get_scheduler_class",
     "register_scheduler",

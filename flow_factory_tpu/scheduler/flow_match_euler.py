@@ -237,6 +237,19 @@ def sde_step(
     )
 
 
+def convert_velocity_to_x0(v: jax.Array, latents: jax.Array, sigma) -> jax.Array:
+    """x0 = x − σ·v (flow-matching data prediction; reference LTX-2 helpers
+    ``ltx2_t2av.py:597-632`` use this to mix guidance terms in x0 space)."""
+    sigma = _bcast(sigma, latents)
+    return latents.astype(jnp.float32) - sigma * v.astype(jnp.float32)
+
+
+def convert_x0_to_velocity(x0: jax.Array, latents: jax.Array, sigma) -> jax.Array:
+    """v = (x − x0)/σ — inverse of :func:`convert_velocity_to_x0`."""
+    sigma = jnp.maximum(_bcast(sigma, latents), 1e-6)
+    return (latents.astype(jnp.float32) - x0.astype(jnp.float32)) / sigma
+
+
 # ---------------------------------------------------------------------------
 # Stateful host-side schedule wrapper
 # ---------------------------------------------------------------------------
