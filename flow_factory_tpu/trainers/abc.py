@@ -162,9 +162,19 @@ class BaseTrainer(ABC):
             if self.eval_args.eval_freq and epoch % self.eval_args.eval_freq == 0 and self.test_loader:
                 self.evaluate(epoch)
 
-            samples = self.sample(epoch)
-            metrics = self.prepare_feedback(samples)
-            loss_info = self.optimize(samples, epoch)
+            profile_dir = getattr(self.log_args, "profile_dir", None)
+            if profile_dir and epoch == 1:
+                # profile the second epoch (first is compile-dominated)
+                from ..utils.memory_tracker import trace
+
+                with trace(profile_dir, annotate=f"epoch_{epoch}"):
+                    samples = self.sample(epoch)
+                    metrics = self.prepare_feedback(samples)
+                    loss_info = self.optimize(samples, epoch)
+            else:
+                samples = self.sample(epoch)
+                metrics = self.prepare_feedback(samples)
+                loss_info = self.optimize(samples, epoch)
             self.adapter.ema_step(epoch)
 
             payload = {**metrics, **loss_info, "time/epoch_s": time.time() - t0}
