@@ -89,3 +89,16 @@ def test_global_tensor_stats_batch_single_process():
     out = reduce_loss_info({"loss": [1.0, 2.0, 3.0], "lr": 0.1})
     assert out["loss"] == pytest.approx(2.0)
     assert out["loss_max"] == 3.0 and "lr" in out
+
+
+def test_reward_utils():
+    from flow_factory_tpu.utils.reward_utils import bradley_terry, pairwise_matrix, rank_normalize, win_rates
+
+    scores = [0.1, 0.9, 0.5]
+    wr = win_rates(scores)
+    np.testing.assert_allclose(wr, [0.0, 1.0, 0.5])
+    rn = rank_normalize(scores)
+    np.testing.assert_allclose(rn, [0.0, 1.0, 0.5])
+    wins = np.array([[0, 2, 3], [8, 0, 6], [7, 4, 0]], np.float64)
+    p = bradley_terry(wins)
+    assert p[1] > p[2] > p[0]
