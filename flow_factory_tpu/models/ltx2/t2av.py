@@ -220,9 +220,25 @@ class LTX2T2AVAdapter(BaseAdapter):
         return np.stack([t, np.zeros(la), np.zeros(la)], axis=-1).astype(np.float32)
 
     # ------------------------------------------------------------------
-    # Velocity (joint, CFG batch doubling)
+    # Velocity: x0-space multi-guidance (CFG + STG + modality isolation)
+    # Reference ltx2_t2av.py:635-760 / official pipeline L1250-1400.
     # ------------------------------------------------------------------
+    @property
+    def stg_scale(self) -> float:
+        return float(getattr(self.training_args, "stg_scale", 0.0))
+
+    @property
+    def stg_blocks(self):
+        b = getattr(self.training_args, "spatio_temporal_guidance_blocks", None)
+        return tuple(b) if b else ()
+
+    @property
+    def modality_scale(self) -> float:
+        return float(getattr(self.training_args, "modality_scale", 1.0))
+
     def _joint_velocity(self, merged, v_lat, a_lat, t, embeds, guidance_scale, do_cfg):
+        from ...scheduler.flow_match_euler import convert_velocity_to_x0, convert_x0_to_velocity
+
         model = self.modules["transformer"]
         dt = self.component_configs["transformer"].compute_dtype
         vid_ids = embeds["video_ids"]
@@ -230,23 +246,63 @@ class LTX2T2AVAdapter(BaseAdapter):
         aud_ids = embeds["audio_ids"]
         aud_ids = aud_ids[0] if aud_ids.ndim == 3 else aud_ids
 
-        def fwd(v, a, tt, ctx):
-            vv, va = model.apply({"params": merged}, v.astype(dt), a.astype(dt), tt, ctx, vid_ids, aud_ids)
+        def fwd(v, a, tt, ctx, skip=(), v_ids=vid_ids, a_ids=aud_ids):
+            vv, va = model.apply(
+                {"params": merged}, v.astype(dt), a.astype(dt), tt, ctx,
+                v_ids, a_ids, skip,
+            )
             return vv.astype(jnp.float32), va.astype(jnp.float32)
 
+        pos_ctx = embeds["prompt_embeds"]
         if do_cfg:
             v2 = jnp.concatenate([v_lat, v_lat], axis=0)
             a2 = jnp.concatenate([a_lat, a_lat], axis=0)
             t2 = jnp.concatenate([t, t], axis=0)
-            ctx = jnp.concatenate([embeds["negative_prompt_embeds"], embeds["prompt_embeds"]], axis=0)
+            ctx = jnp.concatenate([embeds["negative_prompt_embeds"], pos_ctx], axis=0)
             vv, va = fwd(v2, a2, t2, ctx)
             vv_u, vv_c = jnp.split(vv, 2, axis=0)
             va_u, va_c = jnp.split(va, 2, axis=0)
-            return (
-                vv_u + guidance_scale * (vv_c - vv_u),
-                va_u + guidance_scale * (va_c - va_u),
-            )
-        return fwd(v_lat, a_lat, t, embeds["prompt_embeds"])
+        else:
+            vv_c, va_c = fwd(v_lat, a_lat, t, pos_ctx)
+            vv_u = va_u = None
+
+        do_stg = self.stg_scale > 0.0 and len(self.stg_blocks) > 0
+        do_iso = self.modality_scale > 1.0
+        if not (do_stg or do_iso):
+            if do_cfg:
+                return (
+                    vv_u + guidance_scale * (vv_c - vv_u),
+                    va_u + guidance_scale * (va_c - va_u),
+                )
+            return vv_c, va_c
+
+        # x0-space guidance composition
+        sigma = (t / 1000.0).reshape(-1, 1, 1)
+        v_x0 = convert_velocity_to_x0(vv_c, v_lat, sigma)
+        a_x0 = convert_velocity_to_x0(va_c, a_lat, sigma)
+        v_delta = jnp.zeros_like(v_x0)
+        a_delta = jnp.zeros_like(a_x0)
+        if do_cfg:
+            v_x0_u = convert_velocity_to_x0(vv_u, v_lat, sigma)
+            a_x0_u = convert_velocity_to_x0(va_u, a_lat, sigma)
+            v_delta += (guidance_scale - 1.0) * (v_x0 - v_x0_u)
+            a_delta += (guidance_scale - 1.0) * (a_x0 - a_x0_u)
+        if do_stg:
+            sv, sa = fwd(v_lat, a_lat, t, pos_ctx, skip=self.stg_blocks)
+            v_delta += self.stg_scale * (v_x0 - convert_velocity_to_x0(sv, v_lat, sigma))
+            a_delta += self.stg_scale * (a_x0 - convert_velocity_to_x0(sa, a_lat, sigma))
+        if do_iso:
+            # modality isolation = per-modality forwards (no AV cross-attention)
+            iv, _ = fwd(v_lat, a_lat[:, :0], t, pos_ctx, a_ids=aud_ids[:0])
+            _, ia = fwd(v_lat[:, :0], a_lat, t, pos_ctx, v_ids=vid_ids[:0])
+            v_delta += (self.modality_scale - 1.0) * (v_x0 - convert_velocity_to_x0(iv, v_lat, sigma))
+            a_delta += (self.modality_scale - 1.0) * (a_x0 - convert_velocity_to_x0(ia, a_lat, sigma))
+        v_guided = v_x0 + v_delta
+        a_guided = a_x0 + a_delta
+        return (
+            convert_x0_to_velocity(v_guided, v_lat, sigma),
+            convert_x0_to_velocity(a_guided, a_lat, sigma),
+        )
 
     # overridden `_velocity` contract is unused: LTX-2 has a custom joint path
     def _velocity(self, merged, latents, t, embeds, guidance_scale, do_cfg):

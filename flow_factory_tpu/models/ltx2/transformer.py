@@ -98,6 +98,7 @@ class LTX2Transformer(nn.Module):
         encoder_hidden_states: jax.Array,  # (B, Lc, context_dim) raw LM states
         video_ids: jax.Array,
         audio_ids: jax.Array,
+        skip_blocks: Tuple[int, ...] = (),  # STG: perturbed (skipped) blocks
     ) -> Tuple[jax.Array, jax.Array]:
         cfg = self.cfg
         dt = cfg.compute_dtype
@@ -125,7 +126,10 @@ class LTX2Transformer(nn.Module):
 
         wcfg = self.cfg.wan_block_config()
         BlockCls = nn.remat(WanBlock) if cfg.remat else WanBlock
+        skip = set(skip_blocks)
         for i in range(cfg.num_layers):
+            if i in skip:  # STG: identity through perturbed blocks
+                continue
             x = BlockCls(wcfg, name=f"block_{i}")(x, context, temb6, cos, sin)
 
         head_table = self.param("head_table", nn.initializers.normal(0.02), (1, 2, cfg.hidden_dim), jnp.float32)
