@@ -207,10 +207,12 @@ class BaseAdapter(ABC):
         if isinstance(tm, str) and tm in ("default", "all"):
             return self.default_target_patterns
         if isinstance(tm, (list, tuple)):
+            import re
+
             pats = []
             for t in tm:
                 name = t.split(".")[-1]
-                pats.append(rf".*/{re_escape(name)}/kernel$")
+                pats.append(rf".*/{re.escape(name)}/kernel$")
             return tuple(pats)
         return self.default_target_patterns
 
@@ -860,8 +862,3 @@ class BaseAdapter(ABC):
     def param_count(self, component: str) -> int:
         return sum(int(np.prod(l.shape)) for l in jax.tree.leaves(self.params[component]))
 
-
-def re_escape(s: str) -> str:
-    import re
-
-    return re.escape(s)

@@ -16,6 +16,7 @@ TPU-native re-design of the reference trainer base
 """
 from __future__ import annotations
 
+import functools
 import logging
 import os
 import time
@@ -297,9 +298,6 @@ class BaseTrainer(ABC):
 # ---------------------------------------------------------------------------
 # Jitted optimizer step (shared by all trainers)
 # ---------------------------------------------------------------------------
-
-import functools
-
 
 @functools.partial(jax.jit, static_argnums=(0,))
 def _apply_updates_jit(optimizer, trainable, opt_state, accum_grads, count):
