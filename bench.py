@@ -38,7 +38,7 @@ def main() -> None:
     import __graft_entry__ as g
 
     if on_tpu:
-        B, res, steps = 4, 512, 10
+        B, res, steps = int(os.environ.get("BENCH_BATCH", "24")), 512, 10
         config = g._make_config(tiny=False, load_components=["transformer"])
         config.model_args.extra_kwargs["init_on_device"] = True
     else:
