@@ -174,11 +174,11 @@ class WanTransformer(nn.Module):
         for i in range(cfg.num_layers):
             x = BlockCls(cfg, name=f"block_{i}")(x, context, temb6, cos, sin)
 
-        # head: modulated norm + linear to patch voxels
+        # head: modulated norm + linear to patch voxels. Upstream Wan adds the
+        # raw time embedding straight onto the (1, 2, D) head table (no extra
+        # projection), so imported checkpoints line up leaf-for-leaf.
         head_table = self.param("head_table", nn.initializers.normal(0.02), (1, 2, cfg.hidden_dim), jnp.float32)
-        head_mod = head_table + nn.Dense(2 * cfg.hidden_dim, dtype=jnp.float32, name="head_time")(
-            nn.silu(temb)
-        ).reshape(B, 2, cfg.hidden_dim)
+        head_mod = head_table + temb[:, None, :].astype(jnp.float32)
         shift, scale = head_mod[:, 0], head_mod[:, 1]
         x = nn.LayerNorm(use_bias=False, use_scale=False, dtype=jnp.float32, name="head_norm")(
             x.astype(jnp.float32)

@@ -155,11 +155,17 @@ def import_diffusers_params(
     state_dict: Dict[str, np.ndarray],
     key_map: Dict[str, str],
     template: Any,
+    raw_map: Optional[Dict[str, str]] = None,
 ) -> Any:
     """Torch state dict + key map → flax params matching ``template``.
 
     Applies layout transposes by tensor rank, validates shapes against the
-    template, and reports unmapped/missing keys.
+    template, and reports unmapped/missing keys. ``raw_map`` maps FULL torch
+    keys (bare nn.Parameters with no ``.weight``/``.bias`` suffix, e.g. Wan's
+    ``scale_shift_table``) to full leaf paths; those are copied verbatim.
+    A conv kernel mapped onto a dense leaf of equal size (patch embedders
+    expressed as reshape+matmul here) is re-flattened to the dense layout —
+    flax conv order (k..., in, out) row-majors to exactly our patch order.
     """
     import jax
 
@@ -171,6 +177,9 @@ def import_diffusers_params(
 
     converted: Dict[str, np.ndarray] = {}
     for tk, v in state_dict.items():
+        if raw_map and tk in raw_map:
+            converted[raw_map[tk]] = np.asarray(v)
+            continue
         base = re.sub(r"\.(weight|bias)$", "", tk)
         suffix = tk.rsplit(".", 1)[-1]
         our_base = key_map.get(base)
@@ -197,8 +206,15 @@ def import_diffusers_params(
         if key in converted:
             arr = converted[key]
             if tuple(arr.shape) != tuple(leaf.shape):
-                mismatched.append((key, arr.shape, tuple(leaf.shape)))
-                leaves.append(leaf)
+                # conv kernel imported onto a dense patch-embed leaf: flax
+                # layout (k..., in, out) flattens row-major to our
+                # (patch..., channel) feature order.
+                if arr.size == np.asarray(leaf).size and arr.ndim > 2 and np.asarray(leaf).ndim == 2:
+                    arr = arr.reshape(np.asarray(leaf).shape)
+                    leaves.append(np.asarray(arr, dtype=np.asarray(leaf).dtype))
+                else:
+                    mismatched.append((key, arr.shape, tuple(leaf.shape)))
+                    leaves.append(leaf)
             else:
                 leaves.append(np.asarray(arr, dtype=np.asarray(leaf).dtype))
         else:
@@ -276,3 +292,44 @@ def fuse_flux_single_block_qkv_mlp(state_dict: Dict[str, np.ndarray], num_single
         if all(p is not None for p in bias):
             out[f"{b}.attn.to_q.bias"] = np.concatenate(bias, axis=0)
     return out
+
+
+def wan_transformer_key_map(num_layers: int) -> Tuple[Dict[str, str], Dict[str, str]]:
+    """diffusers ``WanTransformer3DModel`` module path → our param path.
+
+    Returns ``(key_map, raw_map)`` for :func:`import_diffusers_params`.
+    The Conv3d ``patch_embedding`` imports onto our reshape+matmul patch
+    embed (flax conv layout flattens to the same (pt, ph, pw, C) feature
+    order); ``scale_shift_table`` parameters ride ``raw_map``. Covers the
+    reference's Wan2.1/2.2 family (``src/flow_factory/models/wan_*``); the
+    Wan2.2 MoE variant applies this map once per expert stream.
+    """
+    m: Dict[str, str] = {
+        "patch_embedding": "patch_embedding",
+        "condition_embedder.time_embedder.linear_1": "time_embed/linear_1",
+        "condition_embedder.time_embedder.linear_2": "time_embed/linear_2",
+        "condition_embedder.time_proj": "time_proj",
+        "condition_embedder.text_embedder.linear_1": "ctx_proj0",
+        "condition_embedder.text_embedder.linear_2": "ctx_proj1",
+        "proj_out": "head_out",
+    }
+    raw: Dict[str, str] = {"scale_shift_table": "head_table"}
+    for i in range(num_layers):
+        b, o = f"blocks.{i}", f"block_{i}"
+        raw[f"{b}.scale_shift_table"] = f"{o}/scale_shift_table"
+        m[f"{b}.attn1.to_q"] = f"{o}/sa_q"
+        m[f"{b}.attn1.to_k"] = f"{o}/sa_k"
+        m[f"{b}.attn1.to_v"] = f"{o}/sa_v"
+        m[f"{b}.attn1.to_out.0"] = f"{o}/sa_out"
+        m[f"{b}.attn1.norm_q"] = f"{o}/sa_qk_norm/q_norm"
+        m[f"{b}.attn1.norm_k"] = f"{o}/sa_qk_norm/k_norm"
+        m[f"{b}.attn2.to_q"] = f"{o}/ca_q"
+        m[f"{b}.attn2.to_k"] = f"{o}/ca_k"
+        m[f"{b}.attn2.to_v"] = f"{o}/ca_v"
+        m[f"{b}.attn2.to_out.0"] = f"{o}/ca_out"
+        m[f"{b}.attn2.norm_q"] = f"{o}/ca_qk_norm/q_norm"
+        m[f"{b}.attn2.norm_k"] = f"{o}/ca_qk_norm/k_norm"
+        m[f"{b}.norm2"] = f"{o}/norm2"
+        m[f"{b}.ffn.net.0.proj"] = f"{o}/ffn1"
+        m[f"{b}.ffn.net.2"] = f"{o}/ffn2"
+    return m, raw

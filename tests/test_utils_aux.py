@@ -102,3 +102,72 @@ def test_reward_utils():
     wins = np.array([[0, 2, 3], [8, 0, 6], [7, 4, 0]], np.float64)
     p = bradley_terry(wins)
     assert p[1] > p[2] > p[0]
+
+
+def test_wan_key_map_full_coverage_and_patch_embed_math():
+    """Every Wan transformer leaf is reachable from the diffusers key map,
+    and the Conv3d→dense patch-embed import computes identical outputs."""
+    import jax
+    import jax.numpy as jnp
+
+    from flow_factory_tpu.models.wan.transformer import WanConfig, WanTransformer
+    from flow_factory_tpu.utils.checkpoint import (
+        torch_conv3d_to_flax,
+        wan_transformer_key_map,
+    )
+
+    cfg = WanConfig.tiny()
+    model = WanTransformer(cfg)
+    pt, ph, pw = cfg.patch_size
+    lat = jnp.zeros((1, 2 * pt, 2 * ph, 2 * pw, cfg.in_channels))
+    template = model.init(
+        jax.random.key(0), lat, jnp.zeros((1,)), jnp.zeros((1, 3, cfg.context_dim))
+    )["params"]
+
+    key_map, raw_map = wan_transformer_key_map(cfg.num_layers)
+    rng = np.random.default_rng(0)
+
+    # synthesize a torch-layout state dict for every mapped module
+    flat = jax.tree_util.tree_flatten_with_path(template)[0]
+    leaf_shapes = {
+        "/".join(str(getattr(p, "key", p)) for p in path): np.asarray(v).shape
+        for path, v in flat
+    }
+    sd = {}
+    for tk, our in raw_map.items():
+        sd[tk] = rng.standard_normal(leaf_shapes[our], dtype=np.float32)
+    for tk, our in key_map.items():
+        if f"{our}/kernel" in leaf_shapes:
+            shp = leaf_shapes[f"{our}/kernel"]
+            if tk == "patch_embedding":  # torch Conv3d layout
+                sd[f"{tk}.weight"] = rng.standard_normal(
+                    (shp[1], cfg.in_channels, pt, ph, pw), dtype=np.float32
+                )
+            else:
+                sd[f"{tk}.weight"] = rng.standard_normal(shp[::-1], dtype=np.float32)
+        elif f"{our}/scale" in leaf_shapes:
+            sd[f"{tk}.weight"] = rng.standard_normal(
+                leaf_shapes[f"{our}/scale"], dtype=np.float32
+            )
+        if f"{our}/bias" in leaf_shapes:
+            sd[f"{tk}.bias"] = rng.standard_normal(
+                leaf_shapes[f"{our}/bias"], dtype=np.float32
+            )
+
+    out = import_diffusers_params(sd, key_map, template, raw_map=raw_map)
+
+    # 1) zero missing: every leaf was replaced with synthesized values
+    for (path, before), (_, after) in zip(
+        jax.tree_util.tree_flatten_with_path(template)[0],
+        jax.tree_util.tree_flatten_with_path(out)[0],
+    ):
+        assert not np.array_equal(np.asarray(before), np.asarray(after)), path
+
+    # 2) patch-embed math: dense over (pt, ph, pw, C)-ordered patches must
+    # equal the strided Conv3d it was imported from
+    w_flax = torch_conv3d_to_flax(sd["patch_embedding.weight"])  # (pt, ph, pw, C, O)
+    kernel = np.asarray(out["patch_embedding"]["kernel"])
+    x = rng.standard_normal((pt, ph, pw, cfg.in_channels)).astype(np.float32)
+    conv_out = np.einsum("pqrc,pqrco->o", x, w_flax)
+    dense_out = x.reshape(-1) @ kernel
+    np.testing.assert_allclose(dense_out, conv_out, rtol=1e-5)
