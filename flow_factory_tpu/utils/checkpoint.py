@@ -333,3 +333,45 @@ def wan_transformer_key_map(num_layers: int) -> Tuple[Dict[str, str], Dict[str, 
         m[f"{b}.ffn.net.0.proj"] = f"{o}/ffn1"
         m[f"{b}.ffn.net.2"] = f"{o}/ffn2"
     return m, raw
+
+
+def qwen_image_transformer_key_map(num_blocks: int) -> Dict[str, str]:
+    """diffusers ``QwenImageTransformer2DModel`` module path → our param path.
+
+    Qwen-Image is a pure double-stream MMDiT, which we express as a
+    ``FluxTransformer`` with ``num_single_blocks=0`` (same joint-attention
+    math; reference ``src/flow_factory/models/qwenimage.py``). The upstream
+    modulations are ``nn.Sequential(SiLU, Linear)`` — hence the ``.1`` module
+    index — and chunk (shift, scale, gate)×(attn, mlp), matching our block's
+    6-way split. Known gap: upstream's pre-``txt_in`` RMSNorm (``txt_norm``)
+    has no counterpart here yet; the importer will report it unmapped.
+    """
+    m: Dict[str, str] = {
+        "img_in": "x_embedder",
+        "txt_in": "context_embedder",
+        "time_text_embed.timestep_embedder.linear_1": "time_embed/linear_1",
+        "time_text_embed.timestep_embedder.linear_2": "time_embed/linear_2",
+        "norm_out.linear": "norm_out/linear",
+        "proj_out": "proj_out",
+    }
+    for i in range(num_blocks):
+        b, o = f"transformer_blocks.{i}", f"double_{i}"
+        m[f"{b}.img_mod.1"] = f"{o}/img_mod"
+        m[f"{b}.txt_mod.1"] = f"{o}/txt_mod"
+        m[f"{b}.attn.to_q"] = f"{o}/img_q"
+        m[f"{b}.attn.to_k"] = f"{o}/img_k"
+        m[f"{b}.attn.to_v"] = f"{o}/img_v"
+        m[f"{b}.attn.to_out.0"] = f"{o}/img_attn_out"
+        m[f"{b}.attn.add_q_proj"] = f"{o}/txt_q"
+        m[f"{b}.attn.add_k_proj"] = f"{o}/txt_k"
+        m[f"{b}.attn.add_v_proj"] = f"{o}/txt_v"
+        m[f"{b}.attn.to_add_out"] = f"{o}/txt_attn_out"
+        m[f"{b}.attn.norm_q"] = f"{o}/img_qk_norm/q_norm"
+        m[f"{b}.attn.norm_k"] = f"{o}/img_qk_norm/k_norm"
+        m[f"{b}.attn.norm_added_q"] = f"{o}/txt_qk_norm/q_norm"
+        m[f"{b}.attn.norm_added_k"] = f"{o}/txt_qk_norm/k_norm"
+        m[f"{b}.img_mlp.net.0.proj"] = f"{o}/img_ff/fc1"
+        m[f"{b}.img_mlp.net.2"] = f"{o}/img_ff/fc2"
+        m[f"{b}.txt_mlp.net.0.proj"] = f"{o}/txt_ff/fc1"
+        m[f"{b}.txt_mlp.net.2"] = f"{o}/txt_ff/fc2"
+    return m

@@ -171,3 +171,60 @@ def test_wan_key_map_full_coverage_and_patch_embed_math():
     conv_out = np.einsum("pqrc,pqrco->o", x, w_flax)
     dense_out = x.reshape(-1) @ kernel
     np.testing.assert_allclose(dense_out, conv_out, rtol=1e-5)
+
+
+def _synth_torch_state_dict(template, key_map, raw_map=None, conv_specs=None, seed=0):
+    """Random torch-layout state dict covering every mapped leaf of template."""
+    import jax
+
+    rng = np.random.default_rng(seed)
+    flat = jax.tree_util.tree_flatten_with_path(template)[0]
+    shapes = {
+        "/".join(str(getattr(p, "key", p)) for p in path): np.asarray(v).shape
+        for path, v in flat
+    }
+    sd = {}
+    for tk, our in (raw_map or {}).items():
+        sd[tk] = rng.standard_normal(shapes[our], dtype=np.float32)
+    for tk, our in key_map.items():
+        if f"{our}/kernel" in shapes:
+            shp = shapes[f"{our}/kernel"]
+            if conv_specs and tk in conv_specs:
+                sd[f"{tk}.weight"] = rng.standard_normal(conv_specs[tk], dtype=np.float32)
+            else:
+                sd[f"{tk}.weight"] = rng.standard_normal(shp[::-1], dtype=np.float32)
+        elif f"{our}/scale" in shapes:
+            sd[f"{tk}.weight"] = rng.standard_normal(shapes[f"{our}/scale"], dtype=np.float32)
+        if f"{our}/bias" in shapes:
+            sd[f"{tk}.bias"] = rng.standard_normal(shapes[f"{our}/bias"], dtype=np.float32)
+    return sd
+
+
+def test_qwen_image_key_map_full_coverage():
+    """Qwen-Image (Flux double-stream, no single blocks): every leaf mapped."""
+    import jax
+    import jax.numpy as jnp
+
+    from flow_factory_tpu.models.flux.transformer import FluxConfig, FluxTransformer
+    from flow_factory_tpu.utils.checkpoint import qwen_image_transformer_key_map
+
+    cfg = FluxConfig.tiny(
+        num_single_blocks=0, num_double_blocks=2, pooled_dim=0,
+        guidance_embeds=False, context_dim=32,
+    )
+    model = FluxTransformer(cfg)
+    template = model.init(
+        jax.random.key(0),
+        jnp.zeros((1, 4, cfg.in_channels)), jnp.zeros((1,)),
+        jnp.zeros((1, 3, cfg.context_dim)), jnp.zeros((1, 0)),
+        jnp.zeros((4, 3), jnp.int32), jnp.zeros((3, 3), jnp.int32),
+    )["params"]
+
+    key_map = qwen_image_transformer_key_map(cfg.num_double_blocks)
+    sd = _synth_torch_state_dict(template, key_map, seed=3)
+    out = import_diffusers_params(sd, key_map, template)
+    for (path, before), (_, after) in zip(
+        jax.tree_util.tree_flatten_with_path(template)[0],
+        jax.tree_util.tree_flatten_with_path(out)[0],
+    ):
+        assert not np.array_equal(np.asarray(before), np.asarray(after)), path
