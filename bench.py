@@ -76,15 +76,22 @@ def main() -> None:
     out = step(adapter.trainable, frozen, latents, key)
     jax.block_until_ready(out)
 
-    n_iters = 3 * steps
-    t0 = time.perf_counter()
-    x = latents
-    for i in range(n_iters):
-        x = step(adapter.trainable, frozen, x, jax.random.fold_in(key, i))
-    jax.block_until_ready(x)
-    dt = (time.perf_counter() - t0) / n_iters
+    # best-of-N trials to absorb relay jitter. Each trial ends with a
+    # device_get of a scalar REDUCED FROM the chained output: through the
+    # remote-chip relay, block_until_ready alone under-synchronizes and
+    # reports impossible rates — the host round-trip of a data-dependent
+    # scalar is the only trustworthy fence.
+    n_trials, n_iters = 3, 2 * steps
+    best_dt = float("inf")
+    for trial in range(n_trials):
+        t0 = time.perf_counter()
+        x = latents
+        for i in range(n_iters):
+            x = step(adapter.trainable, frozen, x, jax.random.fold_in(key, trial * n_iters + i))
+        float(jax.device_get(jnp.sum(x)))
+        best_dt = min(best_dt, (time.perf_counter() - t0) / n_iters)
 
-    rollout_time = dt * steps  # one sample trajectory = `steps` denoise steps
+    rollout_time = best_dt * steps  # one sample trajectory = `steps` denoise steps
     samples_per_sec = B / rollout_time
 
     print(json.dumps({

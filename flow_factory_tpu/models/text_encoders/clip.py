@@ -139,3 +139,72 @@ class CLIPTextEncoder(nn.Module):
             penultimate_hidden_state=penultimate,
             pooled=pooled,
         )
+
+
+# ---------------------------------------------------------------------------
+# CLIP vision tower (Wan2.1 I2V image conditioning; reference loads the
+# XLM-Roberta-CLIP ViT-H image encoder, ``src/flow_factory/models/wan``)
+# ---------------------------------------------------------------------------
+
+# OpenAI-CLIP pixel normalization constants
+CLIP_IMAGE_MEAN = (0.48145466, 0.4578275, 0.40821073)
+CLIP_IMAGE_STD = (0.26862954, 0.26130258, 0.27577711)
+
+
+@dataclass(frozen=True)
+class CLIPVisionConfig:
+    image_size: int = 224
+    patch_size: int = 14
+    hidden_dim: int = 1280
+    num_layers: int = 32
+    num_heads: int = 16
+    hidden_act: str = "gelu"
+    dtype: str = "bfloat16"
+
+    @property
+    def compute_dtype(self) -> jnp.dtype:
+        return jnp.dtype(self.dtype)
+
+    @staticmethod
+    def vit_h14(**o) -> "CLIPVisionConfig":
+        return CLIPVisionConfig(**o)
+
+    @staticmethod
+    def tiny(**o) -> "CLIPVisionConfig":
+        base = dict(image_size=16, patch_size=8, hidden_dim=32, num_layers=2, num_heads=4)
+        base.update(o)
+        return CLIPVisionConfig(**base)
+
+
+class CLIPVisionEncoder(nn.Module):
+    """ViT image tower returning all token states (CLS + patches).
+
+    Output is the block-stack output WITHOUT a final layernorm — the
+    penultimate-style states Wan's image cross-attention consumes. Input is
+    (B, 3, H, W) in [0, 1]; CLIP normalization happens here.
+    """
+
+    cfg: CLIPVisionConfig
+
+    @nn.compact
+    def __call__(self, pixels: jax.Array) -> jax.Array:
+        cfg = self.cfg
+        dt = cfg.compute_dtype
+        D, P = cfg.hidden_dim, cfg.patch_size
+        mean = jnp.asarray(CLIP_IMAGE_MEAN, jnp.float32).reshape(1, 3, 1, 1)
+        std = jnp.asarray(CLIP_IMAGE_STD, jnp.float32).reshape(1, 3, 1, 1)
+        x = ((pixels.astype(jnp.float32) - mean) / std).transpose(0, 2, 3, 1)  # NHWC
+        x = nn.Conv(D, (P, P), strides=(P, P), use_bias=False, dtype=dt,
+                    name="patch_embedding")(x.astype(dt))
+        B = x.shape[0]
+        x = x.reshape(B, -1, D)
+        cls = self.param("class_embedding", nn.initializers.normal(0.02), (D,), jnp.float32)
+        x = jnp.concatenate([jnp.broadcast_to(cls.astype(dt), (B, 1, D)), x], axis=1)
+        L = x.shape[1]
+        pos = self.param("position_embedding", nn.initializers.normal(0.02), (1, L, D), jnp.float32)
+        x = x + pos.astype(dt)
+        x = nn.LayerNorm(dtype=jnp.float32, name="pre_ln")(x.astype(jnp.float32)).astype(dt)
+        keep_all = jnp.ones((1, 1, L, L), bool)
+        for i in range(cfg.num_layers):
+            x = CLIPBlock(cfg, name=f"layer_{i}")(x, keep_all)
+        return x.astype(jnp.float32)  # (B, L, D) token states, no post-LN

@@ -48,8 +48,28 @@ class WanI2VAdapter(WanT2VAdapter):
         base_cfg: WanConfig = preset["transformer"]
         import dataclasses
 
+        # Wan2.1-style I2V additionally cross-attends to CLIP image tokens;
+        # Wan2.2 conditions purely by latent concat (flag or variant driven)
+        self.use_image_encoder = bool(getattr(ma, "use_image_encoder", False))
+        vis_cfg = None
+        if self.use_image_encoder:
+            from ..text_encoders.clip import CLIPVisionConfig, CLIPVisionEncoder
+
+            vis_cfg = (
+                CLIPVisionConfig.tiny(dtype=ma.inference_dtype)
+                if variant == "tiny"
+                else CLIPVisionConfig.vit_h14(dtype=ma.inference_dtype)
+            )
+            n_tokens = (vis_cfg.image_size // vis_cfg.patch_size) ** 2 + 1
+            self.modules["image_encoder"] = CLIPVisionEncoder(vis_cfg)
+            self.component_configs["image_encoder"] = vis_cfg
+            self.embed_keys = tuple(self.embed_keys) + ("image_embeds",)
+
         wide_cfg = dataclasses.replace(
-            base_cfg, in_channels=base_cfg.in_channels + self.cond_channels
+            base_cfg,
+            in_channels=base_cfg.in_channels + self.cond_channels,
+            image_context_tokens=n_tokens if self.use_image_encoder else 0,
+            image_context_dim=vis_cfg.hidden_dim if vis_cfg else 0,
         )
         self.modules["transformer"] = WanTransformer(wide_cfg)
         self.component_configs["transformer"] = wide_cfg
@@ -60,6 +80,11 @@ class WanI2VAdapter(WanT2VAdapter):
 
         key = derive_key("wan_i2v_init", self.training_args.seed)
         lat = jnp.zeros((1, 2, 2 * wide_cfg.patch_size[1], 2 * wide_cfg.patch_size[2], wide_cfg.in_channels))
+        img_tok = (
+            jnp.zeros((1, wide_cfg.image_context_tokens, wide_cfg.image_context_dim))
+            if self.use_image_encoder
+            else None
+        )
         cast = lambda tree: jax.tree.map(
             lambda x: x.astype(self.inference_dtype) if x.dtype == jnp.float32 else x, tree
         )
@@ -68,14 +93,36 @@ class WanI2VAdapter(WanT2VAdapter):
                 p = self.modules[comp].init(
                     jax.random.fold_in(key, i), lat, jnp.zeros((1,)),
                     jnp.zeros((1, 4, wide_cfg.context_dim)),
+                    encoder_hidden_states_image=img_tok,
                 )["params"]
                 if ma.finetune_type != "full":
                     p = cast(p)
                 self.params[comp] = p
+            if self.use_image_encoder:
+                p = self.modules["image_encoder"].init(
+                    jax.random.fold_in(key, 7),
+                    jnp.zeros((1, 3, vis_cfg.image_size, vis_cfg.image_size)),
+                )["params"]
+                self.params["image_encoder"] = cast(p)
         if jax.devices()[0].platform != "cpu" and self.mesh is None:
-            for comp in ("transformer", "transformer_2"):
+            for comp in ("transformer", "transformer_2", "image_encoder"):
                 if comp in self.params:
                     self.params[comp] = jax.device_put(self.params[comp], jax.devices()[0])
+
+    # ------------------------------------------------------------------
+    def encode_image_clip(self, images: Sequence[Any]) -> np.ndarray:
+        """Condition images → CLIP vision tokens (B, Li, clip_dim)."""
+        vis_cfg = self.component_configs["image_encoder"]
+        arr = standardize_image_batch(list(images), output_type="np")  # (B,3,H,W) in [0,1]
+        x = jax.image.resize(
+            jnp.asarray(arr, jnp.float32),
+            (arr.shape[0], 3, vis_cfg.image_size, vis_cfg.image_size),
+            method="bilinear",
+        )
+        tokens = self.modules["image_encoder"].apply(
+            {"params": self.params["image_encoder"]}, x
+        )
+        return np.asarray(tokens, np.float32)
 
     # ------------------------------------------------------------------
     def build_condition(
@@ -107,11 +154,19 @@ class WanI2VAdapter(WanT2VAdapter):
             cond_latents = self.build_condition(images, num_frames, height, width)
         if cond_latents is None:
             raise ValueError("WanI2VAdapter.inference needs images or cond_latents")
-        samples = super().inference(
-            extra_embeds={"cond_latents": jnp.asarray(cond_latents, jnp.float32)}, **kwargs
-        )
+        extra = {"cond_latents": jnp.asarray(cond_latents, jnp.float32)}
+        image_embeds = kwargs.pop("image_embeds", None)
+        if getattr(self, "use_image_encoder", False):
+            if image_embeds is None and images is not None:
+                image_embeds = self.encode_image_clip(images)
+            if image_embeds is None:
+                raise ValueError("use_image_encoder needs images or image_embeds")
+            extra["image_embeds"] = jnp.asarray(image_embeds, jnp.float32)
+        samples = super().inference(extra_embeds=extra, **kwargs)
         for i, s in enumerate(samples):
             s.extra_kwargs["cond_latents"] = np.asarray(cond_latents[i], np.float32)
+            if image_embeds is not None:
+                s.extra_kwargs["image_embeds"] = np.asarray(image_embeds[i], np.float32)
             if images is not None:
                 s.images = [standardize_image_batch([images[i]], output_type="np")[0]]
                 s._unique_id = None
@@ -126,6 +181,8 @@ class WanI2VAdapter(WanT2VAdapter):
             out["cond_latents"] = self.build_condition(
                 flat, int(getattr(ta, "num_frames", 5)), ta.height, ta.width
             )
+            if getattr(self, "use_image_encoder", False):
+                out["image_embeds"] = self.encode_image_clip(flat)
         return out
 
 

@@ -192,11 +192,15 @@ class WanT2VAdapter(BaseAdapter):
     def _velocity(self, merged, latents, t, embeds, guidance_scale, do_cfg):
         """merged may be a single param tree or (low, high) expert pair."""
         dt = self.component_configs["transformer"].compute_dtype
+        img_ctx = embeds.get("image_embeds")  # Wan2.1 I2V CLIP tokens (optional)
 
-        def run(params, module_name, x, tt, ctx):
-            return self.modules[module_name].apply({"params": params}, x.astype(dt), tt, ctx)
+        def run(params, module_name, x, tt, ctx, cimg):
+            return self.modules[module_name].apply(
+                {"params": params}, x.astype(dt), tt, ctx,
+                encoder_hidden_states_image=cimg,
+            )
 
-        def forward_once(x, tt, ctx):
+        def forward_once(x, tt, ctx, cimg):
             if isinstance(merged, tuple):
                 low, high = merged
                 boundary = jnp.float32(self.boundary_ratio * 1000.0)
@@ -204,9 +208,9 @@ class WanT2VAdapter(BaseAdapter):
                     tt[0] >= boundary,
                     lambda args: run(high, "transformer_2", *args),
                     lambda args: run(low, "transformer", *args),
-                    (x, tt, ctx),
+                    (x, tt, ctx, cimg),
                 )
-            return run(merged, "transformer", x, tt, ctx)
+            return run(merged, "transformer", x, tt, ctx, cimg)
 
         if do_cfg:
             x2 = jnp.concatenate([latents, latents], axis=0)
@@ -214,10 +218,12 @@ class WanT2VAdapter(BaseAdapter):
             ctx = jnp.concatenate(
                 [embeds["negative_prompt_embeds"], embeds["prompt_embeds"]], axis=0
             ).astype(dt)
-            v = forward_once(x2, t2, ctx).astype(jnp.float32)
+            # image conditioning is not CFG-dropped (same embeds both branches)
+            cimg = None if img_ctx is None else jnp.concatenate([img_ctx, img_ctx], axis=0)
+            v = forward_once(x2, t2, ctx, cimg).astype(jnp.float32)
             v_uncond, v_cond = jnp.split(v, 2, axis=0)
             return v_uncond + guidance_scale * (v_cond - v_uncond)
-        return forward_once(latents, t, embeds["prompt_embeds"].astype(dt)).astype(jnp.float32)
+        return forward_once(latents, t, embeds["prompt_embeds"].astype(dt), img_ctx).astype(jnp.float32)
 
     def merged_params(self, component: str, trainable=None, frozen=None):
         # Wan2.2 MoE: present both experts to _velocity as a pair

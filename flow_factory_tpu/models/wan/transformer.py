@@ -44,6 +44,10 @@ class WanConfig:
     attn_backend: str = "auto"
     dtype: str = "bfloat16"
     remat: bool = False  # gradient checkpointing (rematerialize blocks)
+    #: Wan2.1 I2V: CLIP image tokens consumed by a second cross-attn stream
+    #: (0 disables; Wan2.2 I2V conditions purely by latent concat)
+    image_context_tokens: int = 0
+    image_context_dim: int = 1280
 
     @property
     def compute_dtype(self) -> jnp.dtype:
@@ -77,8 +81,9 @@ class WanBlock(nn.Module):
     cfg: WanConfig
 
     @nn.compact
-    def __call__(self, x, context, temb6, cos, sin):
-        """x: (B, L, D); context: (B, Lc, D_ctx); temb6: (B, 6, D)."""
+    def __call__(self, x, context, temb6, cos, sin, context_img=None):
+        """x: (B, L, D); context: (B, Lc, D_ctx); temb6: (B, 6, D);
+        context_img: optional (B, Li, D) projected CLIP tokens (Wan2.1 I2V)."""
         cfg = self.cfg
         dt = cfg.compute_dtype
         D, H = cfg.hidden_dim, cfg.num_heads
@@ -117,6 +122,18 @@ class WanBlock(nn.Module):
         if cfg.qk_norm:
             q, ck = QKNorm(D // H, name="ca_qk_norm")(q, ck)
         attn = dot_product_attention(q, ck, cv, backend=cfg.attn_backend)
+        if cfg.image_context_tokens and context_img is not None:
+            # Wan2.1 I2V second cross-attention stream: shared (normed) query
+            # over CLIP image tokens, k-only RMS norm, outputs summed before
+            # the shared output projection.
+            ci = context_img.astype(dt)
+            ik = split(nn.Dense(D, dtype=dt, name="ca_k_img")(ci))
+            iv = split(nn.Dense(D, dtype=dt, name="ca_v_img")(ci))
+            if cfg.qk_norm:
+                ik = nn.RMSNorm(epsilon=1e-6, dtype=jnp.float32, name="ca_k_img_norm")(
+                    ik.astype(jnp.float32)
+                ).astype(ik.dtype)
+            attn = attn + dot_product_attention(q, ik, iv, backend=cfg.attn_backend)
         x = x + nn.Dense(D, dtype=dt, name="ca_out")(merge(attn))
 
         # --- feed forward
@@ -138,6 +155,7 @@ class WanTransformer(nn.Module):
         latents: jax.Array,  # (B, T, H, W, C)
         timestep: jax.Array,  # (B,) scheduler scale [0, 1000]
         encoder_hidden_states: jax.Array,  # (B, Lc, context_dim)
+        encoder_hidden_states_image: Optional[jax.Array] = None,  # (B, Li, clip_dim)
     ) -> jax.Array:
         cfg = self.cfg
         dt = cfg.compute_dtype
@@ -163,6 +181,19 @@ class WanTransformer(nn.Module):
             )
         )
 
+        # Wan2.1 I2V image-embedding projector (upstream MLPProj: LN → MLP → LN)
+        context_img = None
+        if cfg.image_context_tokens and encoder_hidden_states_image is not None:
+            ih = nn.LayerNorm(dtype=jnp.float32, name="img_emb_norm1")(
+                encoder_hidden_states_image.astype(jnp.float32)
+            ).astype(dt)
+            ih = nn.Dense(cfg.hidden_dim, dtype=dt, name="img_emb_fc1")(ih)
+            ih = nn.gelu(ih, approximate=False)
+            ih = nn.Dense(cfg.hidden_dim, dtype=dt, name="img_emb_fc2")(ih)
+            context_img = nn.LayerNorm(dtype=jnp.float32, name="img_emb_norm2")(
+                ih.astype(jnp.float32)
+            ).astype(dt)
+
         # 3-D RoPE ids: (t, h, w) coordinates per token
         tt = jnp.repeat(jnp.arange(gt), gh * gw)
         hh = jnp.tile(jnp.repeat(jnp.arange(gh), gw), gt)
@@ -172,7 +203,7 @@ class WanTransformer(nn.Module):
 
         BlockCls = nn.remat(WanBlock) if cfg.remat else WanBlock
         for i in range(cfg.num_layers):
-            x = BlockCls(cfg, name=f"block_{i}")(x, context, temb6, cos, sin)
+            x = BlockCls(cfg, name=f"block_{i}")(x, context, temb6, cos, sin, context_img)
 
         # head: modulated norm + linear to patch voxels. Upstream Wan adds the
         # raw time embedding straight onto the (1, 2, D) head table (no extra

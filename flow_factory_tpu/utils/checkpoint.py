@@ -294,7 +294,7 @@ def fuse_flux_single_block_qkv_mlp(state_dict: Dict[str, np.ndarray], num_single
     return out
 
 
-def wan_transformer_key_map(num_layers: int) -> Tuple[Dict[str, str], Dict[str, str]]:
+def wan_transformer_key_map(num_layers: int, i2v: bool = False) -> Tuple[Dict[str, str], Dict[str, str]]:
     """diffusers ``WanTransformer3DModel`` module path → our param path.
 
     Returns ``(key_map, raw_map)`` for :func:`import_diffusers_params`.
@@ -332,6 +332,15 @@ def wan_transformer_key_map(num_layers: int) -> Tuple[Dict[str, str], Dict[str, 
         m[f"{b}.norm2"] = f"{o}/norm2"
         m[f"{b}.ffn.net.0.proj"] = f"{o}/ffn1"
         m[f"{b}.ffn.net.2"] = f"{o}/ffn2"
+        if i2v:  # Wan2.1 I2V image cross-attention stream
+            m[f"{b}.attn2.add_k_proj"] = f"{o}/ca_k_img"
+            m[f"{b}.attn2.add_v_proj"] = f"{o}/ca_v_img"
+            m[f"{b}.attn2.norm_added_k"] = f"{o}/ca_k_img_norm"
+    if i2v:  # CLIP-token projector (upstream WanImageEmbedding)
+        m["condition_embedder.image_embedder.norm1"] = "img_emb_norm1"
+        m["condition_embedder.image_embedder.ff.net.0.proj"] = "img_emb_fc1"
+        m["condition_embedder.image_embedder.ff.net.2"] = "img_emb_fc2"
+        m["condition_embedder.image_embedder.norm2"] = "img_emb_norm2"
     return m, raw
 
 

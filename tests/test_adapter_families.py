@@ -106,3 +106,51 @@ def test_ltx2_joint_av_replay():
     out = adapter.training_forward(adapter.trainable, batch)
     ratio = np.exp(np.asarray(out.log_prob) - b["log_probs"][:, lpi])
     np.testing.assert_allclose(ratio, 1.0, atol=1e-4)
+
+
+def test_wan_i2v_clip_conditioned_replay():
+    """Wan2.1-style I2V: CLIP image tokens feed a second cross-attn stream;
+    conditioning must survive the store→replay round trip (ratio == 1)."""
+    cfg = _cfg("wan2-i2v", g=3.0)
+    cfg.model_args.extra_kwargs["use_image_encoder"] = True
+    adapter = load_adapter(cfg)
+    assert adapter.use_image_encoder and "image_encoder" in adapter.modules
+    assert "image_embeds" in adapter.embed_keys
+    adapter.rollout()
+    rng = np.random.default_rng(1)
+    images = [rng.random((3, 32, 32)).astype(np.float32) for _ in range(2)]
+    samples = adapter.inference(
+        prompt=["a cat wakes", "a wave rolls"], images=images,
+        compute_log_prob=True, seed=0,
+    )
+    s = samples[0]
+    assert s.extra_kwargs["image_embeds"].ndim == 2  # (Li, clip_dim)
+    # image conditioning must actually influence the rollout: different
+    # conditioning images with the same prompt/noise → different latents
+    alt = adapter.inference(
+        prompt=["a cat wakes", "a wave rolls"], images=images[::-1],
+        compute_log_prob=True, seed=0,
+    )
+    assert not np.allclose(samples[0].all_latents[-1], alt[0].all_latents[-1])
+
+    b = stack_samples(samples)
+    sig, nl = s.extra_kwargs["sigmas"], s.extra_kwargs["noise_levels"]
+    i = int(np.nonzero(nl)[0][0])
+    li, lni, lpi = s.latent_index_map[i], s.latent_index_map[i + 1], s.log_prob_index_map[i]
+    batch = {
+        "latents": jnp.asarray(b["all_latents"][:, li]),
+        "next_latents": jnp.asarray(b["all_latents"][:, lni]),
+        "timestep": jnp.full((2,), float(s.timesteps[i])),
+        "sigma": jnp.full((2,), float(sig[i])),
+        "sigma_next": jnp.full((2,), float(sig[i + 1])),
+        "noise_level": jnp.full((2,), float(nl[i])),
+        "guidance_scale": jnp.float32(3.0),
+        "sigma_max": jnp.float32(sig[1]),
+        "prompt_embeds": jnp.asarray(b["prompt_embeds"]),
+        "negative_prompt_embeds": jnp.asarray(b["negative_prompt_embeds"]),
+        "cond_latents": jnp.asarray(b["cond_latents"]),
+        "image_embeds": jnp.asarray(b["image_embeds"]),
+    }
+    out = adapter.training_forward(adapter.trainable, batch)
+    ratio = np.exp(np.asarray(out.log_prob) - b["log_probs"][:, lpi])
+    np.testing.assert_allclose(ratio, 1.0, atol=1e-4)

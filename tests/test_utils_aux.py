@@ -228,3 +228,34 @@ def test_qwen_image_key_map_full_coverage():
         jax.tree_util.tree_flatten_with_path(out)[0],
     ):
         assert not np.array_equal(np.asarray(before), np.asarray(after)), path
+
+
+def test_wan_i2v_key_map_covers_image_branch():
+    import jax
+    import jax.numpy as jnp
+
+    from flow_factory_tpu.models.wan.transformer import WanConfig, WanTransformer
+    from flow_factory_tpu.utils.checkpoint import wan_transformer_key_map
+
+    cfg = WanConfig.tiny(image_context_tokens=5, image_context_dim=24)
+    model = WanTransformer(cfg)
+    pt, ph, pw = cfg.patch_size
+    template = model.init(
+        jax.random.key(0),
+        jnp.zeros((1, 2 * pt, 2 * ph, 2 * pw, cfg.in_channels)),
+        jnp.zeros((1,)),
+        jnp.zeros((1, 3, cfg.context_dim)),
+        encoder_hidden_states_image=jnp.zeros((1, 5, cfg.image_context_dim)),
+    )["params"]
+    key_map, raw_map = wan_transformer_key_map(cfg.num_layers, i2v=True)
+    sd = _synth_torch_state_dict(
+        template, key_map, raw_map=raw_map,
+        conv_specs={"patch_embedding": (cfg.hidden_dim, cfg.in_channels, pt, ph, pw)},
+        seed=5,
+    )
+    out = import_diffusers_params(sd, key_map, template, raw_map=raw_map)
+    for (path, before), (_, after) in zip(
+        jax.tree_util.tree_flatten_with_path(template)[0],
+        jax.tree_util.tree_flatten_with_path(out)[0],
+    ):
+        assert not np.array_equal(np.asarray(before), np.asarray(after)), path
