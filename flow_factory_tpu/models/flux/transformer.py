@@ -54,6 +54,9 @@ class FluxConfig:
     attn_backend: str = "auto"
     dtype: str = "bfloat16"
     remat: bool = False  # gradient checkpointing (rematerialize blocks)
+    #: Qwen-Image applies an RMSNorm to text features before the context
+    #: embedder (upstream ``txt_norm``); FLUX does not
+    txt_norm: bool = False
 
     @property
     def compute_dtype(self) -> jnp.dtype:
@@ -192,6 +195,10 @@ class FluxTransformer(nn.Module):
         dt = cfg.compute_dtype
 
         img = nn.Dense(cfg.hidden_dim, dtype=dt, name="x_embedder")(latents.astype(dt))
+        if cfg.txt_norm:
+            encoder_hidden_states = nn.RMSNorm(epsilon=1e-6, dtype=jnp.float32, name="txt_norm")(
+                encoder_hidden_states.astype(jnp.float32)
+            )
         txt = nn.Dense(cfg.hidden_dim, dtype=dt, name="context_embedder")(
             encoder_hidden_states.astype(dt)
         )

@@ -37,7 +37,7 @@ def _preset(name: str, attn_backend: str, dtype: str) -> Dict[str, Any]:
             transformer=FluxConfig.tiny(
                 attn_backend=attn_backend, dtype=dtype, pooled_dim=0,
                 guidance_embeds=False, num_single_blocks=0, num_double_blocks=2,
-                context_dim=32,
+                context_dim=32, txt_norm=True,
             ),
             vae=VAEConfig.tiny(latent_channels=4, dtype=dtype),
             lm=LMConfig.tiny(hidden_dim=32, dtype=dtype),
@@ -50,6 +50,7 @@ def _preset(name: str, attn_backend: str, dtype: str) -> Dict[str, Any]:
                 num_double_blocks=60, num_single_blocks=0,
                 context_dim=3584, pooled_dim=0, guidance_embeds=False,
                 axes_dim=(16, 56, 56), attn_backend=attn_backend, dtype=dtype,
+                txt_norm=True,
             ),
             vae=VAEConfig(latent_channels=16, dtype=dtype),
             lm=LMConfig.qwen25_7b(dtype=dtype),

@@ -352,11 +352,11 @@ def qwen_image_transformer_key_map(num_blocks: int) -> Dict[str, str]:
     math; reference ``src/flow_factory/models/qwenimage.py``). The upstream
     modulations are ``nn.Sequential(SiLU, Linear)`` — hence the ``.1`` module
     index — and chunk (shift, scale, gate)×(attn, mlp), matching our block's
-    6-way split. Known gap: upstream's pre-``txt_in`` RMSNorm (``txt_norm``)
-    has no counterpart here yet; the importer will report it unmapped.
+    6-way split. The pre-``txt_in`` RMSNorm maps onto ``cfg.txt_norm``.
     """
     m: Dict[str, str] = {
         "img_in": "x_embedder",
+        "txt_norm": "txt_norm",
         "txt_in": "context_embedder",
         "time_text_embed.timestep_embedder.linear_1": "time_embed/linear_1",
         "time_text_embed.timestep_embedder.linear_2": "time_embed/linear_2",

@@ -210,7 +210,7 @@ def test_qwen_image_key_map_full_coverage():
 
     cfg = FluxConfig.tiny(
         num_single_blocks=0, num_double_blocks=2, pooled_dim=0,
-        guidance_embeds=False, context_dim=32,
+        guidance_embeds=False, context_dim=32, txt_norm=True,
     )
     model = FluxTransformer(cfg)
     template = model.init(
