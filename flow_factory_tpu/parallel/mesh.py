@@ -83,11 +83,26 @@ def batch_pspec() -> P:
 
 
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
-    """Place a host batch pytree with the leading dim sharded over data axes."""
+    """Place a host batch pytree with the leading dim sharded over data axes.
+
+    Multi-controller runs assemble each leaf from PROCESS-LOCAL rows into one
+    globally-sharded ``jax.Array`` (``make_array_from_process_local_data``),
+    so jitted batch reductions — DGPO's ``segment_sum`` group sums, CRD's
+    centering means, loss means — run over the GLOBAL batch with XLA
+    collectives, matching the reference's scatter_add + all-reduce semantics
+    (``src/flow_factory/trainers/dgpo.py`` group reduction) exactly at pod
+    scale. Scalars and 0-d leaves are identical on every process by
+    construction and are replicated.
+    """
+    multihost = jax.process_count() > 1
+
     def _put(x):
         x = np.asarray(x) if not hasattr(x, "ndim") else x
         spec = P(DATA_AXES, *([None] * (x.ndim - 1))) if x.ndim >= 1 else P()
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        sharding = NamedSharding(mesh, spec)
+        if multihost and x.ndim >= 1:
+            return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+        return jax.device_put(x, sharding)
 
     return jax.tree_util.tree_map(_put, batch)
 

@@ -17,10 +17,11 @@ seeded from (seed, epoch, inner, TAG)):
             + KL vs frozen ref with optional kl_cfg CFG teacher)
 
 TPU note: the reference needs scatter_add + a cross-rank ``accelerator.reduce``
-because each rank sees only its group slice. Here one process drives all local
-replicas, so the jitted ``segment_sum`` over the (device-sharded) global batch
-IS the group reduction — XLA inserts the collective. (Multi-host pods use
-globally-sharded arrays for the same effect.)
+because each rank sees only its group slice. Here ``shard_batch`` builds a
+globally-sharded batch (process-local rows on multi-controller pods), so the
+jitted ``segment_sum`` over it IS the group reduction — XLA inserts the
+cross-host collective; group ids are consistent across processes because
+the distributed sampler yields the same prompt sequence on every replica.
 
 ``ema_ref`` (fast old-policy snapshot, TDM-R1 dynamic reference) is a named
 parameter store blended toward current weights per optimizer step with
