@@ -1,8 +1,7 @@
-"""Registry coverage + conditioned (Kontext) and joint-AV (LTX-2) paths.
-
-The remaining families (Qwen, FLUX.2, Z-Image, Wan-I2V/V2V) share these code
-paths; their per-family rollouts are exercised by the smoke scripts and CI
-marks to keep the suite fast.
+"""Per-family adapter coverage: registry + replay invariant for every
+image/video/AV family (Kontext, LTX-2 joint AV, Wan-I2V CLIP, and the
+parametrized sweep over Qwen/FLUX.2/Klein/Edit-Plus/Z-Image). SD3.5, FLUX.1,
+and Wan-T2V have dedicated test modules.
 """
 import numpy as np
 import pytest
@@ -151,6 +150,47 @@ def test_wan_i2v_clip_conditioned_replay():
         "cond_latents": jnp.asarray(b["cond_latents"]),
         "image_embeds": jnp.asarray(b["image_embeds"]),
     }
+    out = adapter.training_forward(adapter.trainable, batch)
+    ratio = np.exp(np.asarray(out.log_prob) - b["log_probs"][:, lpi])
+    np.testing.assert_allclose(ratio, 1.0, atol=1e-4)
+
+
+@pytest.mark.parametrize("key,needs_images,g", [
+    ("qwen-image", False, 3.0),
+    ("qwen-image-edit-plus", True, 3.0),
+    ("flux2", True, 3.0),
+    ("flux2-klein", True, 3.0),
+    ("z-image", False, 1.0),
+])
+def test_family_replay_invariant(key, needs_images, g):
+    """Generic per-family check: rollout → store → replay ratio == 1.0,
+    with the replay batch assembled from the adapter's own embed_keys."""
+    adapter = load_adapter(_cfg(key, g=g))
+    adapter.rollout()
+    kwargs = {}
+    if needs_images:
+        rng = np.random.default_rng(0)
+        kwargs["images"] = [rng.random((3, 32, 32)).astype(np.float32) for _ in range(2)]
+    samples = adapter.inference(
+        prompt=["a tall ship", "a quiet street"], compute_log_prob=True, seed=0, **kwargs
+    )
+    s = samples[0]
+    b = stack_samples(samples)
+    sig, nl = s.extra_kwargs["sigmas"], s.extra_kwargs["noise_levels"]
+    i = int(np.nonzero(nl)[0][0])
+    li, lni, lpi = s.latent_index_map[i], s.latent_index_map[i + 1], s.log_prob_index_map[i]
+    batch = {
+        "latents": jnp.asarray(b["all_latents"][:, li]),
+        "next_latents": jnp.asarray(b["all_latents"][:, lni]),
+        "timestep": jnp.full((2,), float(s.timesteps[i])),
+        "sigma": jnp.full((2,), float(sig[i])),
+        "sigma_next": jnp.full((2,), float(sig[i + 1])),
+        "noise_level": jnp.full((2,), float(nl[i])),
+        "guidance_scale": jnp.float32(g),
+        "sigma_max": jnp.float32(sig[1]),
+    }
+    for ek in adapter.embed_keys:
+        batch[ek] = jnp.asarray(b[ek])
     out = adapter.training_forward(adapter.trainable, batch)
     ratio = np.exp(np.asarray(out.log_prob) - b["log_probs"][:, lpi])
     np.testing.assert_allclose(ratio, 1.0, atol=1e-4)
