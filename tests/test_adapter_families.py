@@ -194,3 +194,40 @@ def test_family_replay_invariant(key, needs_images, g):
     out = adapter.training_forward(adapter.trainable, batch)
     ratio = np.exp(np.asarray(out.log_prob) - b["log_probs"][:, lpi])
     np.testing.assert_allclose(ratio, 1.0, atol=1e-4)
+
+
+@pytest.mark.parametrize("key", ["ltx2-i2av", "wan2-v2v"])
+def test_conditioned_video_family_replay(key):
+    """Image-conditioned AV (LTX-2 I2AV) and video-conditioned (Wan V2V)."""
+    adapter = load_adapter(_cfg(key))
+    adapter.rollout()
+    rng = np.random.default_rng(2)
+    if key == "ltx2-i2av":
+        cond = {"images": [rng.random((3, 32, 32)).astype(np.float32) for _ in range(2)]}
+    else:
+        cond = {"condition_video": [rng.random((5, 3, 32, 32)).astype(np.float32) for _ in range(2)]}
+    samples = adapter.inference(
+        prompt=["a harbor", "a forest"], compute_log_prob=True, seed=0, **cond
+    )
+    s = samples[0]
+    b = stack_samples(samples)
+    sig, nl = s.extra_kwargs["sigmas"], s.extra_kwargs["noise_levels"]
+    i = int(np.nonzero(nl)[0][0])
+    li, lni, lpi = s.latent_index_map[i], s.latent_index_map[i + 1], s.log_prob_index_map[i]
+    batch = {
+        "latents": jnp.asarray(b["all_latents"][:, li]),
+        "next_latents": jnp.asarray(b["all_latents"][:, lni]),
+        "timestep": jnp.full((2,), float(s.timesteps[i])),
+        "sigma": jnp.full((2,), float(sig[i])),
+        "sigma_next": jnp.full((2,), float(sig[i + 1])),
+        "noise_level": jnp.full((2,), float(nl[i])),
+        "guidance_scale": jnp.float32(3.0),
+        "sigma_max": jnp.float32(sig[1]),
+    }
+    if key == "ltx2-i2av":
+        batch["audio_latents"] = jnp.asarray(b["audio_all_latents"][:, li])
+    for ek in adapter.embed_keys:
+        batch[ek] = jnp.asarray(b[ek])
+    out = adapter.training_forward(adapter.trainable, batch)
+    ratio = np.exp(np.asarray(out.log_prob) - b["log_probs"][:, lpi])
+    np.testing.assert_allclose(ratio, 1.0, atol=1e-4)
