@@ -141,6 +141,20 @@ class Flux2Adapter(Flux1KontextAdapter):
         self._encode_jit = None
         self._decode_jit = None
 
+        # built-in caption upsampling (reference: the FLUX.2 VLM rewrites the
+        # user prompt before embedding) — the SAME decoder generates via
+        # tied-embedding logits, so enabling it loads nothing extra
+        if getattr(ma, "use_caption_upsampler", False) and "text_encoder" in self.modules:
+            from ..text_encoders.caption import LMCaptionUpsampler
+
+            self.caption_upsampler = LMCaptionUpsampler(
+                self.modules["text_encoder"],
+                self.params["text_encoder"],
+                self.tokenizer,
+                max_new_tokens=int(getattr(ma, "caption_max_new_tokens", 24)),
+                max_length=min(self.max_length, 96),
+            )
+
     # ------------------------------------------------------------------
     def _encode_impl(self, params, ids, mask):
         emb = self.modules["text_encoder"].apply({"params": params}, ids, mask)

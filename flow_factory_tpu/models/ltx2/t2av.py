@@ -155,6 +155,21 @@ class LTX2T2AVAdapter(BaseAdapter):
         self._decode_jit = None
         self._audio_decode_jit = None
 
+        # built-in LLM prompt enhancement (reference ltx2_t2av.py:340-368):
+        # greedy rewrite through the SAME conditioning decoder, tied-embedding
+        # logits — nothing extra to load
+        if getattr(ma, "use_prompt_enhancer", False) and "text_encoder" in self.modules:
+            from ..text_encoders.caption import LMCaptionUpsampler
+
+            self.prompt_enhancer = LMCaptionUpsampler(
+                self.modules["text_encoder"],
+                self.params["text_encoder"],
+                self.tokenizer,
+                template="Expand into a cinematic audio-video scene description: {prompt}\n",
+                max_new_tokens=int(getattr(ma, "caption_max_new_tokens", 24)),
+                max_length=min(self.max_length, 96),
+            )
+
     # ------------------------------------------------------------------
     def _encode_impl(self, params, ids, mask):
         emb = self.modules["text_encoder"].apply({"params": params}, ids, mask)

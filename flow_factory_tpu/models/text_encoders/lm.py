@@ -110,17 +110,28 @@ class LMBlock(nn.Module):
 
 
 class LMEncoder(nn.Module):
-    """Causal LM; returns final hidden states (B, L, D)."""
+    """Causal LM; returns final hidden states (B, L, D).
+
+    With ``return_logits=True`` additionally returns tied-embedding
+    next-token logits (``Embed.attend``) — the generation surface for the
+    caption upsampler (same module, no extra head params).
+    """
 
     cfg: LMConfig
 
     @nn.compact
-    def __call__(self, input_ids: jax.Array, attention_mask: Optional[jax.Array] = None) -> jax.Array:
+    def __call__(
+        self,
+        input_ids: jax.Array,
+        attention_mask: Optional[jax.Array] = None,
+        return_logits: bool = False,
+    ):
         cfg = self.cfg
         B, L = input_ids.shape
-        x = nn.Embed(cfg.vocab_size, cfg.hidden_dim, dtype=cfg.compute_dtype, name="token_embedding")(
-            input_ids
+        tok_emb = nn.Embed(
+            cfg.vocab_size, cfg.hidden_dim, dtype=cfg.compute_dtype, name="token_embedding"
         )
+        x = tok_emb(input_ids)
         pos = jnp.arange(L)[:, None].astype(jnp.float32)
         cos, sin = rope_frequencies(pos, (cfg.head_dim,), cfg.rope_theta)
         causal = jnp.tril(jnp.ones((L, L), bool))[None, None]
@@ -128,4 +139,7 @@ class LMEncoder(nn.Module):
             causal = causal & attention_mask[:, None, None, :].astype(bool)
         for i in range(cfg.num_layers):
             x = LMBlock(cfg, name=f"layer_{i}")(x, cos, sin, causal)
-        return RMSNorm(cfg.hidden_dim, name="final_ln")(x)
+        x = RMSNorm(cfg.hidden_dim, name="final_ln")(x)
+        if return_logits:
+            return x, tok_emb.attend(x.astype(tok_emb.dtype)).astype(jnp.float32)
+        return x

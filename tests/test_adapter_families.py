@@ -231,3 +231,23 @@ def test_conditioned_video_family_replay(key):
     out = adapter.training_forward(adapter.trainable, batch)
     ratio = np.exp(np.asarray(out.log_prob) - b["log_probs"][:, lpi])
     np.testing.assert_allclose(ratio, 1.0, atol=1e-4)
+
+
+def test_flux2_caption_upsampler():
+    """Built-in LM caption upsampling: deterministic greedy rewrite feeds
+    the conditioning path end-to-end (offline tokenizer transcripts)."""
+    cfg = _cfg("flux2")
+    cfg.model_args.extra_kwargs["use_caption_upsampler"] = True
+    adapter = load_adapter(cfg)
+    assert adapter.caption_upsampler is not None
+    up = adapter.caption_upsampler(["a cat", "a dog on a hill"])
+    assert len(up) == 2 and all(isinstance(t, str) and t for t in up)
+    # deterministic
+    assert up == adapter.caption_upsampler(["a cat", "a dog on a hill"])
+    adapter.rollout()
+    rng = np.random.default_rng(0)
+    images = [rng.random((3, 32, 32)).astype(np.float32) for _ in range(2)]
+    samples = adapter.inference(
+        prompt=["a cat", "a dog on a hill"], images=images, compute_log_prob=True, seed=0
+    )
+    assert len(samples) == 2 and np.all(np.isfinite(samples[0].log_probs))
