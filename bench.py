@@ -7,11 +7,14 @@ transition with log-prob, i.e. the op that dominates rollout wall-clock
 ``examples/grpo/lora/sd3_5/default.yaml``).
 
 Metric: rollout samples/sec/chip at 512px, 10-step Euler SDE.
-vs_baseline: ratio against an H100 running the reference at the same
-geometry, estimated at 0.9 samples/s/chip from the workload's FLOP count
-(2×2.2B params × ~4.4k tokens × 20 CFG forwards/sample) at 40% MFU on
-989 bf16 TFLOP/s — the reference publishes no numbers (BASELINE.md), so the
-denominator is a fixed documented constant to keep rounds comparable.
+vs_baseline: PER-CHIP ratio against an H100 running the reference at the
+same geometry. The reference publishes no numbers (BASELINE.md), so the
+denominator is a fixed documented estimate: 122 TFLOP/sample (20 CFG
+forwards × 2 × 2.24B params × 1357 tokens [1024 image patches + 333 text])
+at 40% MFU on 989 bf16 TFLOP/s ⇒ 3.2 samples/s/H100. Note the silicon gap:
+one v5e chip has 197 peak bf16 TFLOP/s (1/5 of an H100), so per-chip parity
+is not the right lens — per-peak-FLOP efficiency is (see
+docs/performance.md: this harness sustains ~80% MFU vs the estimated 40%).
 """
 from __future__ import annotations
 
@@ -19,7 +22,7 @@ import json
 import os
 import time
 
-H100_BASELINE_SAMPLES_PER_SEC = 0.9  # documented estimate, fixed across rounds
+H100_BASELINE_SAMPLES_PER_SEC = 3.2  # documented estimate (see module docstring)
 
 
 def main() -> None:
@@ -38,7 +41,7 @@ def main() -> None:
     import __graft_entry__ as g
 
     if on_tpu:
-        B, res, steps = int(os.environ.get("BENCH_BATCH", "24")), 512, 10
+        B, res, steps = int(os.environ.get("BENCH_BATCH", "8")), 512, 10
         config = g._make_config(tiny=False, load_components=["transformer"])
         config.model_args.extra_kwargs["init_on_device"] = True
     else:
