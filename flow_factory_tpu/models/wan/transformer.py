@@ -88,19 +88,31 @@ class WanBlock(nn.Module):
         dt = cfg.compute_dtype
         D, H = cfg.hidden_dim, cfg.num_heads
 
-        # Wan per-block modulation: learned table + projected time embedding
+        # Wan per-block modulation: learned table + projected time embedding.
+        # temb6 is (B, 6, D) — one timestep per sample — or (B, L, 6, D) when
+        # the transformer runs with per-token timesteps (Wan2.2 TI2V-style
+        # expand_timesteps, reference wan2_t2v.py:502-506): modulations then
+        # index per token and the broadcast dims below collapse.
         table = self.param("scale_shift_table", nn.initializers.normal(0.02), (1, 6, D), jnp.float32)
-        mods = table + temb6.astype(jnp.float32)
-        shift_sa, scale_sa, gate_sa, shift_ff, scale_ff, gate_ff = [
-            mods[:, i] for i in range(6)
-        ]
+        if temb6.ndim == 4:  # per-token: (B, L, 6, D)
+            mods = table[:, None] + temb6.astype(jnp.float32)
+            shift_sa, scale_sa, gate_sa, shift_ff, scale_ff, gate_ff = [
+                mods[:, :, i] for i in range(6)  # each (B, L, D)
+            ]
+            tok = lambda m: m  # already per-token
+        else:
+            mods = table + temb6.astype(jnp.float32)
+            shift_sa, scale_sa, gate_sa, shift_ff, scale_ff, gate_ff = [
+                mods[:, i] for i in range(6)  # each (B, D)
+            ]
+            tok = lambda m: m[:, None]  # broadcast over tokens
 
         ln = lambda name: nn.LayerNorm(use_bias=False, use_scale=False, dtype=jnp.float32, name=name)
         split = lambda t: t.reshape(t.shape[0], t.shape[1], H, D // H).transpose(0, 2, 1, 3)
         merge = lambda t: t.transpose(0, 2, 1, 3).reshape(t.shape[0], -1, D)
 
         # --- self attention (RoPE over video tokens)
-        h = (ln("norm1")(x.astype(jnp.float32)) * (1 + scale_sa[:, None]) + shift_sa[:, None]).astype(dt)
+        h = (ln("norm1")(x.astype(jnp.float32)) * (1 + tok(scale_sa)) + tok(shift_sa)).astype(dt)
         q = split(nn.Dense(D, dtype=dt, name="sa_q")(h))
         k = split(nn.Dense(D, dtype=dt, name="sa_k")(h))
         v = split(nn.Dense(D, dtype=dt, name="sa_v")(h))
@@ -109,7 +121,7 @@ class WanBlock(nn.Module):
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
         attn = dot_product_attention(q, k, v, backend=cfg.attn_backend)
-        x = x + gate_sa[:, None].astype(x.dtype) * nn.Dense(D, dtype=dt, name="sa_out")(merge(attn))
+        x = x + tok(gate_sa).astype(x.dtype) * nn.Dense(D, dtype=dt, name="sa_out")(merge(attn))
 
         # --- cross attention (no RoPE, plain LN)
         h = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x.astype(jnp.float32)).astype(dt)
@@ -137,11 +149,11 @@ class WanBlock(nn.Module):
         x = x + nn.Dense(D, dtype=dt, name="ca_out")(merge(attn))
 
         # --- feed forward
-        h = (ln("norm3")(x.astype(jnp.float32)) * (1 + scale_ff[:, None]) + shift_ff[:, None]).astype(dt)
+        h = (ln("norm3")(x.astype(jnp.float32)) * (1 + tok(scale_ff)) + tok(shift_ff)).astype(dt)
         h = nn.Dense(cfg.ffn_dim, dtype=dt, name="ffn1")(h)
         h = nn.gelu(h, approximate=True)
         h = nn.Dense(D, dtype=dt, name="ffn2")(h)
-        return x + gate_ff[:, None].astype(x.dtype) * h
+        return x + tok(gate_ff).astype(x.dtype) * h
 
 
 class WanTransformer(nn.Module):
@@ -168,11 +180,24 @@ class WanTransformer(nn.Module):
         x = jnp.einsum("btphqwrc->bthwpqrc", x).reshape(B, gt * gh * gw, pt * ph * pw * C)
         x = nn.Dense(cfg.hidden_dim, dtype=dt, name="patch_embedding")(x.astype(dt))
 
-        # time conditioning: sinusoidal → MLP → 6-way per-token table offset
-        temb = TimestepEmbedder(cfg.hidden_dim, freq_dim=cfg.freq_dim, dtype=jnp.float32, name="time_embed")(timestep)
+        # time conditioning: sinusoidal → MLP → 6-way per-token table offset.
+        # timestep may be (B,) — one t per sample — or (B, gt) per latent
+        # frame (Wan2.2 TI2V-style expand_timesteps, reference
+        # wan2_t2v.py:502-506: conditioned frames keep t=0); the per-frame
+        # form expands to per-token modulations in the blocks.
+        per_frame = timestep.ndim == 2
+        t_flat = timestep.reshape(-1) if per_frame else timestep
+        temb = TimestepEmbedder(cfg.hidden_dim, freq_dim=cfg.freq_dim, dtype=jnp.float32, name="time_embed")(t_flat)
         temb6 = nn.Dense(6 * cfg.hidden_dim, dtype=jnp.float32, name="time_proj")(
             nn.silu(temb)
-        ).reshape(B, 6, cfg.hidden_dim)
+        )
+        if per_frame:
+            temb = temb.reshape(B, gt, cfg.hidden_dim)
+            temb6 = temb6.reshape(B, gt, 6, cfg.hidden_dim)
+            # frame → token expansion (tokens are frame-major: gt·gh·gw)
+            temb6 = jnp.repeat(temb6, gh * gw, axis=1)  # (B, L, 6, D)
+        else:
+            temb6 = temb6.reshape(B, 6, cfg.hidden_dim)
 
         context = nn.Dense(cfg.hidden_dim, dtype=dt, name="ctx_proj1")(
             nn.gelu(
@@ -209,11 +234,16 @@ class WanTransformer(nn.Module):
         # raw time embedding straight onto the (1, 2, D) head table (no extra
         # projection), so imported checkpoints line up leaf-for-leaf.
         head_table = self.param("head_table", nn.initializers.normal(0.02), (1, 2, cfg.hidden_dim), jnp.float32)
-        head_mod = head_table + temb[:, None, :].astype(jnp.float32)
-        shift, scale = head_mod[:, 0], head_mod[:, 1]
+        if per_frame:  # (B, gt, D) → per-token head modulation
+            tok_temb = jnp.repeat(temb, gh * gw, axis=1).astype(jnp.float32)  # (B, L, D)
+            head_mod = head_table[:, None] + tok_temb[:, :, None]  # (B, L, 2, D)
+            shift, scale = head_mod[:, :, 0], head_mod[:, :, 1]
+        else:
+            head_mod = head_table + temb[:, None, :].astype(jnp.float32)
+            shift, scale = head_mod[:, 0, None], head_mod[:, 1, None]  # (B, 1, D)
         x = nn.LayerNorm(use_bias=False, use_scale=False, dtype=jnp.float32, name="head_norm")(
             x.astype(jnp.float32)
-        ) * (1 + scale[:, None]) + shift[:, None]
+        ) * (1 + scale) + shift
         x = nn.Dense(pt * ph * pw * cfg.out_channels, dtype=jnp.float32, name="head_out")(x)
 
         # unpatchify back to (B, T, H, W, C)

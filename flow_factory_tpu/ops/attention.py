@@ -455,6 +455,8 @@ def dot_product_attention(
     ``attn_backend`` config knob (``hparams/model_args.py:97-105``)."""
     if backend == "auto":
         backend = "flash" if (mask is None and _on_tpu() and q.shape[-1] <= 256) else "native"
+    if backend == "splash":  # config alias (jax's experimental TPU kernel name)
+        backend = "flash"
     if backend == "flash":
         if mask is not None:
             raise NotImplementedError("flash backend does not take a dense mask; use 'native'")

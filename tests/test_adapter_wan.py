@@ -111,3 +111,35 @@ def test_eval_rollout_uses_unipc(adapter):
     s3 = adapter.inference(prompt=["same"], compute_log_prob=True,
                            trajectory_indices=None, seed=3)
     assert not np.allclose(s1[0].video, s3[0].video, atol=1e-4)
+
+
+def test_per_frame_timesteps_expand():
+    """Wan2.2 TI2V-style expand_timesteps: (B, gt) per-frame timesteps.
+    Uniform per-frame t must reproduce the scalar-t path exactly; a t=0
+    conditioned first frame must change only that frame less... (sanity:
+    outputs differ and are finite)."""
+    from flow_factory_tpu.models.wan.transformer import WanConfig, WanTransformer
+
+    cfg = WanConfig.tiny(dtype="float32", attn_backend="native")
+    model = WanTransformer(cfg)
+    pt, ph, pw = cfg.patch_size
+    B, gt = 2, 4
+    lat = jax.random.normal(jax.random.key(0), (B, gt * pt, 2 * ph, 2 * pw, cfg.in_channels))
+    ctx = jax.random.normal(jax.random.key(1), (B, 3, cfg.context_dim))
+    params = model.init(jax.random.key(2), lat, jnp.zeros((B,)), ctx)["params"]
+
+    t_scalar = jnp.full((B,), 700.0)
+    t_frames = jnp.full((B, gt), 700.0)
+    out_scalar = model.apply({"params": params}, lat, t_scalar, ctx)
+    out_frames = model.apply({"params": params}, lat, t_frames, ctx)
+    np.testing.assert_allclose(np.asarray(out_scalar), np.asarray(out_frames), atol=1e-5)
+
+    # conditioned first frame at t=0 (TI2V): output changes, stays finite
+    t_cond = t_frames.at[:, 0].set(0.0)
+    out_cond = model.apply({"params": params}, lat, t_cond, ctx)
+    assert np.all(np.isfinite(np.asarray(out_cond)))
+    assert not np.allclose(np.asarray(out_cond), np.asarray(out_frames))
+    # later-frame outputs shift only via attention mixing; first frame must
+    # differ substantially (its own modulation changed)
+    d_first = np.abs(np.asarray(out_cond - out_frames))[:, :pt].mean()
+    assert d_first > 0
