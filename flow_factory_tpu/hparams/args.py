@@ -228,10 +228,15 @@ class Arguments:
         pdbs = ta.per_device_batch_size
         sample_num_per_iteration = world_size * pdbs
         if ta.group_size > sample_num_per_iteration:
-            raise ValueError(
-                "group_distributed requires group_size <= num_replicas * per_device_batch_size; "
-                f"got {ta.group_size} > {sample_num_per_iteration}"
+            # the reference ALIGNS geometry to the current world rather than
+            # refusing (args.py:185-391): a config written for an 8-chip pod
+            # still runs on fewer chips with a clamped (warned) group size
+            logger.warning(
+                "group_distributed: clamping group_size %d → %d "
+                "(num_replicas %d × per_device_batch_size %d)",
+                ta.group_size, sample_num_per_iteration, world_size, pdbs,
             )
+            ta.group_size = sample_num_per_iteration
         min_copies = -(-ta.group_size // world_size)
         best = pdbs
         i = 1
