@@ -39,8 +39,17 @@ class WanI2VAdapter(WanT2VAdapter):
 
     def load_models(self) -> None:
         super().load_models()
-        # widen the transformer input for the conditioning channels
         ma = self.model_args
+        # Wan2.2-5B TI2V (reference expand_timesteps, wan2_i2v.py:371-417,
+        # 737-744): the first LATENT frame is replaced by the clean encoded
+        # image and its tokens ride t=0 via per-frame timesteps — no channel
+        # widening, no mask channel, no CLIP tower.
+        self.expand_timesteps = bool(getattr(ma, "expand_timesteps", False))
+        self.use_image_encoder = False
+        self._ti2v_cond = None
+        if self.expand_timesteps:
+            return  # base T2V transformer geometry is already correct
+        # widen the transformer input for the conditioning channels
         variant = getattr(ma, "variant", None) or (
             "tiny" if ma.model_name_or_path in ("", "tiny") else "1.3b"
         )
@@ -128,22 +137,53 @@ class WanI2VAdapter(WanT2VAdapter):
     def build_condition(
         self, images: Sequence[Any], num_frames: int, height: int, width: int
     ) -> np.ndarray:
-        """First-frame image → (B, T', h, w, c+1) conditioning tensor."""
+        """First-frame image → conditioning tensor.
+
+        Wan2.1 mode: (B, T', h, w, c+1) — latent concat + presence-mask
+        channel. TI2V mode (expand_timesteps): (B, T', h, w, c) — the clean
+        latent destined to REPLACE latent frame 0.
+        """
         arr = standardize_image_batch(list(images), output_type="np")  # (B,3,H,W)
         videos = arr[:, None]  # (B, 1, 3, H, W) single-frame clip
         lat = self.encode_video(videos)  # (B, 1, h, w, c)
         tl, h, w, c = self.latent_shape(height, width, num_frames)
         B = lat.shape[0]
+        if self.expand_timesteps:
+            cond = np.zeros((B, tl, h, w, c), np.float32)
+            cond[:, :1] = lat[:, :1]
+            return cond
         cond = np.zeros((B, tl, h, w, c + 1), np.float32)
         cond[:, :1, ..., :c] = lat[:, :1]
         cond[:, :1, ..., c] = 1.0  # presence mask on the conditioned frame
         return cond
 
+    @staticmethod
+    def _frame_mask(tl: int, dtype) -> jax.Array:
+        """(1, tl, 1, 1, 1): 0 on the conditioned first latent frame."""
+        return jnp.ones((1, tl, 1, 1, 1), dtype).at[:, 0].set(0.0)
+
     def _velocity(self, merged, latents, t, embeds, guidance_scale, do_cfg):
         cond = embeds["cond_latents"].astype(latents.dtype)
-        x = jnp.concatenate([latents, cond], axis=-1)
         sub = {k: v for k, v in embeds.items() if k != "cond_latents"}
+        if self.expand_timesteps:
+            # reference wan2_i2v.py:737-744: transformer sees the composite
+            # (clean frame 0, noisy rest) with per-frame t (0 on frame 0);
+            # the SDE step itself evolves the RAW latents
+            fmask = self._frame_mask(latents.shape[1], latents.dtype)
+            x = (1.0 - fmask) * cond + fmask * latents
+            t_frames = t[:, None] * fmask[0, :, 0, 0, 0][None, :].astype(t.dtype)
+            return WanT2VAdapter._velocity(self, merged, x, t_frames, sub, guidance_scale, do_cfg)
+        x = jnp.concatenate([latents, cond], axis=-1)
         return super()._velocity(merged, x, t, sub, guidance_scale, do_cfg)[..., : self.latent_channels]
+
+    def decode_latents(self, latents, num_frames=None):
+        # TI2V: composite the clean conditioned frame back before decoding
+        # (reference wan2_i2v.py:605-606)
+        if self.expand_timesteps and self._ti2v_cond is not None:
+            lat = jnp.asarray(latents)
+            cond = jnp.asarray(self._ti2v_cond).astype(lat.dtype)
+            latents = lat.at[:, 0].set(cond[:, 0])
+        return super().decode_latents(latents, num_frames=num_frames)
 
     def inference(self, images=None, cond_latents=None, **kwargs):
         ta = self.training_args
@@ -162,7 +202,12 @@ class WanI2VAdapter(WanT2VAdapter):
             if image_embeds is None:
                 raise ValueError("use_image_encoder needs images or image_embeds")
             extra["image_embeds"] = jnp.asarray(image_embeds, jnp.float32)
-        samples = super().inference(extra_embeds=extra, **kwargs)
+        if self.expand_timesteps:
+            self._ti2v_cond = np.asarray(cond_latents, np.float32)
+        try:
+            samples = super().inference(extra_embeds=extra, **kwargs)
+        finally:
+            self._ti2v_cond = None
         for i, s in enumerate(samples):
             s.extra_kwargs["cond_latents"] = np.asarray(cond_latents[i], np.float32)
             if image_embeds is not None:

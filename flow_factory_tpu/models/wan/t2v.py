@@ -204,8 +204,11 @@ class WanT2VAdapter(BaseAdapter):
             if isinstance(merged, tuple):
                 low, high = merged
                 boundary = jnp.float32(self.boundary_ratio * 1000.0)
+                # with per-frame timesteps (B, gt), route on the denoising t
+                # (max over frames: conditioned frames are pinned to 0)
+                t_route = tt[0] if tt.ndim == 1 else jnp.max(tt[0])
                 return jax.lax.cond(
-                    tt[0] >= boundary,
+                    t_route >= boundary,
                     lambda args: run(high, "transformer_2", *args),
                     lambda args: run(low, "transformer", *args),
                     (x, tt, ctx, cimg),

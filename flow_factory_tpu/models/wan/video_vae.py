@@ -1,4 +1,4 @@
-"""3-D (video) VAE in flax.linen.
+"""Causal 3-D (video) VAE in flax.linen.
 
 TPU-native analog of the Wan/LTX causal video VAEs the reference consumes
 through diffusers (``src/flow_factory/models/wan/*`` decode/encode paths).
@@ -7,8 +7,15 @@ Compression: temporal ×4 with the Wan frame convention ``T_latent = 1 +
 channel-last NDHWC — the native TPU layout; public API is (B, C, T, H, W)
 float in [-1, 1] to match the sample canon.
 
-This is an architecture-faithful stand-in: exact Wan causal-conv parity (for
-weight porting) is tracked as a follow-up; the RL math, trainers, and video
+CAUSAL in time: every temporal convolution pads only on the LEFT
+(``pad = (k−1, 0)`` at stride 1, ``(2, 0)`` at stride 2) and the decoder
+upsamples with nearest-repeat before a left-padded conv — so pixel frame t
+never depends on latent information from frames > t's window, matching the
+upstream CausalConv3d property and enabling chunked/streaming decode.
+
+Remaining gap (PARITY.md): upstream-checkpoint weight compatibility (the
+exact WanVAE module graph + feat-cache chunking) needs real weights to
+validate and is tracked for a later round; the RL math, trainers, and video
 plumbing are independent of the VAE internals.
 """
 from __future__ import annotations
@@ -52,18 +59,32 @@ class VideoVAEConfig:
         return VideoVAEConfig(**base)
 
 
+def causal_conv3d(
+    x, features: int, t_stride: int = 1, s_stride: int = 1,
+    dtype=jnp.float32, name: str = "conv",
+):
+    """3×3×3 conv, SAME in space, LEFT-padded (causal) in time."""
+    t_pad = 2 if t_stride in (1, 2) else 2  # k=3: covers [i-2, i] at stride 1/2
+    return nn.Conv(
+        features, (3, 3, 3), strides=(t_stride, s_stride, s_stride),
+        padding=((t_pad, 0), (1, 1), (1, 1)), dtype=dtype, name=name,
+    )(x)
+
+
 class ResBlock3D(nn.Module):
     out_channels: int
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        h = nn.GroupNorm(num_groups=min(8, x.shape[-1]), dtype=jnp.float32, name="norm1")(x)
+        # per-location channel RMS norm (upstream WanRMS_norm): GroupNorm
+        # would pool statistics over the time axis and break causality
+        h = nn.RMSNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x.astype(jnp.float32)).astype(self.dtype)
         h = nn.silu(h)
-        h = nn.Conv(self.out_channels, (3, 3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
-        h = nn.GroupNorm(num_groups=min(8, self.out_channels), dtype=jnp.float32, name="norm2")(h)
+        h = causal_conv3d(h, self.out_channels, dtype=self.dtype, name="conv1")
+        h = nn.RMSNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(h.astype(jnp.float32)).astype(self.dtype)
         h = nn.silu(h)
-        h = nn.Conv(self.out_channels, (3, 3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
+        h = causal_conv3d(h, self.out_channels, dtype=self.dtype, name="conv2")
         if x.shape[-1] != self.out_channels:
             x = nn.Conv(self.out_channels, (1, 1, 1), dtype=self.dtype, name="shortcut")(x)
         return x + h
@@ -78,21 +99,20 @@ class VideoEncoder(nn.Module):
         dt = cfg.compute_dtype
         n_spatial = len(cfg.channel_mults) - 1
         n_temporal = {1: 0, 2: 1, 4: 2}[cfg.temporal_down]
-        h = nn.Conv(cfg.base_channels, (3, 3, 3), padding=1, dtype=dt, name="conv_in")(x)
+        h = causal_conv3d(x, cfg.base_channels, dtype=dt, name="conv_in")
         for i, mult in enumerate(cfg.channel_mults):
             ch = cfg.base_channels * mult
             for j in range(cfg.layers_per_block):
                 h = ResBlock3D(ch, dtype=dt, name=f"down_{i}_res_{j}")(h)
             if i < n_spatial:
                 t_stride = 2 if i < n_temporal else 1
-                h = nn.Conv(
-                    ch, (3, 3, 3), strides=(t_stride, 2, 2), padding=1, dtype=dt,
-                    name=f"down_{i}_conv",
-                )(h)
+                h = causal_conv3d(
+                    h, ch, t_stride=t_stride, s_stride=2, dtype=dt, name=f"down_{i}_conv"
+                )
         h = ResBlock3D(h.shape[-1], dtype=dt, name="mid_res")(h)
-        h = nn.GroupNorm(num_groups=min(8, h.shape[-1]), dtype=jnp.float32, name="norm_out")(h)
+        h = nn.RMSNorm(epsilon=1e-6, dtype=jnp.float32, name="norm_out")(h.astype(jnp.float32))
         h = nn.silu(h)
-        return nn.Conv(2 * cfg.latent_channels, (3, 3, 3), padding=1, dtype=jnp.float32, name="conv_out")(h)
+        return causal_conv3d(h, 2 * cfg.latent_channels, dtype=jnp.float32, name="conv_out")
 
 
 class VideoDecoder(nn.Module):
@@ -105,7 +125,7 @@ class VideoDecoder(nn.Module):
         mults = tuple(reversed(cfg.channel_mults))
         n_spatial = len(cfg.channel_mults) - 1
         n_temporal = {1: 0, 2: 1, 4: 2}[cfg.temporal_down]
-        h = nn.Conv(cfg.base_channels * mults[0], (3, 3, 3), padding=1, dtype=dt, name="conv_in")(z)
+        h = causal_conv3d(z, cfg.base_channels * mults[0], dtype=dt, name="conv_in")
         h = ResBlock3D(h.shape[-1], dtype=dt, name="mid_res")(h)
         for i, mult in enumerate(mults):
             ch = cfg.base_channels * mult
@@ -114,11 +134,12 @@ class VideoDecoder(nn.Module):
             if i < n_spatial:
                 t_up = 2 if i >= n_spatial - n_temporal else 1
                 B, T, H, W, C = h.shape
+                # nearest-repeat keeps causality: new frame 2t/2t+1 ← frame t
                 h = jax.image.resize(h, (B, T * t_up, H * 2, W * 2, C), method="nearest")
-                h = nn.Conv(ch, (3, 3, 3), padding=1, dtype=dt, name=f"up_{i}_conv")(h)
-        h = nn.GroupNorm(num_groups=min(8, h.shape[-1]), dtype=jnp.float32, name="norm_out")(h)
+                h = causal_conv3d(h, ch, dtype=dt, name=f"up_{i}_conv")
+        h = nn.RMSNorm(epsilon=1e-6, dtype=jnp.float32, name="norm_out")(h.astype(jnp.float32))
         h = nn.silu(h)
-        return nn.Conv(cfg.in_channels, (3, 3, 3), padding=1, dtype=jnp.float32, name="conv_out")(h)
+        return causal_conv3d(h, cfg.in_channels, dtype=jnp.float32, name="conv_out")
 
 
 class VideoVAE(nn.Module):

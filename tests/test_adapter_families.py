@@ -251,3 +251,49 @@ def test_flux2_caption_upsampler():
         prompt=["a cat", "a dog on a hill"], images=images, compute_log_prob=True, seed=0
     )
     assert len(samples) == 2 and np.all(np.isfinite(samples[0].log_probs))
+
+
+def test_wan_ti2v_expand_timesteps_replay():
+    """Wan2.2-5B TI2V mode: clean first latent frame rides t=0 via per-frame
+    timesteps; no channel widening; replay ratio == 1.0; conditioning is
+    composited back at decode."""
+    cfg = _cfg("wan2-i2v", g=3.0)
+    cfg.model_args.extra_kwargs["expand_timesteps"] = True
+    adapter = load_adapter(cfg)
+    assert adapter.expand_timesteps
+    # no channel widening in TI2V mode
+    assert adapter.component_configs["transformer"].in_channels == adapter.latent_channels
+    adapter.rollout()
+    rng = np.random.default_rng(3)
+    images = [rng.random((3, 32, 32)).astype(np.float32) for _ in range(2)]
+    samples = adapter.inference(
+        prompt=["sunrise", "city night"], images=images, compute_log_prob=True, seed=0
+    )
+    s = samples[0]
+    assert s.video is not None
+    # conditioning effect: different first frames → different rollouts
+    alt = adapter.inference(
+        prompt=["sunrise", "city night"], images=images[::-1], compute_log_prob=True, seed=0
+    )
+    assert not np.allclose(s.all_latents[-1], alt[0].all_latents[-1])
+
+    b = stack_samples(samples)
+    sig, nl = s.extra_kwargs["sigmas"], s.extra_kwargs["noise_levels"]
+    i = int(np.nonzero(nl)[0][0])
+    li, lni, lpi = s.latent_index_map[i], s.latent_index_map[i + 1], s.log_prob_index_map[i]
+    batch = {
+        "latents": jnp.asarray(b["all_latents"][:, li]),
+        "next_latents": jnp.asarray(b["all_latents"][:, lni]),
+        "timestep": jnp.full((2,), float(s.timesteps[i])),
+        "sigma": jnp.full((2,), float(sig[i])),
+        "sigma_next": jnp.full((2,), float(sig[i + 1])),
+        "noise_level": jnp.full((2,), float(nl[i])),
+        "guidance_scale": jnp.float32(3.0),
+        "sigma_max": jnp.float32(sig[1]),
+        "prompt_embeds": jnp.asarray(b["prompt_embeds"]),
+        "negative_prompt_embeds": jnp.asarray(b["negative_prompt_embeds"]),
+        "cond_latents": jnp.asarray(b["cond_latents"]),
+    }
+    out = adapter.training_forward(adapter.trainable, batch)
+    ratio = np.exp(np.asarray(out.log_prob) - b["log_probs"][:, lpi])
+    np.testing.assert_allclose(ratio, 1.0, atol=1e-4)

@@ -143,3 +143,31 @@ def test_per_frame_timesteps_expand():
     # differ substantially (its own modulation changed)
     d_first = np.abs(np.asarray(out_cond - out_frames))[:, :pt].mean()
     assert d_first > 0
+
+
+def test_video_vae_causality():
+    """Causal VAE: frame t's encoding/decoding never sees future frames."""
+    import jax
+    from flow_factory_tpu.models.wan.video_vae import VideoVAEConfig, VideoVAE
+
+    cfg = VideoVAEConfig.tiny()
+    vae = VideoVAE(cfg)
+    rng = np.random.default_rng(0)
+    v1 = jnp.asarray(rng.standard_normal((1, 3, 6, 16, 16)), jnp.float32)
+    v2 = v1.at[:, :, 4:].set(jnp.asarray(rng.standard_normal((1, 3, 2, 16, 16)), jnp.float32))
+    params = vae.init(jax.random.key(0), v1)["params"]
+
+    z1 = vae.apply({"params": params}, v1, method=VideoVAE.encode)
+    z2 = vae.apply({"params": params}, v2, method=VideoVAE.encode)
+    # temporal_down=2, T=6: latent frames 0..2 cover pixel frames
+    # (0,1),(2,3),(4,5); only the last latent frame may change
+    np.testing.assert_allclose(np.asarray(z1[:, :2]), np.asarray(z2[:, :2]), atol=1e-6)
+    assert not np.allclose(np.asarray(z1[:, 2]), np.asarray(z2[:, 2]))
+
+    # decode causality: perturbing the last latent frame leaves earlier
+    # pixel frames untouched
+    d1 = vae.apply({"params": params}, z1, method=VideoVAE.decode)
+    z1p = z1.at[:, 2].add(1.0)
+    d2 = vae.apply({"params": params}, z1p, method=VideoVAE.decode)
+    np.testing.assert_allclose(np.asarray(d1[:, :, :4]), np.asarray(d2[:, :, :4]), atol=1e-6)
+    assert not np.allclose(np.asarray(d1[:, :, 4:]), np.asarray(d2[:, :, 4:]))
