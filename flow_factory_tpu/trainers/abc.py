@@ -132,8 +132,13 @@ class BaseTrainer(ABC):
             self._accum_grads = jax.tree.map(jnp.add, self._accum_grads, grads)
         self._accum_count += 1
 
-    def apply_accumulated(self) -> Optional[float]:
-        """Average accumulated grads, step the optimizer. Returns grad norm."""
+    def apply_accumulated(self):
+        """Average accumulated grads, step the optimizer.
+
+        Returns the grad norm as a DEVICE scalar — converting to float here
+        would block the host on the optimizer step and serialize dispatch;
+        trainers fetch all step metrics once per epoch in aggregate_infos.
+        """
         if self._accum_grads is None or self._accum_count == 0:
             return None
         trainable, self.opt_state, gnorm = _apply_updates_jit(
@@ -144,7 +149,7 @@ class BaseTrainer(ABC):
         self._accum_grads = None
         self._accum_count = 0
         self.global_step += 1
-        return float(gnorm)
+        return gnorm
 
     # ------------------------------------------------------------------
     # Epoch template (reference start(), grpo.py:60-91)

@@ -111,7 +111,7 @@ class AWMTrainer(DecoupledTrainer):
                         self.adapter.trainable, frozen, batch, ref_trainable, ema_trainable
                     )
                     self.accumulate_grads(grads)
-                    infos.append({k: float(v) for k, v in aux.items()})
+                    infos.append(dict(aux))  # device scalars — fetched once at epoch end (no per-step sync)
                     if self._accum_count >= ta.gradient_accumulation_steps:
                         infos[-1]["train/grad_norm"] = self.apply_accumulated()
         if self._accum_count > 0:

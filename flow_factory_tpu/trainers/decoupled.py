@@ -125,7 +125,10 @@ class DecoupledTrainer(BaseTrainer):
     def aggregate_infos(self, infos: List[Dict[str, float]]) -> Dict[str, float]:
         if not infos:
             return {}
+        import jax
+
         from ..parallel.dist import reduce_loss_info
 
+        infos = jax.device_get(infos)  # one fetch for the whole epoch's metrics
         keys = set().union(*(i.keys() for i in infos))
         return reduce_loss_info({k: [i[k] for i in infos if k in i] for k in keys})

@@ -156,7 +156,7 @@ class DGPOTrainer(DecoupledTrainer):
                         self.adapter.trainable, frozen, batch, ref_trainable, ema_ref_tr, num_groups
                     )
                     self.accumulate_grads(grads)
-                    infos.append({k: float(v) for k, v in aux.items()})
+                    infos.append(dict(aux))  # device scalars — fetched once at epoch end (no per-step sync)
                     if self._accum_count >= ta.gradient_accumulation_steps:
                         infos[-1]["train/grad_norm"] = self.apply_accumulated()
                         self._update_ema_ref()

@@ -138,7 +138,7 @@ class GRPOTrainer(BaseTrainer):
                         self.adapter.trainable, frozen, batch, ref_trainable
                     )
                     self.accumulate_grads(grads)
-                    infos.append({k: float(v) for k, v in aux.items()})
+                    infos.append(dict(aux))  # device scalars — fetched once at epoch end (no per-step sync)
                     if self._accum_count >= ta.gradient_accumulation_steps:
                         gnorm = self.apply_accumulated()
                         infos[-1]["train/grad_norm"] = gnorm
@@ -151,6 +151,7 @@ class GRPOTrainer(BaseTrainer):
             return {}
         from ..parallel.dist import reduce_loss_info
 
+        infos = jax.device_get(infos)  # one fetch for the whole epoch's metrics
         keys = set().union(*(i.keys() for i in infos))
         return reduce_loss_info({k: [i[k] for i in infos if k in i] for k in keys})
 
