@@ -79,6 +79,7 @@ class BaseAdapter(ABC):
         self.component_configs: Dict[str, Any] = {}
 
         self.load_models()
+        self.import_pretrained_weights()
         self.scheduler = self.load_scheduler()
         self._setup_trainable()
         if self.mesh is not None:
@@ -98,6 +99,44 @@ class BaseAdapter(ABC):
     @abstractmethod
     def load_models(self) -> None:
         """Populate ``self.modules`` / ``self.params`` / ``self.component_configs``."""
+
+    def pretrained_component_maps(self) -> Dict[str, Any]:
+        """Upstream-checkpoint import spec (adapters override).
+
+        ``{component: (subfolder, key_map, raw_map, state_dict_preprocess)}``
+        — consumed by :meth:`import_pretrained_weights` when
+        ``model_name_or_path`` is a local diffusers-layout directory
+        (the reference delegates this to ``DiffusionPipeline.from_pretrained``,
+        ``models/abc.py:118-196``; here the key maps in
+        ``utils/checkpoint.py`` rename torch state dicts onto our trees).
+        """
+        return {}
+
+    def import_pretrained_weights(self) -> None:
+        """Load upstream safetensors into ``self.params`` when available."""
+        path = self.model_args.model_name_or_path
+        if not path or not os.path.isdir(path):
+            return
+        from ..utils.checkpoint import import_diffusers_params, load_safetensors_dir
+
+        for comp, spec in self.pretrained_component_maps().items():
+            subfolder, key_map, raw_map, preprocess = spec
+            d = os.path.join(path, subfolder)
+            if comp not in self.params or not os.path.isdir(d):
+                continue
+            sd = load_safetensors_dir(d)
+            if not sd:
+                continue
+            if preprocess is not None:
+                sd = preprocess(sd)
+            imported = import_diffusers_params(
+                sd, key_map, self.params[comp], raw_map=raw_map
+            )
+            self.params[comp] = jax.tree.map(
+                lambda tmpl, new: jnp.asarray(new, jnp.asarray(tmpl).dtype),
+                self.params[comp], imported,
+            )
+            logger.info("Imported pretrained %s weights from %s", comp, d)
 
     #: default scheduler registry key (adapters override; Wan uses 'unipc')
     default_scheduler: str = "flow_match_euler"

@@ -67,6 +67,26 @@ class Flux1Adapter(BaseAdapter):
     default_target_patterns = FLUX_LORA_TARGETS
     embed_keys = ("prompt_embeds", "pooled_prompt_embeds", "img_ids", "txt_ids")
 
+    def pretrained_component_maps(self):
+        import functools
+
+        from ...utils.checkpoint import (
+            flux_transformer_key_map,
+            fuse_flux_single_block_qkv_mlp,
+        )
+
+        cfg = self.component_configs.get("transformer")
+        if cfg is None:
+            return {}
+        return {"transformer": (
+            "transformer",
+            flux_transformer_key_map(cfg.num_double_blocks, cfg.num_single_blocks),
+            None,
+            functools.partial(
+                fuse_flux_single_block_qkv_mlp, num_single=cfg.num_single_blocks
+            ),
+        )}
+
     def load_models(self) -> None:
         ma = self.model_args
         variant = getattr(ma, "variant", None) or (

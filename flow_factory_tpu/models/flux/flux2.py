@@ -71,6 +71,11 @@ class Flux2Adapter(Flux1KontextAdapter):
     #: pluggable prompt rewriter (reference: VLM caption upsampling)
     caption_upsampler: Optional[Callable[[List[str]], List[str]]] = None
 
+    def pretrained_component_maps(self):
+        # FLUX.2's upstream checkpoint layout differs from FLUX.1; no key
+        # map yet — do not apply the inherited FLUX.1 map to it.
+        return {}
+
     def _variant(self) -> str:
         ma = self.model_args
         return getattr(ma, "variant", None) or (

@@ -68,6 +68,18 @@ class QwenImageAdapter(Flux1Adapter):
         "txt_ids",
     )
 
+    def pretrained_component_maps(self):
+        from ...utils.checkpoint import qwen_image_transformer_key_map
+
+        cfg = self.component_configs.get("transformer")
+        if cfg is None:
+            return {}
+        return {"transformer": (
+            "transformer",
+            qwen_image_transformer_key_map(cfg.num_double_blocks),
+            None, None,
+        )}
+
     def load_models(self) -> None:
         ma = self.model_args
         variant = getattr(ma, "variant", None) or (

@@ -83,6 +83,18 @@ class SD35Adapter(BaseAdapter):
     # ------------------------------------------------------------------
     # Loading
     # ------------------------------------------------------------------
+    def pretrained_component_maps(self):
+        from ...utils.checkpoint import sd3_transformer_key_map
+
+        cfg = self.component_configs.get("transformer")
+        if cfg is None:
+            return {}
+        return {"transformer": (
+            "transformer",
+            sd3_transformer_key_map(cfg.depth, cfg.dual_attention_layers),
+            None, None,
+        )}
+
     def load_models(self) -> None:
         ma = self.model_args
         variant = getattr(ma, "variant", None) or (

@@ -76,6 +76,20 @@ class WanT2VAdapter(BaseAdapter):
     default_target_patterns = WAN_LORA_TARGETS
     default_scheduler = "unipc"
 
+    def pretrained_component_maps(self):
+        from ...utils.checkpoint import wan_transformer_key_map
+
+        cfg = self.component_configs.get("transformer")
+        if cfg is None:
+            return {}
+        km, rm = wan_transformer_key_map(
+            cfg.num_layers, i2v=bool(cfg.image_context_tokens)
+        )
+        maps = {"transformer": ("transformer", km, rm, None)}
+        if "transformer_2" in self.modules:
+            maps["transformer_2"] = ("transformer_2", km, rm, None)
+        return maps
+
     def load_models(self) -> None:
         ma = self.model_args
         variant = getattr(ma, "variant", None) or (

@@ -384,3 +384,17 @@ def qwen_image_transformer_key_map(num_blocks: int) -> Dict[str, str]:
         m[f"{b}.txt_mlp.net.0.proj"] = f"{o}/txt_ff/fc1"
         m[f"{b}.txt_mlp.net.2"] = f"{o}/txt_ff/fc2"
     return m
+
+
+def load_safetensors_dir(path: str) -> Dict[str, np.ndarray]:
+    """Merge every ``*.safetensors`` file in a directory into one state dict
+    (diffusers shards a component across multiple files with an index)."""
+    import glob as _glob
+    import os as _os
+
+    from safetensors.numpy import load_file
+
+    out: Dict[str, np.ndarray] = {}
+    for f in sorted(_glob.glob(_os.path.join(path, "*.safetensors"))):
+        out.update(load_file(f))
+    return out
