@@ -78,7 +78,7 @@ class Flux1Adapter(BaseAdapter):
         cfg = self.component_configs.get("transformer")
         if cfg is None:
             return {}
-        return {"transformer": (
+        maps = {"transformer": (
             "transformer",
             flux_transformer_key_map(cfg.num_double_blocks, cfg.num_single_blocks),
             None,
@@ -86,6 +86,17 @@ class Flux1Adapter(BaseAdapter):
                 fuse_flux_single_block_qkv_mlp, num_single=cfg.num_single_blocks
             ),
         )}
+        from ...utils.checkpoint import clip_text_encoder_key_map, t5_encoder_key_map
+
+        ccfg = self.component_configs.get("text_encoder")
+        if ccfg is not None and "text_encoder" in self.params:
+            km, rm = clip_text_encoder_key_map(ccfg.num_layers)
+            maps["text_encoder"] = ("text_encoder", km, rm, None)
+        tcfg = self.component_configs.get("text_encoder_2")
+        if tcfg is not None and "text_encoder_2" in self.params:
+            km, rm = t5_encoder_key_map(tcfg.num_layers)
+            maps["text_encoder_2"] = ("text_encoder_2", km, rm, None)
+        return maps
 
     def load_models(self) -> None:
         ma = self.model_args

@@ -74,11 +74,18 @@ class QwenImageAdapter(Flux1Adapter):
         cfg = self.component_configs.get("transformer")
         if cfg is None:
             return {}
-        return {"transformer": (
+        maps = {"transformer": (
             "transformer",
             qwen_image_transformer_key_map(cfg.num_double_blocks),
             None, None,
         )}
+        from ...utils.checkpoint import lm_decoder_key_map
+
+        lcfg = self.component_configs.get("text_encoder")
+        if lcfg is not None and "text_encoder" in self.params:
+            km, rm = lm_decoder_key_map(lcfg.num_layers)
+            maps["text_encoder"] = ("text_encoder", km, rm, None)
+        return maps
 
     def load_models(self) -> None:
         ma = self.model_args

@@ -84,16 +84,33 @@ class SD35Adapter(BaseAdapter):
     # Loading
     # ------------------------------------------------------------------
     def pretrained_component_maps(self):
-        from ...utils.checkpoint import sd3_transformer_key_map
+        from ...utils.checkpoint import (
+            clip_text_encoder_key_map,
+            sd3_transformer_key_map,
+            t5_encoder_key_map,
+        )
 
         cfg = self.component_configs.get("transformer")
         if cfg is None:
             return {}
-        return {"transformer": (
+        maps = {"transformer": (
             "transformer",
             sd3_transformer_key_map(cfg.depth, cfg.dual_attention_layers),
-            None, None,
+            # the positional grid is a buffer in upstream state dicts
+            {"pos_embed.pos_embed": "pos_embed/pos_embed"},
+            None,
         )}
+        for comp, sub in (("text_encoder", "text_encoder"),
+                          ("text_encoder_2", "text_encoder_2")):
+            ccfg = self.component_configs.get(comp)
+            if ccfg is not None and comp in self.params:
+                km, rm = clip_text_encoder_key_map(ccfg.num_layers)
+                maps[comp] = (sub, km, rm, None)
+        tcfg = self.component_configs.get("text_encoder_3")
+        if tcfg is not None and "text_encoder_3" in self.params:
+            km, rm = t5_encoder_key_map(tcfg.num_layers)
+            maps["text_encoder_3"] = ("text_encoder_3", km, rm, None)
+        return maps
 
     def load_models(self) -> None:
         ma = self.model_args

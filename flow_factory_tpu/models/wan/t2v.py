@@ -88,6 +88,12 @@ class WanT2VAdapter(BaseAdapter):
         maps = {"transformer": ("transformer", km, rm, None)}
         if "transformer_2" in self.modules:
             maps["transformer_2"] = ("transformer_2", km, rm, None)
+        from ...utils.checkpoint import t5_encoder_key_map
+
+        tcfg = self.component_configs.get("text_encoder")
+        if tcfg is not None and "text_encoder" in self.params:
+            tkm, trm = t5_encoder_key_map(tcfg.num_layers)
+            maps["text_encoder"] = ("text_encoder", tkm, trm, None)
         return maps
 
     def load_models(self) -> None:

@@ -398,3 +398,83 @@ def load_safetensors_dir(path: str) -> Dict[str, np.ndarray]:
     for f in sorted(_glob.glob(_os.path.join(path, "*.safetensors"))):
         out.update(load_file(f))
     return out
+
+
+def clip_text_encoder_key_map(num_layers: int) -> Tuple[Dict[str, str], Dict[str, str]]:
+    """transformers ``CLIPTextModel(WithProjection)`` → our ``CLIPTextEncoder``.
+
+    Embeddings ride ``raw_map`` (torch ``nn.Embedding`` weights are (vocab,
+    dim) — same layout as flax ``Embed``; the generic 2-D-weight transpose
+    must not apply).
+    """
+    m: Dict[str, str] = {
+        "text_model.final_layer_norm": "final_ln",
+        "text_projection": "text_projection",
+    }
+    raw: Dict[str, str] = {
+        "text_model.embeddings.token_embedding.weight": "token_embedding/embedding",
+        "text_model.embeddings.position_embedding.weight": "position_embedding",
+    }
+    for i in range(num_layers):
+        b, o = f"text_model.encoder.layers.{i}", f"layer_{i}"
+        m[f"{b}.layer_norm1"] = f"{o}/ln1"
+        m[f"{b}.layer_norm2"] = f"{o}/ln2"
+        m[f"{b}.self_attn.q_proj"] = f"{o}/q_proj"
+        m[f"{b}.self_attn.k_proj"] = f"{o}/k_proj"
+        m[f"{b}.self_attn.v_proj"] = f"{o}/v_proj"
+        m[f"{b}.self_attn.out_proj"] = f"{o}/out_proj"
+        m[f"{b}.mlp.fc1"] = f"{o}/fc1"
+        m[f"{b}.mlp.fc2"] = f"{o}/fc2"
+    return m, raw
+
+
+def t5_encoder_key_map(num_layers: int) -> Tuple[Dict[str, str], Dict[str, str]]:
+    """transformers ``T5EncoderModel`` → our ``T5Encoder``.
+
+    T5's layer norms are bare scale parameters our modules also call
+    ``weight`` — they and the embeddings ride ``raw_map`` verbatim.
+    """
+    m: Dict[str, str] = {}
+    raw: Dict[str, str] = {
+        "shared.weight": "token_embedding/embedding",
+        "encoder.final_layer_norm.weight": "final_ln/weight",
+        "encoder.block.0.layer.0.SelfAttention.relative_attention_bias.weight":
+            "block_0/attn/rel_bias",
+    }
+    for i in range(num_layers):
+        b, o = f"encoder.block.{i}", f"block_{i}"
+        raw[f"{b}.layer.0.layer_norm.weight"] = f"{o}/ln1/weight"
+        raw[f"{b}.layer.1.layer_norm.weight"] = f"{o}/ln2/weight"
+        m[f"{b}.layer.0.SelfAttention.q"] = f"{o}/attn/q"
+        m[f"{b}.layer.0.SelfAttention.k"] = f"{o}/attn/k"
+        m[f"{b}.layer.0.SelfAttention.v"] = f"{o}/attn/v"
+        m[f"{b}.layer.0.SelfAttention.o"] = f"{o}/attn/o"
+        m[f"{b}.layer.1.DenseReluDense.wi_0"] = f"{o}/wi_0"
+        m[f"{b}.layer.1.DenseReluDense.wi_1"] = f"{o}/wi_1"
+        m[f"{b}.layer.1.DenseReluDense.wo"] = f"{o}/wo"
+    return m, raw
+
+
+def lm_decoder_key_map(num_layers: int) -> Tuple[Dict[str, str], Dict[str, str]]:
+    """transformers causal-LM (Llama/Mistral/Qwen2 layout) → our ``LMEncoder``.
+
+    Covers the no-bias projection layout (Mistral/Gemma); Qwen2.5's q/k/v
+    biases have no counterpart here yet and are skipped by the importer.
+    """
+    m: Dict[str, str] = {}
+    raw: Dict[str, str] = {
+        "model.embed_tokens.weight": "token_embedding/embedding",
+        "model.norm.weight": "final_ln/weight",
+    }
+    for i in range(num_layers):
+        b, o = f"model.layers.{i}", f"layer_{i}"
+        raw[f"{b}.input_layernorm.weight"] = f"{o}/ln1/weight"
+        raw[f"{b}.post_attention_layernorm.weight"] = f"{o}/ln2/weight"
+        m[f"{b}.self_attn.q_proj"] = f"{o}/q"
+        m[f"{b}.self_attn.k_proj"] = f"{o}/k"
+        m[f"{b}.self_attn.v_proj"] = f"{o}/v"
+        m[f"{b}.self_attn.o_proj"] = f"{o}/o"
+        m[f"{b}.mlp.gate_proj"] = f"{o}/gate"
+        m[f"{b}.mlp.up_proj"] = f"{o}/up"
+        m[f"{b}.mlp.down_proj"] = f"{o}/down"
+    return m, raw

@@ -78,3 +78,53 @@ def test_wan_checkpoint_dir_import(tmp_path):
     adapter = load_adapter(_cfg("wan2-t2v", str(ckpt)))
     got = np.asarray(adapter.params["transformer"]["head_table"])
     np.testing.assert_allclose(got, sd["scale_shift_table"], atol=1e-6)
+
+
+def test_sd3_full_pipeline_import(tmp_path):
+    """Transformer + CLIP-L + CLIP-G + T5 all import from one checkpoint dir."""
+    from safetensors.numpy import save_file
+
+    from flow_factory_tpu.utils.checkpoint import (
+        clip_text_encoder_key_map,
+        sd3_transformer_key_map,
+        t5_encoder_key_map,
+    )
+
+    ref = load_adapter(_cfg("sd3-5", "tiny"))
+    ckpt = tmp_path / "sd35-full"
+    specs = {
+        "transformer": (sd3_transformer_key_map(
+            ref.component_configs["transformer"].depth,
+            ref.component_configs["transformer"].dual_attention_layers),
+            {"pos_embed.pos_embed": "pos_embed/pos_embed"}),
+    }
+    for comp in ("text_encoder", "text_encoder_2"):
+        km, rm = clip_text_encoder_key_map(ref.component_configs[comp].num_layers)
+        specs[comp] = (km, rm)
+    km, rm = t5_encoder_key_map(ref.component_configs["text_encoder_3"].num_layers)
+    specs["text_encoder_3"] = (km, rm)
+
+    sds = {}
+    for i, (comp, (km, rm)) in enumerate(specs.items()):
+        sd = _synth_torch_state_dict(ref.params[comp], km, raw_map=rm, seed=20 + i)
+        (ckpt / comp).mkdir(parents=True)
+        save_file(sd, str(ckpt / comp / "model.safetensors"))
+        sds[comp] = sd
+
+    adapter = load_adapter(_cfg("sd3-5", str(ckpt)))
+    # embeddings copied verbatim (no transpose)
+    np.testing.assert_allclose(
+        np.asarray(adapter.params["text_encoder"]["token_embedding"]["embedding"]),
+        sds["text_encoder"]["text_model.embeddings.token_embedding.weight"], atol=1e-6)
+    # T5 layer norm rides raw_map onto the 'weight' leaf
+    np.testing.assert_allclose(
+        np.asarray(adapter.params["text_encoder_3"]["block_0"]["ln1"]["weight"]),
+        sds["text_encoder_3"]["encoder.block.0.layer.0.layer_norm.weight"], atol=1e-6)
+    # linear transpose on a CLIP projection
+    np.testing.assert_allclose(
+        np.asarray(adapter.params["text_encoder"]["layer_0"]["q_proj"]["kernel"]),
+        sds["text_encoder"]["text_model.encoder.layers.0.self_attn.q_proj.weight"].T,
+        atol=1e-6)
+    # encode + inference run end-to-end on the imported pipeline
+    samples = adapter.inference(prompt=["hello"], compute_log_prob=True, seed=0)
+    assert np.all(np.isfinite(samples[0].log_probs))
