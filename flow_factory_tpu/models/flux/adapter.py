@@ -96,6 +96,13 @@ class Flux1Adapter(BaseAdapter):
         if tcfg is not None and "text_encoder_2" in self.params:
             km, rm = t5_encoder_key_map(tcfg.num_layers)
             maps["text_encoder_2"] = ("text_encoder_2", km, rm, None)
+        vcfg = self.component_configs.get("vae")
+        if vcfg is not None and "vae" in self.params:
+            from ...utils.checkpoint import vae_key_map
+
+            maps["vae"] = ("vae", vae_key_map(
+                vcfg.channel_mults, vcfg.layers_per_block, vcfg.use_mid_attention
+            ), None, None)
         return maps
 
     def load_models(self) -> None:

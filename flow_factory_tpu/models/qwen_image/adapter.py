@@ -85,6 +85,13 @@ class QwenImageAdapter(Flux1Adapter):
         if lcfg is not None and "text_encoder" in self.params:
             km, rm = lm_decoder_key_map(lcfg.num_layers)
             maps["text_encoder"] = ("text_encoder", km, rm, None)
+        vcfg = self.component_configs.get("vae")
+        if vcfg is not None and "vae" in self.params:
+            from ...utils.checkpoint import vae_key_map
+
+            maps["vae"] = ("vae", vae_key_map(
+                vcfg.channel_mults, vcfg.layers_per_block, vcfg.use_mid_attention
+            ), None, None)
         return maps
 
     def load_models(self) -> None:

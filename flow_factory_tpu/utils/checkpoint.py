@@ -478,3 +478,45 @@ def lm_decoder_key_map(num_layers: int) -> Tuple[Dict[str, str], Dict[str, str]]
         m[f"{b}.mlp.up_proj"] = f"{o}/up"
         m[f"{b}.mlp.down_proj"] = f"{o}/down"
     return m, raw
+
+
+def vae_key_map(channel_mults: Tuple[int, ...], layers_per_block: int,
+                mid_attention: bool = True) -> Dict[str, str]:
+    """diffusers ``AutoencoderKL`` → our ``models/vae.py`` tree.
+
+    Covers the SD3/FLUX VAE variant (``use_quant_conv=False``); resnet,
+    downsampler/upsampler, and mid-block names map one-to-one.
+    """
+    m: Dict[str, str] = {
+        "encoder.conv_in": "encoder/conv_in",
+        "encoder.conv_norm_out": "encoder/norm_out",
+        "encoder.conv_out": "encoder/conv_out",
+        "decoder.conv_in": "decoder/conv_in",
+        "decoder.conv_norm_out": "decoder/norm_out",
+        "decoder.conv_out": "decoder/conv_out",
+    }
+
+    def resnet(src: str, dst: str) -> None:
+        for part in ("norm1", "conv1", "norm2", "conv2", "conv_shortcut"):
+            m[f"{src}.{part}"] = f"{dst}/{part}"
+
+    n = len(channel_mults)
+    for i in range(n):
+        for j in range(layers_per_block):
+            resnet(f"encoder.down_blocks.{i}.resnets.{j}", f"encoder/down_{i}_res_{j}")
+        if i < n - 1:
+            m[f"encoder.down_blocks.{i}.downsamplers.0.conv"] = f"encoder/down_{i}_conv"
+        for j in range(layers_per_block + 1):
+            resnet(f"decoder.up_blocks.{i}.resnets.{j}", f"decoder/up_{i}_res_{j}")
+        if i < n - 1:
+            m[f"decoder.up_blocks.{i}.upsamplers.0.conv"] = f"decoder/up_{i}_conv"
+    for side in ("encoder", "decoder"):
+        resnet(f"{side}.mid_block.resnets.0", f"{side}/mid_res_1")
+        resnet(f"{side}.mid_block.resnets.1", f"{side}/mid_res_2")
+        if mid_attention:
+            m[f"{side}.mid_block.attentions.0.group_norm"] = f"{side}/mid_attn/norm"
+            m[f"{side}.mid_block.attentions.0.to_q"] = f"{side}/mid_attn/to_q"
+            m[f"{side}.mid_block.attentions.0.to_k"] = f"{side}/mid_attn/to_k"
+            m[f"{side}.mid_block.attentions.0.to_v"] = f"{side}/mid_attn/to_v"
+            m[f"{side}.mid_block.attentions.0.to_out.0"] = f"{side}/mid_attn/to_out"
+    return m

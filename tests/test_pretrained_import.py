@@ -90,6 +90,7 @@ def test_sd3_full_pipeline_import(tmp_path):
         t5_encoder_key_map,
     )
 
+
     ref = load_adapter(_cfg("sd3-5", "tiny"))
     ckpt = tmp_path / "sd35-full"
     specs = {
@@ -103,6 +104,11 @@ def test_sd3_full_pipeline_import(tmp_path):
         specs[comp] = (km, rm)
     km, rm = t5_encoder_key_map(ref.component_configs["text_encoder_3"].num_layers)
     specs["text_encoder_3"] = (km, rm)
+    from flow_factory_tpu.utils.checkpoint import vae_key_map
+
+    vcfg = ref.component_configs["vae"]
+    specs["vae"] = (vae_key_map(vcfg.channel_mults, vcfg.layers_per_block,
+                                vcfg.use_mid_attention), None)
 
     sds = {}
     for i, (comp, (km, rm)) in enumerate(specs.items()):
