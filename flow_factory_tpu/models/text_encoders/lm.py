@@ -29,6 +29,8 @@ class LMConfig:
     head_dim: int = 128
     mlp_dim: int = 18944
     rope_theta: float = 1000000.0
+    #: Qwen2.x puts biases on the q/k/v projections (Llama/Mistral/Gemma don't)
+    attn_bias: bool = False
     dtype: str = "bfloat16"
 
     @property
@@ -37,7 +39,9 @@ class LMConfig:
 
     @staticmethod
     def qwen25_7b(**o) -> "LMConfig":
-        return LMConfig(**o)
+        base = dict(attn_bias=True)
+        base.update(o)
+        return LMConfig(**base)
 
     @staticmethod
     def mistral_small(**o) -> "LMConfig":
@@ -83,9 +87,9 @@ class LMBlock(nn.Module):
         Hq, Hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
         h = RMSNorm(D, name="ln1")(x)
-        q = nn.Dense(Hq * hd, use_bias=False, dtype=dt, name="q")(h)
-        k = nn.Dense(Hkv * hd, use_bias=False, dtype=dt, name="k")(h)
-        v = nn.Dense(Hkv * hd, use_bias=False, dtype=dt, name="v")(h)
+        q = nn.Dense(Hq * hd, use_bias=cfg.attn_bias, dtype=dt, name="q")(h)
+        k = nn.Dense(Hkv * hd, use_bias=cfg.attn_bias, dtype=dt, name="k")(h)
+        v = nn.Dense(Hkv * hd, use_bias=cfg.attn_bias, dtype=dt, name="v")(h)
         B, L, _ = h.shape
         q = q.reshape(B, L, Hq, hd).transpose(0, 2, 1, 3)
         k = k.reshape(B, L, Hkv, hd).transpose(0, 2, 1, 3)

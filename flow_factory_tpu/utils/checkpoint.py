@@ -458,8 +458,9 @@ def t5_encoder_key_map(num_layers: int) -> Tuple[Dict[str, str], Dict[str, str]]
 def lm_decoder_key_map(num_layers: int) -> Tuple[Dict[str, str], Dict[str, str]]:
     """transformers causal-LM (Llama/Mistral/Qwen2 layout) → our ``LMEncoder``.
 
-    Covers the no-bias projection layout (Mistral/Gemma); Qwen2.5's q/k/v
-    biases have no counterpart here yet and are skipped by the importer.
+    Covers both the no-bias layout (Mistral/Gemma) and Qwen2.x's q/k/v
+    biases (present when the config sets ``attn_bias=True``; extra bias keys
+    for a no-bias config are skipped with a warning).
     """
     m: Dict[str, str] = {}
     raw: Dict[str, str] = {
