@@ -30,7 +30,7 @@ class ModelArguments(ArgABC):
     inference_dtype: str = field(default="bfloat16")
 
     # attention backend: 'auto' → pallas flash on TPU, jnp reference on CPU
-    attn_backend: Literal["auto", "native", "flash", "splash"] = field(default="auto")
+    attn_backend: Literal["auto", "native", "flash", "hybrid", "splash"] = field(default="auto")
 
     # mesh parallelism (TPU-native replacement for deepspeed/fsdp yaml configs)
     fsdp_size: int = field(default=1)

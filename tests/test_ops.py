@@ -55,3 +55,36 @@ def test_flash_backward_dq_dk_dv_separately():
     gn = jax.grad(f_native, argnums=(0, 1, 2))(q, k, v)
     for a, b, name in zip(gf, gn, ("dq", "dk", "dv")):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4, err_msg=name)
+
+
+def test_hybrid_backend_matches_native_and_flash_grads():
+    """hybrid = XLA forward + Pallas-flash backward: forward matches native,
+    gradients match the pure-flash custom VJP."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from flow_factory_tpu.ops.attention import (
+        dot_product_attention,
+        flash_attention,
+        hybrid_attention,
+        native_attention,
+    )
+
+    B, H, S, D = 1, 2, 300, 32
+    ks = jax.random.split(jax.random.PRNGKey(7), 4)
+    q, k, v, cot = (jax.random.normal(kk, (B, H, S, D), jnp.float32) for kk in ks)
+
+    out = hybrid_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(native_attention(q, k, v)),
+                               atol=2e-5)
+    out2 = dot_product_attention(q, k, v, backend="hybrid")
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(out), atol=1e-6)
+
+    loss_h = lambda q, k, v: jnp.sum(hybrid_attention(q, k, v) * cot)
+    loss_f = lambda q, k, v: jnp.sum(flash_attention(q, k, v) * cot)
+    gh = jax.grad(loss_h, argnums=(0, 1, 2))(q, k, v)
+    gf = jax.grad(loss_f, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gh, gf, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5,
+                                   err_msg=f"d{name}")
