@@ -184,5 +184,35 @@ class VideoVAE(nn.Module):
             video = video[:, -num_frames:]
         return jnp.transpose(video, (0, 4, 1, 2, 3))
 
+    def decode_chunked(
+        self,
+        latents: jax.Array,
+        chunk: int = 4,
+        overlap: int = 8,
+        num_frames: Optional[int] = None,
+    ) -> jax.Array:
+        """Streaming decode: process ``chunk`` latent frames at a time.
+
+        Causality (left-only temporal padding) means a frame's decode depends
+        only on ≤ ``overlap`` earlier latent frames (the decoder's temporal
+        receptive field); feeding each chunk with that much left context
+        reproduces the full decode EXACTLY while peak activation memory drops
+        from O(T) to O(chunk + overlap). The reference's Wan VAE streams with
+        a feat-cache for the same reason (its CausalConv3d design).
+        """
+        z = latents / self.cfg.scaling_factor + self.cfg.shift_factor
+        Tl = z.shape[1]
+        t_up = self.cfg.temporal_down
+        outs = []
+        for s in range(0, Tl, chunk):
+            e = min(s + chunk, Tl)
+            lo = max(0, s - overlap)
+            seg = self.decoder(z[:, lo:e])  # (B, (e-lo)*t_up, H, W, C)
+            outs.append(seg[:, (s - lo) * t_up:])
+        video = jnp.concatenate(outs, axis=1)
+        if num_frames is not None and video.shape[1] > num_frames:
+            video = video[:, -num_frames:]
+        return jnp.transpose(video, (0, 4, 1, 2, 3))
+
     def __call__(self, videos: jax.Array, key: Optional[jax.Array] = None) -> jax.Array:
         return self.decode(self.encode(videos, key=key, sample=key is not None))

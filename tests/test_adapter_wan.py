@@ -171,3 +171,26 @@ def test_video_vae_causality():
     d2 = vae.apply({"params": params}, z1p, method=VideoVAE.decode)
     np.testing.assert_allclose(np.asarray(d1[:, :, :4]), np.asarray(d2[:, :, :4]), atol=1e-6)
     assert not np.allclose(np.asarray(d1[:, :, 4:]), np.asarray(d2[:, :, 4:]))
+
+
+def test_video_vae_chunked_decode_exact():
+    """Streaming decode == full decode, bit-for-bit, thanks to causality."""
+    import jax
+    from flow_factory_tpu.models.wan.video_vae import VideoVAEConfig, VideoVAE
+
+    cfg = VideoVAEConfig.tiny()
+    vae = VideoVAE(cfg)
+    rng = np.random.default_rng(5)
+    v = jnp.asarray(rng.standard_normal((1, 3, 12, 16, 16)), jnp.float32)
+    params = vae.init(jax.random.key(0), v)["params"]
+    z = vae.apply({"params": params}, v, method=VideoVAE.encode)  # (1, 6, 8, 8, c)
+
+    full = vae.apply({"params": params}, z, method=VideoVAE.decode)
+    for chunk in (1, 2, 4):
+        stream = vae.apply(
+            {"params": params}, z, chunk, 8, method=VideoVAE.decode_chunked
+        )
+        np.testing.assert_allclose(np.asarray(stream), np.asarray(full), atol=1e-5)
+    # too-small overlap must actually differ (the test is not vacuous)
+    approx = vae.apply({"params": params}, z, 1, 0, method=VideoVAE.decode_chunked)
+    assert not np.allclose(np.asarray(approx), np.asarray(full), atol=1e-5)
