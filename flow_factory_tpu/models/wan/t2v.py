@@ -384,17 +384,32 @@ class WanT2VAdapter(BaseAdapter):
 
     # ------------------------------------------------------------------
     def decode_latents(self, latents: jax.Array, num_frames: Optional[int] = None) -> np.ndarray:
-        """(B, Tl, h, w, c) latents → (B, T, C, H, W) videos in [0, 1]."""
+        """(B, Tl, h, w, c) latents → (B, T, C, H, W) videos in [0, 1].
+
+        Long clips stream through the causal VAE in chunks (exact — see
+        ``VideoVAE.decode_chunked``) when ``model.vae_decode_chunk`` is set
+        or the clip exceeds 16 latent frames, bounding decode activation
+        memory (the reference's feat-cache streaming analog).
+        """
+        chunk = int(getattr(self.model_args, "vae_decode_chunk", 0) or 0)
+        if not chunk and latents.shape[1] > 16:
+            chunk = 8
         if self._decode_jit is None:
-            def _decode(params, z, num_frames):
-                video = self.modules["vae"].apply(
-                    {"params": params}, z, num_frames, method=VideoVAE.decode
-                )  # (B, C, T, H, W)
+            def _decode(params, z, num_frames, chunk):
+                if chunk:
+                    video = self.modules["vae"].apply(
+                        {"params": params}, z, chunk, 8, num_frames,
+                        method=VideoVAE.decode_chunked,
+                    )
+                else:
+                    video = self.modules["vae"].apply(
+                        {"params": params}, z, num_frames, method=VideoVAE.decode
+                    )  # (B, C, T, H, W)
                 video = jnp.clip(video.astype(jnp.float32) / 2.0 + 0.5, 0.0, 1.0)
                 return jnp.transpose(video, (0, 2, 1, 3, 4))  # (B, T, C, H, W)
 
-            self._decode_jit = jax.jit(_decode, static_argnums=(2,))
-        out = self._decode_jit(self.params["vae"], latents.astype(jnp.float32), num_frames)
+            self._decode_jit = jax.jit(_decode, static_argnums=(2, 3))
+        out = self._decode_jit(self.params["vae"], latents.astype(jnp.float32), num_frames, chunk)
         return np.asarray(jax.device_get(out))
 
     def encode_video(self, videos: np.ndarray, key: Optional[jax.Array] = None) -> np.ndarray:
