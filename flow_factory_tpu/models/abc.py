@@ -455,6 +455,24 @@ class BaseAdapter(ABC):
         with open(os.path.join(save_dir, "model_index.json"), "w") as f:
             json.dump(index, f, indent=2)
 
+    def export_merged(self, save_dir: str, save_ema: bool = True) -> None:
+        """Deployment export: LoRA deltas merged INTO the frozen weights,
+        saved in the full-checkpoint layout (loadable with
+        ``resume_type='full'`` by a full-finetune run — the reference's
+        LoRA→full migration, ``models/abc.py:1698-1718``). For full
+        finetuning this equals a plain full save."""
+        os.makedirs(save_dir, exist_ok=True)
+        trainable = self.ema_trainable if (save_ema and self.ema is not None) else self.trainable
+        if self.is_lora:
+            merged = {
+                comp: self.merged_params(comp, trainable=trainable)
+                for comp in trainable
+            }
+        else:
+            merged = trainable
+        self._save_full(save_dir, merged)
+        logger.info("Exported merged weights to %s", save_dir)
+
     def _save_state(self, save_dir: str, extra_state: Dict[str, Any]) -> None:
         import orbax.checkpoint as ocp
 

@@ -145,3 +145,30 @@ def test_full_state_checkpoint_resume(adapter, tmp_path):
     )
     assert adapter._restored_state["epoch"] == 3
     assert adapter._restored_state["global_step"] == 7
+
+
+def test_export_merged_lora_to_full(adapter, tmp_path):
+    """LoRA deltas merged into frozen weights == the merged forward params;
+    the export uses the full-checkpoint layout (LoRA→full migration)."""
+    d = str(tmp_path / "merged")
+    # give the LoRA a nonzero delta so the merge is observable
+    adapter.trainable = jax.tree.map(
+        lambda x: x + 0.01 if x.ndim >= 1 else x, adapter.trainable
+    )
+    adapter.export_merged(d, save_ema=False)
+    assert os.path.exists(os.path.join(d, "model_index.json"))
+    from safetensors.numpy import load_file
+
+    exported = load_file(os.path.join(d, "transformer.safetensors"))
+    merged = adapter.merged_params("transformer")
+    # spot-check one LoRA-targeted kernel equals frozen + a@b·scale
+    key = next(k for k in exported if k.endswith("attn/to_q/kernel"))
+    path_parts = key.split("/")
+    node = merged
+    for p in path_parts:
+        node = node[p]
+    np.testing.assert_allclose(exported[key], np.asarray(node), atol=1e-6)
+    frozen_node = adapter.params["transformer"]
+    for p in path_parts:
+        frozen_node = frozen_node[p]
+    assert not np.allclose(exported[key], np.asarray(frozen_node))
