@@ -159,6 +159,9 @@ class CLIPVisionConfig:
     num_layers: int = 32
     num_heads: int = 16
     hidden_act: str = "gelu"
+    #: apply the transformer post-layernorm (CLIP contrastive pooling wants
+    #: it; Wan's conditioning consumes penultimate-style states without it)
+    use_post_ln: bool = False
     dtype: str = "bfloat16"
 
     @property
@@ -207,4 +210,6 @@ class CLIPVisionEncoder(nn.Module):
         keep_all = jnp.ones((1, 1, L, L), bool)
         for i in range(cfg.num_layers):
             x = CLIPBlock(cfg, name=f"layer_{i}")(x, keep_all)
-        return x.astype(jnp.float32)  # (B, L, D) token states, no post-LN
+        if cfg.use_post_ln:
+            x = nn.LayerNorm(dtype=jnp.float32, name="post_ln")(x.astype(jnp.float32))
+        return x.astype(jnp.float32)  # (B, L, D) token states

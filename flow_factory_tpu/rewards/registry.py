@@ -14,6 +14,8 @@ _REWARD_REGISTRY = {
     "OCR": "flow_factory_tpu.rewards.ocr:OCRReward",
     "CLAP": "flow_factory_tpu.rewards.audio:CLAPReward",
     "ImageBind": "flow_factory_tpu.rewards.audio:ImageBindReward",
+    "PickScoreNative": "flow_factory_tpu.rewards.clip_native:NativeCLIPReward",
+    "CLIPNative": "flow_factory_tpu.rewards.clip_native:NativeCLIPReward",
     "VLLMEvaluate": "flow_factory_tpu.rewards.vllm_judge:VLLMJudgeReward",
     "RationalRewardT2I": "flow_factory_tpu.rewards.vllm_judge:RationalRewardT2I",
     "RationalRewardEdit": "flow_factory_tpu.rewards.vllm_judge:RationalRewardEdit",

@@ -206,10 +206,11 @@ def import_diffusers_params(
         if key in converted:
             arr = converted[key]
             if tuple(arr.shape) != tuple(leaf.shape):
-                # conv kernel imported onto a dense patch-embed leaf: flax
-                # layout (k..., in, out) flattens row-major to our
-                # (patch..., channel) feature order.
-                if arr.size == np.asarray(leaf).size and arr.ndim > 2 and np.asarray(leaf).ndim == 2:
+                # same-size rank mismatch: conv kernels onto dense
+                # patch-embed leaves (flax layout (k..., in, out) flattens
+                # row-major to our (patch..., channel) order) and
+                # leading-1 buffer differences (e.g. position embeddings)
+                if arr.size == np.asarray(leaf).size and arr.ndim != np.asarray(leaf).ndim:
                     arr = arr.reshape(np.asarray(leaf).shape)
                     leaves.append(np.asarray(arr, dtype=np.asarray(leaf).dtype))
                 else:
@@ -521,3 +522,32 @@ def vae_key_map(channel_mults: Tuple[int, ...], layers_per_block: int,
             m[f"{side}.mid_block.attentions.0.to_v"] = f"{side}/mid_attn/to_v"
             m[f"{side}.mid_block.attentions.0.to_out.0"] = f"{side}/mid_attn/to_out"
     return m
+
+
+def clip_vision_encoder_key_map(num_layers: int) -> Tuple[Dict[str, str], Dict[str, str]]:
+    """transformers ``CLIPVisionModel`` → our ``CLIPVisionEncoder``.
+
+    Note transformers' historical ``pre_layrnorm`` spelling. The class and
+    position embeddings and patch conv ride the usual rules; blocks share
+    the text-block layout.
+    """
+    m: Dict[str, str] = {
+        "vision_model.embeddings.patch_embedding": "patch_embedding",
+        "vision_model.pre_layrnorm": "pre_ln",
+        "vision_model.post_layernorm": "post_ln",
+    }
+    raw: Dict[str, str] = {
+        "vision_model.embeddings.class_embedding": "class_embedding",
+        "vision_model.embeddings.position_embedding.weight": "position_embedding",
+    }
+    for i in range(num_layers):
+        b, o = f"vision_model.encoder.layers.{i}", f"layer_{i}"
+        m[f"{b}.layer_norm1"] = f"{o}/ln1"
+        m[f"{b}.layer_norm2"] = f"{o}/ln2"
+        m[f"{b}.self_attn.q_proj"] = f"{o}/q_proj"
+        m[f"{b}.self_attn.k_proj"] = f"{o}/k_proj"
+        m[f"{b}.self_attn.v_proj"] = f"{o}/v_proj"
+        m[f"{b}.self_attn.out_proj"] = f"{o}/out_proj"
+        m[f"{b}.mlp.fc1"] = f"{o}/fc1"
+        m[f"{b}.mlp.fc2"] = f"{o}/fc2"
+    return m, raw

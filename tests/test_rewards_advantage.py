@@ -122,3 +122,72 @@ def test_advantage_gdpo_multi_reward():
     # batch-normalized: zero mean, unit std
     assert advs.mean() == pytest.approx(0.0, abs=1e-8)
     assert advs.std() == pytest.approx(1.0, rel=1e-5)
+
+
+def test_native_clip_reward_scores_on_device():
+    """TPU-native CLIP reward: deterministic, batched, video frame-mean."""
+    from flow_factory_tpu.hparams.reward_args import RewardArguments
+    from flow_factory_tpu.rewards.clip_native import NativeCLIPReward
+    from flow_factory_tpu.rewards.registry import resolve_reward_class
+
+    assert resolve_reward_class("PickScoreNative") is NativeCLIPReward
+    args = RewardArguments(name="clipn", reward_model="PickScoreNative",
+                           model_name_or_path="tiny")
+    rm = NativeCLIPReward(args)
+    rm.setup()
+    rng = np.random.default_rng(0)
+    imgs = [rng.random((3, 24, 24)).astype(np.float32) for _ in range(3)]
+    s1 = rm.compute_reward(prompt=["a", "b", "c"], image=imgs)
+    s2 = rm.compute_reward(prompt=["a", "b", "c"], image=imgs)
+    assert s1.shape == (3,) and np.all(np.isfinite(s1))
+    np.testing.assert_allclose(s1, s2)
+    # different image → different score
+    s3 = rm.compute_reward(prompt=["a"], image=[imgs[1]])
+    assert not np.isclose(s1[0], s3[0])
+    # video path: frame mean
+    vids = [rng.random((4, 3, 24, 24)).astype(np.float32) for _ in range(2)]
+    sv = rm.compute_reward(prompt=["x", "y"], image=[None, None], video=vids)
+    assert sv.shape == (2,) and np.all(np.isfinite(sv))
+
+
+def test_native_clip_weight_import(tmp_path):
+    """A synthesized transformers-CLIP checkpoint loads into the towers."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from safetensors.numpy import save_file
+    from test_utils_aux import _synth_torch_state_dict
+
+    from flow_factory_tpu.hparams.reward_args import RewardArguments
+    from flow_factory_tpu.rewards.clip_native import NativeCLIPReward
+
+    args = RewardArguments(name="clipn", reward_model="PickScoreNative",
+                           model_name_or_path="tiny")
+    rm = NativeCLIPReward(args)
+    rm.setup()
+    from flow_factory_tpu.utils.checkpoint import (
+        clip_text_encoder_key_map,
+        clip_vision_encoder_key_map,
+    )
+    km, r = clip_vision_encoder_key_map(rm.vision_cfg.num_layers)
+    sd = _synth_torch_state_dict(rm.vision_params, km, raw_map=r, seed=50,
+                                 conv_specs={"vision_model.embeddings.patch_embedding":
+                                             (rm.vision_cfg.hidden_dim, 3,
+                                              rm.vision_cfg.patch_size, rm.vision_cfg.patch_size)})
+    tkm, tr = clip_text_encoder_key_map(rm.text_cfg.num_layers)
+    sd.update(_synth_torch_state_dict(rm.text_params, tkm, raw_map=tr, seed=51))
+    sd["visual_projection.weight"] = np.random.default_rng(5).standard_normal(
+        (rm.text_cfg.projection_dim, rm.vision_cfg.hidden_dim)).astype(np.float32)
+    sd["logit_scale"] = np.asarray(4.0, np.float32)
+    save_file(sd, str(tmp_path / "model.safetensors"))
+
+    args2 = RewardArguments(name="clipn", reward_model="PickScoreNative",
+                            model_name_or_path=str(tmp_path), extra_kwargs={"tiny": True})
+    rm2 = NativeCLIPReward(args2)
+    rm2.setup()
+    assert float(rm2.logit_scale) == 4.0
+    np.testing.assert_allclose(np.asarray(rm2.visual_projection),
+                               sd["visual_projection.weight"].T, atol=1e-6)
+    rng = np.random.default_rng(1)
+    s = rm2.compute_reward(prompt=["q"], image=[rng.random((3, 16, 16)).astype(np.float32)])
+    assert np.all(np.isfinite(s))
