@@ -297,3 +297,46 @@ def test_wan_ti2v_expand_timesteps_replay():
     out = adapter.training_forward(adapter.trainable, batch)
     ratio = np.exp(np.asarray(out.log_prob) - b["log_probs"][:, lpi])
     np.testing.assert_allclose(ratio, 1.0, atol=1e-4)
+
+
+def test_ltx2_multi_guidance_stg_and_modality():
+    """LTX-2 x0-space multi-guidance: STG (skipped blocks) and modality
+    isolation change the rollout but keep the replay invariant."""
+    cfg = _cfg("ltx2-t2av")
+    cfg.training_args.extra_kwargs.update(
+        {"stg_scale": 1.0, "stg_blocks": [0], "modality_scale": 1.5}
+    )
+    adapter = load_adapter(cfg)
+    assert adapter.stg_scale == 1.0 and adapter.modality_scale == 1.5
+    adapter.rollout()
+    samples = adapter.inference(prompt=["waves", "wind"], compute_log_prob=True, seed=0)
+    s = samples[0]
+    assert np.all(np.isfinite(s.log_probs))
+
+    # guidance actually changes the trajectory vs plain CFG
+    cfg2 = _cfg("ltx2-t2av")
+    plain = load_adapter(cfg2)
+    plain.rollout()
+    base = plain.inference(prompt=["waves", "wind"], compute_log_prob=True, seed=0)
+    assert not np.allclose(s.all_latents[-1], base[0].all_latents[-1])
+
+    b = stack_samples(samples)
+    sig, nl = s.extra_kwargs["sigmas"], s.extra_kwargs["noise_levels"]
+    i = int(np.nonzero(nl)[0][0])
+    li, lni, lpi = s.latent_index_map[i], s.latent_index_map[i + 1], s.log_prob_index_map[i]
+    batch = {
+        "latents": jnp.asarray(b["all_latents"][:, li]),
+        "audio_latents": jnp.asarray(b["audio_all_latents"][:, li]),
+        "next_latents": jnp.asarray(b["all_latents"][:, lni]),
+        "timestep": jnp.full((2,), float(s.timesteps[i])),
+        "sigma": jnp.full((2,), float(sig[i])),
+        "sigma_next": jnp.full((2,), float(sig[i + 1])),
+        "noise_level": jnp.full((2,), float(nl[i])),
+        "guidance_scale": jnp.float32(3.0),
+        "sigma_max": jnp.float32(sig[1]),
+    }
+    for ek in adapter.embed_keys:
+        batch[ek] = jnp.asarray(b[ek])
+    out = adapter.training_forward(adapter.trainable, batch)
+    ratio = np.exp(np.asarray(out.log_prob) - b["log_probs"][:, lpi])
+    np.testing.assert_allclose(ratio, 1.0, atol=1e-4)
