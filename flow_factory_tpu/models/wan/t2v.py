@@ -245,6 +245,16 @@ class WanT2VAdapter(BaseAdapter):
             cimg = None if img_ctx is None else jnp.concatenate([img_ctx, img_ctx], axis=0)
             v = forward_once(x2, t2, ctx, cimg).astype(jnp.float32)
             v_uncond, v_cond = jnp.split(v, 2, axis=0)
+            # Wan2.2 MoE: each expert gets its own CFG scale
+            # (reference wan2_t2v.py:474-490, guidance_scale_2 for the
+            # low-noise expert below the boundary timestep)
+            g2 = getattr(self.training_args, "guidance_scale_2", None)
+            if isinstance(merged, tuple) and g2 is not None:
+                boundary = jnp.float32(self.boundary_ratio * 1000.0)
+                t_route = t[0] if t.ndim == 1 else jnp.max(t[0])
+                guidance_scale = jnp.where(
+                    t_route >= boundary, guidance_scale, jnp.float32(float(g2))
+                )
             return v_uncond + guidance_scale * (v_cond - v_uncond)
         return forward_once(latents, t, embeds["prompt_embeds"].astype(dt), img_ctx).astype(jnp.float32)
 
