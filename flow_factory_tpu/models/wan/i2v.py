@@ -135,13 +135,20 @@ class WanI2VAdapter(WanT2VAdapter):
 
     # ------------------------------------------------------------------
     def build_condition(
-        self, images: Sequence[Any], num_frames: int, height: int, width: int
+        self,
+        images: Sequence[Any],
+        num_frames: int,
+        height: int,
+        width: int,
+        last_images: Optional[Sequence[Any]] = None,
     ) -> np.ndarray:
-        """First-frame image → conditioning tensor.
+        """First-frame (and optional last-frame, FLF2V-style) conditioning.
 
         Wan2.1 mode: (B, T', h, w, c+1) — latent concat + presence-mask
-        channel. TI2V mode (expand_timesteps): (B, T', h, w, c) — the clean
-        latent destined to REPLACE latent frame 0.
+        channel; ``last_images`` additionally pins the final frame
+        (reference ``wan2_i2v.py:374-382``). TI2V mode (expand_timesteps):
+        (B, T', h, w, c) — the clean latent destined to REPLACE latent
+        frame 0.
         """
         arr = standardize_image_batch(list(images), output_type="np")  # (B,3,H,W)
         videos = arr[:, None]  # (B, 1, 3, H, W) single-frame clip
@@ -155,6 +162,11 @@ class WanI2VAdapter(WanT2VAdapter):
         cond = np.zeros((B, tl, h, w, c + 1), np.float32)
         cond[:, :1, ..., :c] = lat[:, :1]
         cond[:, :1, ..., c] = 1.0  # presence mask on the conditioned frame
+        if last_images is not None:
+            last_arr = standardize_image_batch(list(last_images), output_type="np")
+            last_lat = self.encode_video(last_arr[:, None])
+            cond[:, -1:, ..., :c] = last_lat[:, :1]
+            cond[:, -1:, ..., c] = 1.0
         return cond
 
     @staticmethod
@@ -185,13 +197,15 @@ class WanI2VAdapter(WanT2VAdapter):
             latents = lat.at[:, 0].set(cond[:, 0])
         return super().decode_latents(latents, num_frames=num_frames)
 
-    def inference(self, images=None, cond_latents=None, **kwargs):
+    def inference(self, images=None, cond_latents=None, last_images=None, **kwargs):
         ta = self.training_args
         num_frames = kwargs.get("num_frames") or int(getattr(ta, "num_frames", 5))
         height = kwargs.get("height") or ta.height
         width = kwargs.get("width") or ta.width
         if cond_latents is None and images is not None:
-            cond_latents = self.build_condition(images, num_frames, height, width)
+            cond_latents = self.build_condition(
+                images, num_frames, height, width, last_images=last_images
+            )
         if cond_latents is None:
             raise ValueError("WanI2VAdapter.inference needs images or cond_latents")
         extra = {"cond_latents": jnp.asarray(cond_latents, jnp.float32)}
