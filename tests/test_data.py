@@ -103,3 +103,22 @@ def test_distributed_shard_consolidate_and_crash_resume(tmp_path):
     ds2 = GeneralDataset(path)
     ds2.preprocess(pre, str(tmp_path), process_index=0, process_count=2, batch_size=4)
     assert calls["n"] == n
+
+
+def test_media_loading_from_jsonl(tmp_path):
+    """Image-path records resolve to canonical arrays for preprocess_func
+    (the bundled multi_ref_image dataset ships real asset files)."""
+    seen = {}
+
+    def pre(batch):
+        seen["images"] = batch["images"]
+        return {}
+
+    ds = GeneralDataset(
+        os.path.join(os.path.dirname(__file__), "..", "dataset", "multi_ref_image", "train.jsonl")
+    )
+    ds.preprocess(pre, str(tmp_path), process_index=0, process_count=1, batch_size=4)
+    assert "images" in seen and len(seen["images"]) >= 1
+    img = np.asarray(seen["images"][0][0])  # first record, first reference
+    assert img.ndim == 3 and img.shape[0] == 3  # (3, H, W) canonical
+    assert 0.0 <= float(img.min()) and float(img.max()) <= 1.0
