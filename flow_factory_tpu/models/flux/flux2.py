@@ -3,9 +3,11 @@
 TPU-native re-design of the reference FLUX.2 adapters
 (``src/flow_factory/models/flux/flux2.py``, ``flux2_klein.py``): same hybrid
 double/single-stream DiT family as FLUX.1 but conditioned on a Mistral LM's
-hidden states (single text encoder; pooled vector = masked mean of the
-hidden states), with multi-reference image conditioning (sequence-concat,
-like Kontext) and a caption-upsampling preprocessing hook — the reference
+hidden states (single text encoder; NO pooled-text conditioning — the
+upstream transformer takes only timestep/guidance/LM states,
+``flux2.py:816-825``), with multi-reference image conditioning
+(sequence-concat, like Kontext) and a caption-upsampling preprocessing
+hook — the reference
 routes prompts through a VLM rewriter before encoding (``flux2.py:371``);
 here the hook is a pluggable callable (identity by default, an LLM client in
 deployments).
@@ -29,11 +31,14 @@ from .transformer import FluxConfig, FluxTransformer
 logger = logging.getLogger(__name__)
 
 
-def _preset(name: str, attn_backend: str, dtype: str) -> Dict[str, Any]:
+def _preset(name: str, attn_backend: str, dtype: str, mlp_style: str = "gelu_tanh") -> Dict[str, Any]:
+    # FLUX.2 has NO pooled-text conditioning: the upstream transformer call
+    # passes only timestep/guidance/LM hidden states (reference
+    # ``flux2.py:816-825``) — hence pooled_dim=0 in every preset.
     if name == "tiny":
         return dict(
             transformer=FluxConfig.tiny(attn_backend=attn_backend, dtype=dtype, context_dim=32,
-                                        pooled_dim=32),
+                                        pooled_dim=0, mlp_style=mlp_style),
             vae=VAEConfig.tiny(latent_channels=4, dtype=dtype),
             lm=LMConfig.tiny(hidden_dim=32, dtype=dtype),
             max_length=16,
@@ -43,8 +48,9 @@ def _preset(name: str, attn_backend: str, dtype: str) -> Dict[str, Any]:
             transformer=FluxConfig(
                 in_channels=64, hidden_dim=4096, num_heads=32,
                 num_double_blocks=24, num_single_blocks=48,
-                context_dim=5120, pooled_dim=5120, guidance_embeds=True,
+                context_dim=5120, pooled_dim=0, guidance_embeds=True,
                 axes_dim=(32, 48, 48), attn_backend=attn_backend, dtype=dtype,
+                mlp_style=mlp_style,
             ),
             vae=VAEConfig(latent_channels=16, dtype=dtype),
             lm=LMConfig.mistral_small(dtype=dtype),
@@ -55,8 +61,9 @@ def _preset(name: str, attn_backend: str, dtype: str) -> Dict[str, Any]:
             transformer=FluxConfig(
                 in_channels=64, hidden_dim=3072, num_heads=24,
                 num_double_blocks=8, num_single_blocks=24,
-                context_dim=5120, pooled_dim=5120, guidance_embeds=True,
+                context_dim=5120, pooled_dim=0, guidance_embeds=True,
                 axes_dim=(16, 56, 56), attn_backend=attn_backend, dtype=dtype,
+                mlp_style=mlp_style,
             ),
             vae=VAEConfig(latent_channels=16, dtype=dtype),
             lm=LMConfig.mistral_small(dtype=dtype),
@@ -72,9 +79,30 @@ class Flux2Adapter(Flux1KontextAdapter):
     caption_upsampler: Optional[Callable[[List[str]], List[str]]] = None
 
     def pretrained_component_maps(self):
-        # FLUX.2's upstream checkpoint layout differs from FLUX.1; no key
-        # map yet — do not apply the inherited FLUX.1 map to it.
-        return {}
+        import functools
+
+        from ...utils.checkpoint import (
+            check_flux2_mlp_style,
+            flux2_transformer_key_map,
+            lm_decoder_key_map,
+            vae_key_map,
+        )
+
+        maps = {}
+        tcfg = self.component_configs.get("transformer")
+        if tcfg is not None:
+            km = flux2_transformer_key_map(tcfg.num_double_blocks, tcfg.num_single_blocks)
+            guard = functools.partial(check_flux2_mlp_style, mlp_style=tcfg.mlp_style)
+            maps["transformer"] = ("transformer", km, None, guard)
+        lcfg = self.component_configs.get("text_encoder")
+        if lcfg is not None and "text_encoder" in self.params:
+            lkm, lrm = lm_decoder_key_map(lcfg.num_layers)
+            maps["text_encoder"] = ("text_encoder", lkm, lrm, None)
+        vcfg = self.component_configs.get("vae")
+        if vcfg is not None and "vae" in self.params:
+            maps["vae"] = ("vae", vae_key_map(
+                vcfg.channel_mults, vcfg.layers_per_block, vcfg.use_mid_attention), None, None)
+        return maps
 
     def _variant(self) -> str:
         ma = self.model_args
@@ -84,7 +112,8 @@ class Flux2Adapter(Flux1KontextAdapter):
 
     def load_models(self) -> None:
         ma = self.model_args
-        preset = _preset(self._variant(), ma.attn_backend, ma.inference_dtype)
+        preset = _preset(self._variant(), ma.attn_backend, ma.inference_dtype,
+                         mlp_style=getattr(ma, "mlp_style", None) or "gelu_tanh")
         if self.training_args.enable_gradient_checkpointing or (
             self.model_args.enable_gradient_checkpointing_override
         ):

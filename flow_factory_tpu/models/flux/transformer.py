@@ -51,6 +51,10 @@ class FluxConfig:
     rope_theta: float = 10000.0
     guidance_embeds: bool = True
     mlp_ratio: float = 4.0
+    #: double-block FFN form: "gelu_tanh" (FLUX.1) or "swiglu" (gated —
+    #: FLUX.2's ``ff.linear_in/linear_out`` layout supports either; the
+    #: pretrained import raises with the fix if the checkpoint disagrees)
+    mlp_style: str = "gelu_tanh"
     attn_backend: str = "auto"
     dtype: str = "bfloat16"
     remat: bool = False  # gradient checkpointing (rematerialize blocks)
@@ -129,11 +133,11 @@ class FluxDoubleBlock(nn.Module):
 
         img_ff = modulate(ln("img_norm2")(img.astype(jnp.float32)), i_shift2, i_scale2).astype(dt)
         img = img + i_gate2[:, None].astype(img.dtype) * FeedForward(
-            D, mult=cfg.mlp_ratio, dtype=dt, name="img_ff"
+            D, mult=cfg.mlp_ratio, activation=cfg.mlp_style, dtype=dt, name="img_ff"
         )(img_ff)
         txt_ff = modulate(ln("txt_norm2")(txt.astype(jnp.float32)), t_shift2, t_scale2).astype(dt)
         txt = txt + t_gate2[:, None].astype(txt.dtype) * FeedForward(
-            D, mult=cfg.mlp_ratio, dtype=dt, name="txt_ff"
+            D, mult=cfg.mlp_ratio, activation=cfg.mlp_style, dtype=dt, name="txt_ff"
         )(txt_ff)
         return img, txt
 

@@ -164,13 +164,19 @@ class FeedForward(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         inner = int(self.hidden_dim * self.mult)
-        h = nn.Dense(inner, dtype=self.dtype, name="fc1")(x)
-        if self.activation == "gelu_tanh":
-            h = nn.gelu(h, approximate=True)
-        elif self.activation == "silu":
-            h = nn.silu(h)
+        if self.activation == "swiglu":
+            # gated MLP: fc1 packs [gate; value] along the output dim
+            h = nn.Dense(2 * inner, dtype=self.dtype, name="fc1")(x)
+            g, v = jnp.split(h, 2, axis=-1)
+            h = nn.silu(g) * v
         else:
-            raise ValueError(self.activation)
+            h = nn.Dense(inner, dtype=self.dtype, name="fc1")(x)
+            if self.activation == "gelu_tanh":
+                h = nn.gelu(h, approximate=True)
+            elif self.activation == "silu":
+                h = nn.silu(h)
+            else:
+                raise ValueError(self.activation)
         return nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc2")(h)
 
 

@@ -3,17 +3,18 @@
 TPU-native re-design of the reference LTX-2 T2AV adapter
 (``src/flow_factory/models/ltx2/ltx2_t2av.py``):
 
-* unified sequence: video tokens then audio tokens (``:680-705``);
+* dual-stream transformer: separate video/audio token streams per block
+  with cross-modal attention (upstream block layout, ``:176-218``); the
+  sample's stored trajectory keeps the unified [video; audio] sequence
+  convention of the reference (``:680-705``) at the adapter boundary;
 * TWO schedulers — video Flow-SDE (log-probs for RL) + a dedicated audio
   scheduler running ODE (``:146-175,919-940``; the reference needs two
   INSTANCES because diffusers ``step()`` mutates state — here both are pure,
   but sigma schedules and noise gating still differ per modality);
 * Gemma3-role LM conditioning through dual connectors (in the transformer);
 * decode: video VAE for frames + audio VAE → mel → vocoder (``:494-594``);
-* CFG via batch doubling. (STG perturbed-block guidance and
-  modality-isolation guidance — reference ``:635-760`` — are tracked
-  follow-ups; the x0↔velocity conversion helpers they need are in the
-  scheduler module already.)
+* x0-space multi-guidance: CFG (batch doubling) + STG (perturbed blocks)
+  + modality isolation (cross-modal attention disabled), ``:635-760``.
 
 The joint rollout is a custom ``lax.scan``: per step one transformer call
 yields (v_video, v_audio); the video part takes an SDE step with log-prob,
@@ -42,9 +43,12 @@ from .transformer import LTX2Config, LTX2Transformer
 
 logger = logging.getLogger(__name__)
 
+# The reference's 28 Linears per block (``ltx2_t2av.py:176-218``): 6
+# attention groups × 4 projections + 2 FFN groups × 2 layers.
 LTX2_LORA_TARGETS = (
-    r".*block_\d+/(sa|ca)_(q|k|v|out)/kernel$",
-    r".*block_\d+/(ffn1|ffn2)/kernel$",
+    r".*block_\d+/(sa|a_sa)_(q|k|v|out)/kernel$",
+    r".*block_\d+/(ca|a_ca|a2v|v2a)/(q|k|v|out)/kernel$",
+    r".*block_\d+/(ffn1|ffn2|a_ffn1|a_ffn2)/kernel$",
 )
 
 
@@ -73,6 +77,20 @@ class LTX2T2AVAdapter(BaseAdapter):
     sample_class = T2AVSample
     default_target_patterns = LTX2_LORA_TARGETS
     embed_keys = ("prompt_embeds", "negative_prompt_embeds", "video_ids", "audio_ids")
+
+    def pretrained_component_maps(self):
+        from ...utils.checkpoint import lm_decoder_key_map, ltx2_transformer_key_map
+
+        maps = {}
+        tcfg = self.component_configs.get("transformer")
+        if tcfg is not None:
+            km, rm = ltx2_transformer_key_map(tcfg.num_layers)
+            maps["transformer"] = ("transformer", km, rm, None)
+        lcfg = self.component_configs.get("text_encoder")
+        if lcfg is not None and "text_encoder" in self.params:
+            lkm, lrm = lm_decoder_key_map(lcfg.num_layers)
+            maps["text_encoder"] = ("text_encoder", lkm, lrm, None)
+        return maps
 
     def load_models(self) -> None:
         ma = self.model_args
@@ -261,10 +279,10 @@ class LTX2T2AVAdapter(BaseAdapter):
         aud_ids = embeds["audio_ids"]
         aud_ids = aud_ids[0] if aud_ids.ndim == 3 else aud_ids
 
-        def fwd(v, a, tt, ctx, skip=(), v_ids=vid_ids, a_ids=aud_ids):
+        def fwd(v, a, tt, ctx, skip=(), isolate=False):
             vv, va = model.apply(
                 {"params": merged}, v.astype(dt), a.astype(dt), tt, ctx,
-                v_ids, a_ids, skip,
+                vid_ids, aud_ids, skip, isolate_modalities=isolate,
             )
             return vv.astype(jnp.float32), va.astype(jnp.float32)
 
@@ -307,9 +325,9 @@ class LTX2T2AVAdapter(BaseAdapter):
             v_delta += self.stg_scale * (v_x0 - convert_velocity_to_x0(sv, v_lat, sigma))
             a_delta += self.stg_scale * (a_x0 - convert_velocity_to_x0(sa, a_lat, sigma))
         if do_iso:
-            # modality isolation = per-modality forwards (no AV cross-attention)
-            iv, _ = fwd(v_lat, a_lat[:, :0], t, pos_ctx, a_ids=aud_ids[:0])
-            _, ia = fwd(v_lat[:, :0], a_lat, t, pos_ctx, v_ids=vid_ids[:0])
+            # modality isolation: one forward with cross-modal attention off
+            # (reference ltx2_t2av.py:726-760, isolate_modalities=True)
+            iv, ia = fwd(v_lat, a_lat, t, pos_ctx, isolate=True)
             v_delta += (self.modality_scale - 1.0) * (v_x0 - convert_velocity_to_x0(iv, v_lat, sigma))
             a_delta += (self.modality_scale - 1.0) * (a_x0 - convert_velocity_to_x0(ia, a_lat, sigma))
         v_guided = v_x0 + v_delta

@@ -1,16 +1,37 @@
-"""LTX-2 joint audio-video DiT in flax.linen.
+"""LTX-2 joint audio-video DiT in flax.linen — dual-stream blocks.
 
 TPU-first re-implementation of the architecture behind the reference LTX-2
-adapters (``src/flow_factory/models/ltx2/ltx2_t2av.py``): ONE transformer
-over a unified concatenated sequence — video tokens first, audio tokens
-after (``ltx2_t2av.py:680-705``) — with text cross-attention (Gemma3 hidden
-states through per-modality connector projections,
-``ltx2_t2av.py:370-482``).
+adapters (``src/flow_factory/models/ltx2/ltx2_t2av.py``). The upstream
+transformer keeps video and audio as SEPARATE token streams per block; the
+reference documents the exact per-block linear layout (28 Linears) in
+``ltx2_t2av.py:176-218`` (``default_target_modules``, "verified against
+LTX2VideoTransformerBlock.named_modules()"):
 
-Blocks are the self-attn(RoPE) + cross-attn + FFN form (shared with the Wan
-video DiT). Video tokens carry (t, h, w) RoPE coordinates; audio tokens ride
-the same tables with (t, 0, 0) — the temporal axis is shared so audio/video
-tokens at the same time attend coherently.
+    attn1    — video self-attention (3-D RoPE over (t, h, w))
+    attn2    — video cross-attention to the video text-connector stream
+    audio_attn1 — audio self-attention (temporal RoPE)
+    audio_attn2 — audio cross-attention to the audio text-connector stream
+    audio_to_video_attn — video queries attend audio tokens
+    video_to_audio_attn — audio queries attend video tokens
+    ff / audio_ff — per-modality feed-forward
+
+``isolate_modalities`` (reference ``ltx2_t2av.py:726-760``, Modality
+Isolation Guidance) disables the two cross-modal attentions; STG skips whole
+listed blocks (``spatio_temporal_guidance_blocks``).
+
+Modulation follows the LTX family convention (per-block learned
+``scale_shift_table`` + projected time embedding, 6 entries gating
+self-attn and FFN; cross attentions are plain residuals on the un-normed
+stream) with an independent audio table — audio may run at a different
+timestep than video (upstream ``use_cross_timestep``), so the module takes
+an optional separate ``audio_timestep``.
+
+Best-effort layout notes (pinned by synthesized-checkpoint import tests;
+real-weight validation tracked in PARITY.md): cross-modal attentions carry
+no RoPE (text-cross-style), per-attention q/k RMS norms, affine-free RMS
+stream norms. The text "connectors" are folded into this module as two
+Dense projections (upstream ships them as a separate pipeline component
+whose internal layout is not documented in the reference).
 """
 from __future__ import annotations
 
@@ -21,8 +42,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..layers import TimestepEmbedder, rope_frequencies
-from ..wan.transformer import WanBlock, WanConfig
+from ...ops.attention import dot_product_attention
+from ..layers import QKNorm, TimestepEmbedder, apply_rope, rope_frequencies
 
 
 @dataclass(frozen=True)
@@ -45,6 +66,10 @@ class LTX2Config:
     def compute_dtype(self) -> jnp.dtype:
         return jnp.dtype(self.dtype)
 
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_dim // self.num_heads
+
     @staticmethod
     def ltx2(**o) -> "LTX2Config":
         return LTX2Config(**o)
@@ -58,33 +83,125 @@ class LTX2Config:
         base.update(o)
         return LTX2Config(**base)
 
-    def wan_block_config(self) -> WanConfig:
-        return WanConfig(
-            in_channels=self.video_channels,
-            hidden_dim=self.hidden_dim,
-            ffn_dim=self.ffn_dim,
-            num_heads=self.num_heads,
-            num_layers=self.num_layers,
-            context_dim=self.context_dim,
-            freq_dim=self.freq_dim,
-            axes_dim=self.axes_dim,
-            rope_theta=self.rope_theta,
-            attn_backend=self.attn_backend,
-            dtype=self.dtype,
-            remat=False,  # remat is applied at the LTX2 block level
-        )
+
+def _rms(name: str):
+    # upstream LTX stream norms: RMSNorm, elementwise_affine=False
+    return nn.RMSNorm(epsilon=1e-6, use_scale=False, dtype=jnp.float32, name=name)
+
+
+class _CrossAttention(nn.Module):
+    """q from ``x``, k/v from ``y``; per-head RMS q/k norm; optional RoPE."""
+
+    cfg: LTX2Config
+
+    @nn.compact
+    def __call__(self, x, y, q_rope=None, k_rope=None):
+        cfg = self.cfg
+        dt = cfg.compute_dtype
+        D, H = cfg.hidden_dim, cfg.num_heads
+        split = lambda t: t.reshape(t.shape[0], t.shape[1], H, D // H).transpose(0, 2, 1, 3)
+        q = split(nn.Dense(D, dtype=dt, name="q")(x))
+        k = split(nn.Dense(D, dtype=dt, name="k")(y.astype(dt)))
+        v = split(nn.Dense(D, dtype=dt, name="v")(y.astype(dt)))
+        q, k = QKNorm(D // H, name="qk_norm")(q, k)
+        if q_rope is not None:
+            q = apply_rope(q, *q_rope)
+        if k_rope is not None:
+            k = apply_rope(k, *k_rope)
+        attn = dot_product_attention(q, k, v, backend=cfg.attn_backend)
+        attn = attn.transpose(0, 2, 1, 3).reshape(x.shape[0], -1, D)
+        return nn.Dense(D, dtype=dt, name="out")(attn)
+
+
+class LTX2Block(nn.Module):
+    """Dual-stream AV block (upstream ``LTX2VideoTransformerBlock``)."""
+
+    cfg: LTX2Config
+
+    @nn.compact
+    def __call__(
+        self,
+        v,            # (B, Lv, D) video stream
+        a,            # (B, La, D) audio stream
+        v_ctx,        # (B, Lc, D) video text stream (connector output)
+        a_ctx,        # (B, Lc, D) audio text stream
+        v_temb6,      # (B, 6, D) video time modulation
+        a_temb6,      # (B, 6, D) audio time modulation
+        v_rope,       # (cos, sin) for video tokens
+        a_rope,       # (cos, sin) for audio tokens
+        isolate_modalities: bool = False,
+    ):
+        cfg = self.cfg
+        dt = cfg.compute_dtype
+        D = cfg.hidden_dim
+
+        def mods(table_name, temb6):
+            table = self.param(table_name, nn.initializers.normal(0.02), (1, 6, D), jnp.float32)
+            m = table + temb6.astype(jnp.float32)
+            return [m[:, i, None] for i in range(6)]  # each (B, 1, D)
+
+        v_shift_sa, v_scale_sa, v_gate_sa, v_shift_ff, v_scale_ff, v_gate_ff = mods(
+            "scale_shift_table", v_temb6)
+        a_shift_sa, a_scale_sa, a_gate_sa, a_shift_ff, a_scale_ff, a_gate_ff = mods(
+            "audio_scale_shift_table", a_temb6)
+
+        def self_attn(x, rope, prefix):
+            split = lambda t: t.reshape(t.shape[0], t.shape[1], cfg.num_heads,
+                                        D // cfg.num_heads).transpose(0, 2, 1, 3)
+            q = split(nn.Dense(D, dtype=dt, name=f"{prefix}_q")(x))
+            k = split(nn.Dense(D, dtype=dt, name=f"{prefix}_k")(x))
+            val = split(nn.Dense(D, dtype=dt, name=f"{prefix}_v")(x))
+            q, k = QKNorm(D // cfg.num_heads, name=f"{prefix}_qk_norm")(q, k)
+            q = apply_rope(q, *rope)
+            k = apply_rope(k, *rope)
+            attn = dot_product_attention(q, k, val, backend=cfg.attn_backend)
+            attn = attn.transpose(0, 2, 1, 3).reshape(x.shape[0], -1, D)
+            return nn.Dense(D, dtype=dt, name=f"{prefix}_out")(attn)
+
+        # 1. modulated self-attention per modality
+        h = (_rms("norm1")(v.astype(jnp.float32)) * (1 + v_scale_sa) + v_shift_sa).astype(dt)
+        v = v + v_gate_sa.astype(v.dtype) * self_attn(h, v_rope, "sa")
+        h = (_rms("audio_norm1")(a.astype(jnp.float32)) * (1 + a_scale_sa) + a_shift_sa).astype(dt)
+        a = a + a_gate_sa.astype(a.dtype) * self_attn(h, a_rope, "a_sa")
+
+        # 2. cross-attention to the per-modality text streams (plain residual
+        #    on the un-normed stream — the LTX family convention)
+        v = v + _CrossAttention(cfg, name="ca")(v, v_ctx)
+        a = a + _CrossAttention(cfg, name="a_ca")(a, a_ctx)
+
+        # 3. cross-modal exchange from a common snapshot (skipped under
+        #    modality-isolation guidance, reference ltx2_t2av.py:726-760)
+        if not isolate_modalities:
+            v_snap, a_snap = v, a
+            v = v + _CrossAttention(cfg, name="a2v")(v_snap, a_snap)
+            a = a + _CrossAttention(cfg, name="v2a")(a_snap, v_snap)
+
+        # 4. modulated feed-forward per modality
+        h = (_rms("norm2")(v.astype(jnp.float32)) * (1 + v_scale_ff) + v_shift_ff).astype(dt)
+        h = nn.Dense(D, dtype=dt, name="ffn2")(
+            nn.gelu(nn.Dense(cfg.ffn_dim, dtype=dt, name="ffn1")(h), approximate=True))
+        v = v + v_gate_ff.astype(v.dtype) * h
+        h = (_rms("audio_norm2")(a.astype(jnp.float32)) * (1 + a_scale_ff) + a_shift_ff).astype(dt)
+        h = nn.Dense(D, dtype=dt, name="a_ffn2")(
+            nn.gelu(nn.Dense(cfg.ffn_dim, dtype=dt, name="a_ffn1")(h), approximate=True))
+        a = a + a_gate_ff.astype(a.dtype) * h
+        return v, a
 
 
 class LTX2Transformer(nn.Module):
-    """Joint AV DiT over [video_tokens ; audio_tokens].
+    """Dual-stream joint AV DiT.
 
     Inputs:
       video_latents: (B, Lv, video_channels) packed video tokens
       audio_latents: (B, La, audio_channels) packed audio tokens
+      timestep:      (B,) scheduler scale — video stream
+      encoder_hidden_states: (B, Lc, context_dim) raw LM hidden states;
+                     projected by the two built-in connector Denses
       video_ids:     (Lv, 3) (t, h, w) coordinates
       audio_ids:     (La, 3) (t, 0, 0) coordinates
-      timestep:      (B,) scheduler scale — shared across modalities
-      video_context / audio_context: per-modality connector outputs
+      skip_blocks:   STG perturbed (skipped) block indices
+      audio_timestep: optional (B,) — audio stream time (``use_cross_timestep``)
+      isolate_modalities: disable the cross-modal attentions
     """
 
     cfg: LTX2Config
@@ -95,52 +212,60 @@ class LTX2Transformer(nn.Module):
         video_latents: jax.Array,
         audio_latents: jax.Array,
         timestep: jax.Array,
-        encoder_hidden_states: jax.Array,  # (B, Lc, context_dim) raw LM states
+        encoder_hidden_states: jax.Array,
         video_ids: jax.Array,
         audio_ids: jax.Array,
-        skip_blocks: Tuple[int, ...] = (),  # STG: perturbed (skipped) blocks
+        skip_blocks: Tuple[int, ...] = (),
+        audio_timestep: Optional[jax.Array] = None,
+        isolate_modalities: bool = False,
     ) -> Tuple[jax.Array, jax.Array]:
         cfg = self.cfg
         dt = cfg.compute_dtype
-        B, Lv, _ = video_latents.shape
-        La = audio_latents.shape[1]
+        B = video_latents.shape[0]
 
-        v_tok = nn.Dense(cfg.hidden_dim, dtype=dt, name="video_embedder")(video_latents.astype(dt))
-        a_tok = nn.Dense(cfg.hidden_dim, dtype=dt, name="audio_embedder")(audio_latents.astype(dt))
-        x = jnp.concatenate([v_tok, a_tok], axis=1)
+        v = nn.Dense(cfg.hidden_dim, dtype=dt, name="video_embedder")(video_latents.astype(dt))
+        a = nn.Dense(cfg.hidden_dim, dtype=dt, name="audio_embedder")(audio_latents.astype(dt))
 
-        temb = TimestepEmbedder(cfg.hidden_dim, freq_dim=cfg.freq_dim, dtype=jnp.float32, name="time_embed")(timestep)
-        temb6 = nn.Dense(6 * cfg.hidden_dim, dtype=jnp.float32, name="time_proj")(
-            nn.silu(temb)
-        ).reshape(B, 6, cfg.hidden_dim)
+        if audio_timestep is None:
+            audio_timestep = timestep
+        v_temb = TimestepEmbedder(cfg.hidden_dim, freq_dim=cfg.freq_dim,
+                                  dtype=jnp.float32, name="time_embed")(timestep)
+        v_temb6 = nn.Dense(6 * cfg.hidden_dim, dtype=jnp.float32, name="time_proj")(
+            nn.silu(v_temb)).reshape(B, 6, cfg.hidden_dim)
+        a_temb = TimestepEmbedder(cfg.hidden_dim, freq_dim=cfg.freq_dim,
+                                  dtype=jnp.float32, name="audio_time_embed")(audio_timestep)
+        a_temb6 = nn.Dense(6 * cfg.hidden_dim, dtype=jnp.float32, name="audio_time_proj")(
+            nn.silu(a_temb)).reshape(B, 6, cfg.hidden_dim)
 
-        # dual connectors: video + audio context projections concatenated
-        # (reference ltx2_t2av.py:370-482)
+        # dual connectors: per-modality text streams (reference
+        # ltx2_t2av.py:370-482 caches ``pipeline.connectors`` outputs; here
+        # the projections live in the transformer tree)
         ctx = encoder_hidden_states.astype(dt)
         v_ctx = nn.Dense(cfg.hidden_dim, dtype=dt, name="video_connector")(ctx)
         a_ctx = nn.Dense(cfg.hidden_dim, dtype=dt, name="audio_connector")(ctx)
-        context = jnp.concatenate([v_ctx, a_ctx], axis=1)
 
-        ids = jnp.concatenate([video_ids, audio_ids], axis=0)
-        cos, sin = rope_frequencies(ids, cfg.axes_dim, cfg.rope_theta)
+        v_rope = rope_frequencies(video_ids, cfg.axes_dim, cfg.rope_theta)
+        a_rope = rope_frequencies(audio_ids, cfg.axes_dim, cfg.rope_theta)
 
-        wcfg = self.cfg.wan_block_config()
-        BlockCls = nn.remat(WanBlock) if cfg.remat else WanBlock
+        BlockCls = nn.remat(LTX2Block, static_argnums=(9,)) if cfg.remat else LTX2Block
         skip = set(skip_blocks)
         for i in range(cfg.num_layers):
             if i in skip:  # STG: identity through perturbed blocks
                 continue
-            x = BlockCls(wcfg, name=f"block_{i}")(x, context, temb6, cos, sin)
+            v, a = BlockCls(cfg, name=f"block_{i}")(
+                v, a, v_ctx, a_ctx, v_temb6, a_temb6, v_rope, a_rope,
+                isolate_modalities,
+            )
 
-        head_table = self.param("head_table", nn.initializers.normal(0.02), (1, 2, cfg.hidden_dim), jnp.float32)
-        head_mod = head_table + nn.Dense(2 * cfg.hidden_dim, dtype=jnp.float32, name="head_time")(
-            nn.silu(temb)
-        ).reshape(B, 2, cfg.hidden_dim)
-        shift, scale = head_mod[:, 0], head_mod[:, 1]
-        x = nn.LayerNorm(use_bias=False, use_scale=False, dtype=jnp.float32, name="head_norm")(
-            x.astype(jnp.float32)
-        ) * (1 + scale[:, None]) + shift[:, None]
+        def head(x, temb, table_name, norm_name, head_name, out_ch):
+            table = self.param(table_name, nn.initializers.normal(0.02),
+                               (1, 2, cfg.hidden_dim), jnp.float32)
+            mod = table + temb[:, None, :].astype(jnp.float32)
+            shift, scale = mod[:, 0, None], mod[:, 1, None]
+            x = _rms(norm_name)(x.astype(jnp.float32)) * (1 + scale) + shift
+            return nn.Dense(out_ch, dtype=jnp.float32, name=head_name)(x)
 
-        v_out = nn.Dense(cfg.video_channels, dtype=jnp.float32, name="video_head")(x[:, :Lv])
-        a_out = nn.Dense(cfg.audio_channels, dtype=jnp.float32, name="audio_head")(x[:, Lv:])
+        v_out = head(v, v_temb, "head_table", "head_norm", "video_head", cfg.video_channels)
+        a_out = head(a, a_temb, "audio_head_table", "audio_head_norm", "audio_head",
+                     cfg.audio_channels)
         return v_out, a_out

@@ -345,6 +345,138 @@ def wan_transformer_key_map(num_layers: int, i2v: bool = False) -> Tuple[Dict[st
     return m, raw
 
 
+def flux2_transformer_key_map(num_double: int, num_single: int) -> Dict[str, str]:
+    """Upstream FLUX.2 transformer module path → our param path.
+
+    The per-block Linear layout is VERIFIED against the reference's
+    ``default_target_modules`` (``src/flow_factory/models/flux/flux2.py:
+    90-104``): double blocks keep the FLUX.1 attention naming but use
+    ``ff.linear_in/linear_out`` FFNs; single blocks are natively FUSED
+    upstream (``attn.to_qkv_mlp_proj`` + ``attn.to_out.0``) — exactly our
+    ``linear1``/``linear2`` split, so no concat preprocessing is needed
+    (unlike FLUX.1, :func:`fuse_flux_single_block_qkv_mlp`). FLUX.2 has no
+    pooled-text embedder (the reference's transformer call passes only
+    timestep/guidance/text states, ``flux2.py:816-825``); the top-level
+    time/guidance embedder spelling is best-effort pending real weights.
+    """
+    m: Dict[str, str] = {
+        "x_embedder": "x_embedder",
+        "context_embedder": "context_embedder",
+        "time_guidance_embed.timestep_embedder.linear_1": "time_embed/linear_1",
+        "time_guidance_embed.timestep_embedder.linear_2": "time_embed/linear_2",
+        "time_guidance_embed.guidance_embedder.linear_1": "guidance_embed/linear_1",
+        "time_guidance_embed.guidance_embedder.linear_2": "guidance_embed/linear_2",
+        "norm_out.linear": "norm_out/linear",
+        "proj_out": "proj_out",
+    }
+    for i in range(num_double):
+        b, o = f"transformer_blocks.{i}", f"double_{i}"
+        m[f"{b}.norm1.linear"] = f"{o}/img_mod"
+        m[f"{b}.norm1_context.linear"] = f"{o}/txt_mod"
+        m[f"{b}.attn.to_q"] = f"{o}/img_q"
+        m[f"{b}.attn.to_k"] = f"{o}/img_k"
+        m[f"{b}.attn.to_v"] = f"{o}/img_v"
+        m[f"{b}.attn.to_out.0"] = f"{o}/img_attn_out"
+        m[f"{b}.attn.add_q_proj"] = f"{o}/txt_q"
+        m[f"{b}.attn.add_k_proj"] = f"{o}/txt_k"
+        m[f"{b}.attn.add_v_proj"] = f"{o}/txt_v"
+        m[f"{b}.attn.to_add_out"] = f"{o}/txt_attn_out"
+        m[f"{b}.attn.norm_q"] = f"{o}/img_qk_norm/q_norm"
+        m[f"{b}.attn.norm_k"] = f"{o}/img_qk_norm/k_norm"
+        m[f"{b}.attn.norm_added_q"] = f"{o}/txt_qk_norm/q_norm"
+        m[f"{b}.attn.norm_added_k"] = f"{o}/txt_qk_norm/k_norm"
+        m[f"{b}.ff.linear_in"] = f"{o}/img_ff/fc1"
+        m[f"{b}.ff.linear_out"] = f"{o}/img_ff/fc2"
+        m[f"{b}.ff_context.linear_in"] = f"{o}/txt_ff/fc1"
+        m[f"{b}.ff_context.linear_out"] = f"{o}/txt_ff/fc2"
+    for i in range(num_single):
+        b, o = f"single_transformer_blocks.{i}", f"single_{i}"
+        m[f"{b}.norm.linear"] = f"{o}/mod"
+        m[f"{b}.attn.to_qkv_mlp_proj"] = f"{o}/linear1"
+        m[f"{b}.attn.to_out.0"] = f"{o}/linear2"
+        m[f"{b}.attn.norm_q"] = f"{o}/qk_norm/q_norm"
+        m[f"{b}.attn.norm_k"] = f"{o}/qk_norm/k_norm"
+    return m
+
+
+def check_flux2_mlp_style(state_dict: Dict[str, np.ndarray], mlp_style: str) -> Dict[str, np.ndarray]:
+    """Import-time guard: detect whether the checkpoint's double-block FFN is
+    gated (``linear_in`` out = 2 × ``linear_out`` in → SwiGLU) and raise an
+    actionable error if the configured ``mlp_style`` disagrees."""
+    win = state_dict.get("transformer_blocks.0.ff.linear_in.weight")
+    wout = state_dict.get("transformer_blocks.0.ff.linear_out.weight")
+    if win is not None and wout is not None:
+        gated = win.shape[0] == 2 * wout.shape[1]
+        want = "swiglu" if gated else "gelu_tanh"
+        if want != mlp_style:
+            raise ValueError(
+                f"FLUX.2 checkpoint FFN is {'gated (SwiGLU)' if gated else 'ungated'} "
+                f"but the model was built with mlp_style={mlp_style!r}; set "
+                f"model.mlp_style: {want!r} in the config."
+            )
+    return state_dict
+
+
+def ltx2_transformer_key_map(num_layers: int) -> Tuple[Dict[str, str], Dict[str, str]]:
+    """Upstream LTX-2 AV transformer module path → our param path.
+
+    The per-block layout (6 attention groups + 2 FFN groups, 28 Linears) is
+    VERIFIED against the reference's ``default_target_modules``
+    (``src/flow_factory/models/ltx2/ltx2_t2av.py:176-218``, itself checked
+    against ``LTX2VideoTransformerBlock.named_modules()``). The top-level
+    embedder/time/head names follow the LTX family conventions
+    (``time_embed`` AdaLayerNormSingle, top-level ``scale_shift_table``
+    head tables) and are best-effort pending real upstream weights
+    (PARITY.md gap 1). Returns ``(key_map, raw_map)``.
+    """
+    m: Dict[str, str] = {
+        "proj_in": "video_embedder",
+        "audio_proj_in": "audio_embedder",
+        "time_embed.emb.timestep_embedder.linear_1": "time_embed/linear_1",
+        "time_embed.emb.timestep_embedder.linear_2": "time_embed/linear_2",
+        "time_embed.linear": "time_proj",
+        "audio_time_embed.emb.timestep_embedder.linear_1": "audio_time_embed/linear_1",
+        "audio_time_embed.emb.timestep_embedder.linear_2": "audio_time_embed/linear_2",
+        "audio_time_embed.linear": "audio_time_proj",
+        "proj_out": "video_head",
+        "audio_proj_out": "audio_head",
+    }
+    raw: Dict[str, str] = {
+        "scale_shift_table": "head_table",
+        "audio_scale_shift_table": "audio_head_table",
+    }
+    attn_groups = {
+        "attn1": "sa", "audio_attn1": "a_sa",
+    }
+    cross_groups = {
+        "attn2": "ca", "audio_attn2": "a_ca",
+        "audio_to_video_attn": "a2v", "video_to_audio_attn": "v2a",
+    }
+    for i in range(num_layers):
+        b, o = f"transformer_blocks.{i}", f"block_{i}"
+        raw[f"{b}.scale_shift_table"] = f"{o}/scale_shift_table"
+        raw[f"{b}.audio_scale_shift_table"] = f"{o}/audio_scale_shift_table"
+        for src, dst in attn_groups.items():
+            m[f"{b}.{src}.to_q"] = f"{o}/{dst}_q"
+            m[f"{b}.{src}.to_k"] = f"{o}/{dst}_k"
+            m[f"{b}.{src}.to_v"] = f"{o}/{dst}_v"
+            m[f"{b}.{src}.to_out.0"] = f"{o}/{dst}_out"
+            m[f"{b}.{src}.norm_q"] = f"{o}/{dst}_qk_norm/q_norm"
+            m[f"{b}.{src}.norm_k"] = f"{o}/{dst}_qk_norm/k_norm"
+        for src, dst in cross_groups.items():
+            m[f"{b}.{src}.to_q"] = f"{o}/{dst}/q"
+            m[f"{b}.{src}.to_k"] = f"{o}/{dst}/k"
+            m[f"{b}.{src}.to_v"] = f"{o}/{dst}/v"
+            m[f"{b}.{src}.to_out.0"] = f"{o}/{dst}/out"
+            m[f"{b}.{src}.norm_q"] = f"{o}/{dst}/qk_norm/q_norm"
+            m[f"{b}.{src}.norm_k"] = f"{o}/{dst}/qk_norm/k_norm"
+        m[f"{b}.ff.net.0.proj"] = f"{o}/ffn1"
+        m[f"{b}.ff.net.2"] = f"{o}/ffn2"
+        m[f"{b}.audio_ff.net.0.proj"] = f"{o}/a_ffn1"
+        m[f"{b}.audio_ff.net.2"] = f"{o}/a_ffn2"
+    return m, raw
+
+
 def qwen_image_transformer_key_map(num_blocks: int) -> Dict[str, str]:
     """diffusers ``QwenImageTransformer2DModel`` module path → our param path.
 

@@ -259,3 +259,87 @@ def test_wan_i2v_key_map_covers_image_branch():
         jax.tree_util.tree_flatten_with_path(out)[0],
     ):
         assert not np.array_equal(np.asarray(before), np.asarray(after)), path
+
+
+def test_ltx2_key_map_full_coverage():
+    """LTX-2 dual-stream AV transformer: every leaf of the tree is covered by
+    the upstream key map (28 Linears/block layout from the reference's
+    ``default_target_modules``), including both scale_shift tables, the
+    cross-modal attention groups, and the dual time embeds/heads."""
+    import jax
+    import jax.numpy as jnp
+
+    from flow_factory_tpu.models.ltx2.transformer import LTX2Config, LTX2Transformer
+    from flow_factory_tpu.utils.checkpoint import ltx2_transformer_key_map
+
+    cfg = LTX2Config.tiny()
+    model = LTX2Transformer(cfg)
+    template = model.init(
+        jax.random.key(0),
+        jnp.zeros((1, 8, cfg.video_channels)), jnp.zeros((1, 4, cfg.audio_channels)),
+        jnp.zeros((1,)), jnp.zeros((1, 4, cfg.context_dim)),
+        jnp.zeros((8, 3)), jnp.zeros((4, 3)),
+    )["params"]
+
+    key_map, raw_map = ltx2_transformer_key_map(cfg.num_layers)
+    # the connectors are a separate upstream pipeline component (not part of
+    # the transformer checkpoint) — exclude them from the coverage assertion
+    connector_leaves = {"video_connector", "audio_connector"}
+    sd = _synth_torch_state_dict(template, key_map, raw_map=raw_map, seed=7)
+    out = import_diffusers_params(sd, key_map, template, raw_map=raw_map)
+    for (path, before), (_, after) in zip(
+        jax.tree_util.tree_flatten_with_path(template)[0],
+        jax.tree_util.tree_flatten_with_path(out)[0],
+    ):
+        top = str(getattr(path[0], "key", path[0]))
+        if top in connector_leaves:
+            continue
+        assert not np.array_equal(np.asarray(before), np.asarray(after)), path
+    # transpose convention spot-check on a cross-modal projection
+    np.testing.assert_allclose(
+        np.asarray(out["block_0"]["a2v"]["q"]["kernel"]),
+        sd["transformer_blocks.0.audio_to_video_attn.to_q.weight"].T, atol=1e-6)
+
+
+@pytest.mark.parametrize("mlp_style", ["gelu_tanh", "swiglu"])
+def test_flux2_key_map_full_coverage(mlp_style):
+    """FLUX.2: fused single blocks map DIRECTLY (upstream to_qkv_mlp_proj ==
+    our linear1), double-block FFNs via linear_in/linear_out, no pooled-text
+    embedder; both FFN styles import with every leaf covered."""
+    import jax
+    import jax.numpy as jnp
+
+    from flow_factory_tpu.models.flux.transformer import FluxConfig, FluxTransformer
+    from flow_factory_tpu.utils.checkpoint import (
+        check_flux2_mlp_style,
+        flux2_transformer_key_map,
+    )
+
+    cfg = FluxConfig.tiny(pooled_dim=0, context_dim=32, guidance_embeds=True,
+                          mlp_style=mlp_style)
+    model = FluxTransformer(cfg)
+    L = 4
+    template = model.init(
+        jax.random.key(0),
+        jnp.zeros((1, L, cfg.in_channels)), jnp.zeros((1,)),
+        jnp.zeros((1, 3, cfg.context_dim)), jnp.zeros((1, 0)),
+        jnp.zeros((L, 3), jnp.int32), jnp.zeros((3, 3), jnp.int32),
+        jnp.zeros((1,)),
+    )["params"]
+
+    key_map = flux2_transformer_key_map(cfg.num_double_blocks, cfg.num_single_blocks)
+    sd = _synth_torch_state_dict(template, key_map, seed=9)
+    # the guard accepts a matching checkpoint and rejects the other style
+    check_flux2_mlp_style(sd, mlp_style)
+    other = "swiglu" if mlp_style == "gelu_tanh" else "gelu_tanh"
+    with pytest.raises(ValueError, match="mlp_style"):
+        check_flux2_mlp_style(sd, other)
+    out = import_diffusers_params(sd, key_map, template)
+    for (path, before), (_, after) in zip(
+        jax.tree_util.tree_flatten_with_path(template)[0],
+        jax.tree_util.tree_flatten_with_path(out)[0],
+    ):
+        assert not np.array_equal(np.asarray(before), np.asarray(after)), path
+    np.testing.assert_allclose(
+        np.asarray(out["single_0"]["linear1"]["kernel"]),
+        sd["single_transformer_blocks.0.attn.to_qkv_mlp_proj.weight"].T, atol=1e-6)
