@@ -228,7 +228,8 @@ class LTX2T2AVAdapter(BaseAdapter):
     # Geometry
     # ------------------------------------------------------------------
     def video_token_geometry(self, height, width, num_frames):
-        tl = max(1, -(-num_frames // self.vae_temporal_down))
+        # Wan frame convention: T_latent = 1 + ceil((T_pixel − 1)/down)
+        tl = 1 + -(-(max(num_frames, 1) - 1) // self.vae_temporal_down)
         h = height // self.vae_spatial_down
         w = width // self.vae_spatial_down
         return tl, h, w

@@ -88,12 +88,19 @@ class WanT2VAdapter(BaseAdapter):
         maps = {"transformer": ("transformer", km, rm, None)}
         if "transformer_2" in self.modules:
             maps["transformer_2"] = ("transformer_2", km, rm, None)
-        from ...utils.checkpoint import t5_encoder_key_map
+        from ...utils.checkpoint import t5_encoder_key_map, wan_vae_key_map
 
         tcfg = self.component_configs.get("text_encoder")
         if tcfg is not None and "text_encoder" in self.params:
             tkm, trm = t5_encoder_key_map(tcfg.num_layers)
             maps["text_encoder"] = ("text_encoder", tkm, trm, None)
+        vcfg = self.component_configs.get("vae")
+        if vcfg is not None and "vae" in self.params:
+            vkm, vrm = wan_vae_key_map(
+                vcfg.channel_mults, vcfg.layers_per_block, vcfg.temporal_down,
+                vcfg.attn_scales, vcfg.base_channels,
+            )
+            maps["vae"] = ("vae", vkm, vrm, None)
         return maps
 
     def load_models(self) -> None:
@@ -269,9 +276,9 @@ class WanT2VAdapter(BaseAdapter):
 
     # ------------------------------------------------------------------
     def latent_shape(self, height: int, width: int, num_frames: int) -> Tuple[int, int, int, int]:
-        t = 1 + (num_frames - 1) // self.vae_temporal_down if num_frames > 1 else 1
-        # pad convention: encoder front-pads to a multiple of temporal_down
-        t = max(1, -(-num_frames // self.vae_temporal_down))
+        # Wan frame convention: T_latent = 1 + ceil((T_pixel − 1)/down); the
+        # encoder front-replicates so T ≡ 1 (mod down)
+        t = 1 + -(-(max(num_frames, 1) - 1) // self.vae_temporal_down)
         return (t, height // self.vae_spatial_down, width // self.vae_spatial_down, self.latent_channels)
 
     def inference(

@@ -1,22 +1,40 @@
-"""Causal 3-D (video) VAE in flax.linen.
+"""Causal 3-D (video) VAE in flax.linen — upstream Wan module graph.
 
-TPU-native analog of the Wan/LTX causal video VAEs the reference consumes
-through diffusers (``src/flow_factory/models/wan/*`` decode/encode paths).
-Compression: temporal ×4 with the Wan frame convention ``T_latent = 1 +
-(T_pixel − 1)/4`` (front-replicated padding), spatial ×8. Convs are
-channel-last NDHWC — the native TPU layout; public API is (B, C, T, H, W)
-float in [-1, 1] to match the sample canon.
+TPU-native re-implementation of the VAE behind the reference Wan adapters
+(``src/flow_factory/models/wan/*`` consume diffusers ``AutoencoderKLWan``).
+The module graph mirrors the upstream layout leaf-for-leaf so pretrained
+checkpoints import through :func:`...utils.checkpoint.wan_vae_key_map`:
 
-CAUSAL in time: every temporal convolution pads only on the LEFT
-(``pad = (k−1, 0)`` at stride 1, ``(2, 0)`` at stride 2) and the decoder
-upsamples with nearest-repeat before a left-padded conv — so pixel frame t
-never depends on latent information from frames > t's window, matching the
-upstream CausalConv3d property and enabling chunked/streaming decode.
+* ``WanCausalConv3d`` — temporal LEFT-only zero padding (kernel 3 → pad 2);
+  stride-2 temporal convs pad 2 left and none right;
+* ``WanRMSNorm`` — per-location channel RMS norm with a ``gamma`` scale
+  (upstream normalizes over the channel dim only — GroupNorm would pool
+  statistics across time and break causality);
+* residual blocks ``norm1/conv1/norm2/conv2[/conv_shortcut]``;
+* flat ``down_blocks``/``up_blocks`` ModuleList indexing (resblocks,
+  optional attention at configured scales, then a resample per stage);
+* mid block ``resnets.0 / attentions.0 / resnets.1`` with per-frame spatial
+  attention (1×1-conv qkv/proj);
+* ``quant_conv``/``post_quant_conv`` 1×1×1 convs around the latent;
+* temporal resampling with the Wan frame convention
+  ``T_pixel = 1 + (T_latent − 1) · 4``: stride-2 causal convs down, and a
+  ``time_conv`` producing interleaved frame pairs up — the first frame's
+  leading twin is dropped so the first latent decodes to ONE frame.
 
-Remaining gap (PARITY.md): upstream-checkpoint weight compatibility (the
-exact WanVAE module graph + feat-cache chunking) needs real weights to
-validate and is tracked for a later round; the RL math, trainers, and video
-plumbing are independent of the VAE internals.
+Ordering inside a resample follows upstream: upsample3d runs ``time_conv``
+BEFORE the spatial resample, downsample3d runs it AFTER (temporal convs at
+the lower spatial resolution). Whole-sequence causal convs replace the
+upstream feat-cache frame chunking — an inference-memory optimization, not
+a graph difference; :meth:`VideoVAE.decode_chunked` provides the streaming
+equivalent (bit-exact given enough left context, pinned by test).
+
+Latent normalization: upstream stores per-channel ``latents_mean/std`` in
+the config; they apply as ``z̃ = (z − mean)/std`` after encode and the
+inverse before decode (``scaling_factor``/``shift_factor`` cover the
+scalar-scale families; both compose).
+
+Public API: videos (B, C, T, H, W) float in [-1, 1]; latents channel-last
+(B, Tl, hl, wl, Cz) to match the sample canon.
 """
 from __future__ import annotations
 
@@ -32,12 +50,18 @@ import jax.numpy as jnp
 class VideoVAEConfig:
     in_channels: int = 3
     latent_channels: int = 16
-    base_channels: int = 96
-    channel_mults: Tuple[int, ...] = (1, 2, 4, 4)
-    layers_per_block: int = 2
-    temporal_down: int = 4  # total temporal compression
+    base_channels: int = 96  # upstream ``base_dim``
+    channel_mults: Tuple[int, ...] = (1, 2, 4, 4)  # upstream ``dim_mult``
+    layers_per_block: int = 2  # upstream ``num_res_blocks``
+    temporal_down: int = 4  # total temporal compression (1 | 2 | 4)
+    #: stage scales (1, 1/2, ...) that get a spatial attention block after
+    #: each residual block (upstream ``attn_scales``; () for Wan 2.1)
+    attn_scales: Tuple[float, ...] = ()
     scaling_factor: float = 1.0
     shift_factor: float = 0.0
+    #: per-channel latent normalization (upstream ``latents_mean/std``)
+    latents_mean: Optional[Tuple[float, ...]] = None
+    latents_std: Optional[Tuple[float, ...]] = None
     dtype: str = "float32"
 
     @property
@@ -47,6 +71,19 @@ class VideoVAEConfig:
     @property
     def spatial_down(self) -> int:
         return 2 ** (len(self.channel_mults) - 1)
+
+    @property
+    def n_temporal(self) -> int:
+        return {1: 0, 2: 1, 4: 2}[self.temporal_down]
+
+    def temporal_down_flags(self) -> Tuple[bool, ...]:
+        """Per-resample temporal-downsample flags, encoder stage order.
+
+        Upstream Wan 2.1: ``temperal_downsample=[False, True, True]`` — the
+        temporal stages are the LAST ``n_temporal`` of the spatial resamples.
+        """
+        n_spatial = len(self.channel_mults) - 1
+        return tuple(i >= n_spatial - self.n_temporal for i in range(n_spatial))
 
     @staticmethod
     def wan(**o) -> "VideoVAEConfig":
@@ -59,35 +96,127 @@ class VideoVAEConfig:
         return VideoVAEConfig(**base)
 
 
-def causal_conv3d(
-    x, features: int, t_stride: int = 1, s_stride: int = 1,
-    dtype=jnp.float32, name: str = "conv",
-):
-    """3×3×3 conv, SAME in space, LEFT-padded (causal) in time."""
-    t_pad = 2 if t_stride in (1, 2) else 2  # k=3: covers [i-2, i] at stride 1/2
-    return nn.Conv(
-        features, (3, 3, 3), strides=(t_stride, s_stride, s_stride),
-        padding=((t_pad, 0), (1, 1), (1, 1)), dtype=dtype, name=name,
-    )(x)
+class WanCausalConv3d(nn.Module):
+    """Conv3d, SAME in space, LEFT-only zero padding in time."""
+
+    features: int
+    kernel: Tuple[int, int, int] = (3, 3, 3)
+    t_stride: int = 1
+    s_stride: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kt, kh, kw = self.kernel
+        return nn.Conv(
+            self.features, self.kernel,
+            strides=(self.t_stride, self.s_stride, self.s_stride),
+            padding=((kt - 1, 0), (kh // 2, kh // 2), (kw // 2, kw // 2)),
+            dtype=self.dtype, name="conv",
+        )(x)
 
 
-class ResBlock3D(nn.Module):
+class WanRMSNorm(nn.Module):
+    """Channel RMS norm with ``gamma`` (upstream ``WanRMS_norm``)."""
+
+    @nn.compact
+    def __call__(self, x):
+        x32 = x.astype(jnp.float32)
+        c = x.shape[-1]
+        gamma = self.param("gamma", nn.initializers.ones, (c,), jnp.float32)
+        y = x32 * jax.lax.rsqrt(jnp.mean(jnp.square(x32), axis=-1, keepdims=True) + 1e-12)
+        return (y * gamma).astype(x.dtype)
+
+
+class WanResidualBlock(nn.Module):
     out_channels: int
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        # per-location channel RMS norm (upstream WanRMS_norm): GroupNorm
-        # would pool statistics over the time axis and break causality
-        h = nn.RMSNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x.astype(jnp.float32)).astype(self.dtype)
-        h = nn.silu(h)
-        h = causal_conv3d(h, self.out_channels, dtype=self.dtype, name="conv1")
-        h = nn.RMSNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(h.astype(jnp.float32)).astype(self.dtype)
-        h = nn.silu(h)
-        h = causal_conv3d(h, self.out_channels, dtype=self.dtype, name="conv2")
+        dt = self.dtype
+        h = WanRMSNorm(name="norm1")(x)
+        h = nn.silu(h.astype(jnp.float32)).astype(dt)
+        h = WanCausalConv3d(self.out_channels, dtype=dt, name="conv1")(h)
+        h = WanRMSNorm(name="norm2")(h)
+        h = nn.silu(h.astype(jnp.float32)).astype(dt)
+        h = WanCausalConv3d(self.out_channels, dtype=dt, name="conv2")(h)
         if x.shape[-1] != self.out_channels:
-            x = nn.Conv(self.out_channels, (1, 1, 1), dtype=self.dtype, name="shortcut")(x)
+            x = WanCausalConv3d(self.out_channels, kernel=(1, 1, 1), dtype=dt,
+                                name="conv_shortcut")(x)
         return x + h
+
+
+class WanAttentionBlock(nn.Module):
+    """Per-frame spatial self-attention (upstream 1×1-conv qkv/proj)."""
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # (B, T, H, W, C)
+        B, T, H, W, C = x.shape
+        dt = self.dtype
+        ident = x
+        h = WanRMSNorm(name="norm")(x)
+        h = h.reshape(B * T, H, W, C)
+        qkv = nn.Conv(3 * C, (1, 1), dtype=dt, name="to_qkv")(h)
+        q, k, v = jnp.split(qkv.reshape(B * T, H * W, 3 * C), 3, axis=-1)
+        attn = jax.nn.softmax(
+            jnp.einsum("bic,bjc->bij", q, k).astype(jnp.float32) / jnp.sqrt(C), axis=-1
+        ).astype(dt)
+        h = jnp.einsum("bij,bjc->bic", attn, v).reshape(B * T, H, W, C)
+        h = nn.Conv(C, (1, 1), dtype=dt, name="proj")(h)
+        return ident + h.reshape(B, T, H, W, C)
+
+
+class WanResample(nn.Module):
+    """Spatial (+ optional temporal) resampling, upstream structure.
+
+    ``resample_1`` is the spatial conv (index 1 of the upstream Sequential —
+    index 0 is padding/interpolation); ``time_conv`` handles time.
+    """
+
+    mode: str  # downsample2d | downsample3d | upsample2d | upsample3d
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, first_frame_drop: bool = True):
+        dt = self.dtype
+        B, T, H, W, C = x.shape
+        if self.mode.startswith("upsample"):
+            if self.mode == "upsample3d":
+                # time first (at low spatial res): C → 2C, interleave to 2T,
+                # drop the first twin so the first latent yields ONE frame
+                h = WanCausalConv3d(2 * C, kernel=(3, 1, 1), dtype=dt, name="time_conv")(x)
+                h = h.reshape(B, T, H, W, 2, C)
+                h = jnp.einsum("bthwpc->btphwc", h).reshape(B, 2 * T, H, W, C)
+                x = h[:, 1:] if first_frame_drop else h
+                T = x.shape[1]
+            x = jax.image.resize(x, (B, T, H * 2, W * 2, C), method="nearest")
+            x = x.reshape(B * T, H * 2, W * 2, C)
+            x = nn.Conv(C // 2, (3, 3), dtype=dt, name="resample_1")(x)
+            return x.reshape(B, T, H * 2, W * 2, C // 2)
+
+        # downsample: asymmetric zero pad (0 left, 1 right) + stride-2 conv
+        x = x.reshape(B * T, H, W, C)
+        x = nn.Conv(C, (3, 3), strides=(2, 2), padding=((0, 1), (0, 1)),
+                    dtype=dt, name="resample_1")(x)
+        x = x.reshape(B, T, H // 2, W // 2, C)
+        if self.mode == "downsample3d":
+            # causal stride-2 temporal conv: T=1+2k → 1+k
+            x = WanCausalConv3d(C, kernel=(3, 1, 1), t_stride=2, dtype=dt,
+                                name="time_conv")(x)
+        return x
+
+
+class WanMidBlock(nn.Module):
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = WanResidualBlock(x.shape[-1], dtype=self.dtype, name="resnets_0")(x)
+        x = WanAttentionBlock(dtype=self.dtype, name="attentions_0")(x)
+        return WanResidualBlock(x.shape[-1], dtype=self.dtype, name="resnets_1")(x)
 
 
 class VideoEncoder(nn.Module):
@@ -98,48 +227,63 @@ class VideoEncoder(nn.Module):
         cfg = self.cfg
         dt = cfg.compute_dtype
         n_spatial = len(cfg.channel_mults) - 1
-        n_temporal = {1: 0, 2: 1, 4: 2}[cfg.temporal_down]
-        h = causal_conv3d(x, cfg.base_channels, dtype=dt, name="conv_in")
+        t_flags = cfg.temporal_down_flags()
+        h = WanCausalConv3d(cfg.base_channels, dtype=dt, name="conv_in")(x)
+        idx = 0
+        scale = 1.0
         for i, mult in enumerate(cfg.channel_mults):
             ch = cfg.base_channels * mult
-            for j in range(cfg.layers_per_block):
-                h = ResBlock3D(ch, dtype=dt, name=f"down_{i}_res_{j}")(h)
+            for _ in range(cfg.layers_per_block):
+                h = WanResidualBlock(ch, dtype=dt, name=f"down_blocks_{idx}")(h)
+                idx += 1
+                if scale in cfg.attn_scales:
+                    h = WanAttentionBlock(dtype=dt, name=f"down_blocks_{idx}")(h)
+                    idx += 1
             if i < n_spatial:
-                t_stride = 2 if i < n_temporal else 1
-                h = causal_conv3d(
-                    h, ch, t_stride=t_stride, s_stride=2, dtype=dt, name=f"down_{i}_conv"
-                )
-        h = ResBlock3D(h.shape[-1], dtype=dt, name="mid_res")(h)
-        h = nn.RMSNorm(epsilon=1e-6, dtype=jnp.float32, name="norm_out")(h.astype(jnp.float32))
-        h = nn.silu(h)
-        return causal_conv3d(h, 2 * cfg.latent_channels, dtype=jnp.float32, name="conv_out")
+                mode = "downsample3d" if t_flags[i] else "downsample2d"
+                h = WanResample(mode, dtype=dt, name=f"down_blocks_{idx}")(h)
+                idx += 1
+                scale /= 2.0
+        h = WanMidBlock(dtype=dt, name="mid_block")(h)
+        h = WanRMSNorm(name="norm_out")(h)
+        h = nn.silu(h.astype(jnp.float32))
+        return WanCausalConv3d(2 * cfg.latent_channels, dtype=jnp.float32,
+                               name="conv_out")(h)
 
 
 class VideoDecoder(nn.Module):
     cfg: VideoVAEConfig
 
     @nn.compact
-    def __call__(self, z):  # (B, Tl, hl, wl, Cz)
+    def __call__(self, z, first_frame_drop: bool = True):  # (B, Tl, hl, wl, Cz)
         cfg = self.cfg
         dt = cfg.compute_dtype
         mults = tuple(reversed(cfg.channel_mults))
         n_spatial = len(cfg.channel_mults) - 1
-        n_temporal = {1: 0, 2: 1, 4: 2}[cfg.temporal_down]
-        h = causal_conv3d(z, cfg.base_channels * mults[0], dtype=dt, name="conv_in")
-        h = ResBlock3D(h.shape[-1], dtype=dt, name="mid_res")(h)
+        # decoder temporal flags are the REVERSED encoder flags: Wan 2.1
+        # upsamples time in the FIRST stages (low spatial res)
+        t_flags = tuple(reversed(cfg.temporal_down_flags()))
+        h = WanCausalConv3d(cfg.base_channels * mults[0], dtype=dt, name="conv_in")(z)
+        h = WanMidBlock(dtype=dt, name="mid_block")(h)
+        idx = 0
+        scale = 1.0 / cfg.spatial_down
         for i, mult in enumerate(mults):
             ch = cfg.base_channels * mult
-            for j in range(cfg.layers_per_block + 1):
-                h = ResBlock3D(ch, dtype=dt, name=f"up_{i}_res_{j}")(h)
+            for _ in range(cfg.layers_per_block + 1):
+                h = WanResidualBlock(ch, dtype=dt, name=f"up_blocks_{idx}")(h)
+                idx += 1
+                if scale in cfg.attn_scales:
+                    h = WanAttentionBlock(dtype=dt, name=f"up_blocks_{idx}")(h)
+                    idx += 1
             if i < n_spatial:
-                t_up = 2 if i >= n_spatial - n_temporal else 1
-                B, T, H, W, C = h.shape
-                # nearest-repeat keeps causality: new frame 2t/2t+1 ← frame t
-                h = jax.image.resize(h, (B, T * t_up, H * 2, W * 2, C), method="nearest")
-                h = causal_conv3d(h, ch, dtype=dt, name=f"up_{i}_conv")
-        h = nn.RMSNorm(epsilon=1e-6, dtype=jnp.float32, name="norm_out")(h.astype(jnp.float32))
-        h = nn.silu(h)
-        return causal_conv3d(h, cfg.in_channels, dtype=jnp.float32, name="conv_out")
+                mode = "upsample3d" if t_flags[i] else "upsample2d"
+                h = WanResample(mode, dtype=dt, name=f"up_blocks_{idx}")(
+                    h, first_frame_drop=first_frame_drop)
+                idx += 1
+                scale *= 2.0
+        h = WanRMSNorm(name="norm_out")(h)
+        h = nn.silu(h.astype(jnp.float32))
+        return WanCausalConv3d(cfg.in_channels, dtype=jnp.float32, name="conv_out")(h)
 
 
 class VideoVAE(nn.Module):
@@ -150,12 +294,34 @@ class VideoVAE(nn.Module):
     def setup(self):
         self.encoder = VideoEncoder(self.cfg)
         self.decoder = VideoDecoder(self.cfg)
+        self.quant_conv = WanCausalConv3d(
+            2 * self.cfg.latent_channels, kernel=(1, 1, 1), dtype=jnp.float32,
+            name="quant_conv")
+        self.post_quant_conv = WanCausalConv3d(
+            self.cfg.latent_channels, kernel=(1, 1, 1), dtype=jnp.float32,
+            name="post_quant_conv")
+
+    # -- latent normalization ------------------------------------------------
+    def _normalize(self, z):
+        cfg = self.cfg
+        if cfg.latents_mean is not None:
+            z = (z - jnp.asarray(cfg.latents_mean, z.dtype)) / jnp.asarray(
+                cfg.latents_std, z.dtype)
+        return (z - cfg.shift_factor) * cfg.scaling_factor
+
+    def _denormalize(self, z):
+        cfg = self.cfg
+        z = z / cfg.scaling_factor + cfg.shift_factor
+        if cfg.latents_mean is not None:
+            z = z * jnp.asarray(cfg.latents_std, z.dtype) + jnp.asarray(
+                cfg.latents_mean, z.dtype)
+        return z
 
     def _pad_front(self, x: jax.Array) -> jax.Array:
-        """Wan frame convention: replicate frame 0 so T ≡ 0 (mod down)."""
+        """Wan frame convention: replicate frame 0 so T ≡ 1 (mod down)."""
         d = self.cfg.temporal_down
         T = x.shape[1]
-        pad = (-T) % d
+        pad = (1 - T) % d
         if pad:
             x = jnp.concatenate([jnp.repeat(x[:, :1], pad, axis=1), x], axis=1)
         return x
@@ -165,7 +331,7 @@ class VideoVAE(nn.Module):
     ) -> jax.Array:
         x = jnp.transpose(videos, (0, 2, 3, 4, 1))  # → (B, T, H, W, C)
         x = self._pad_front(x)
-        moments = self.encoder(x)
+        moments = self.quant_conv(self.encoder(x))
         mean, logvar = jnp.split(moments, 2, axis=-1)
         z = mean
         if sample:
@@ -174,12 +340,12 @@ class VideoVAE(nn.Module):
             z = mean + jnp.exp(0.5 * jnp.clip(logvar, -30, 20)) * jax.random.normal(
                 key, mean.shape, mean.dtype
             )
-        return (z - self.cfg.shift_factor) * self.cfg.scaling_factor
+        return self._normalize(z)
 
     def decode(self, latents: jax.Array, num_frames: Optional[int] = None) -> jax.Array:
-        """Latents → videos (B, C, T, H, W) in [-1, 1]."""
-        z = latents / self.cfg.scaling_factor + self.cfg.shift_factor
-        video = self.decoder(z)  # (B, T_pad, H, W, C)
+        """Latents → videos (B, C, T, H, W) in [-1, 1]; T = 1 + (Tl−1)·down."""
+        z = self.post_quant_conv(self._denormalize(latents))
+        video = self.decoder(z)  # (B, 1 + (Tl-1)·down, H, W, C)
         if num_frames is not None and video.shape[1] > num_frames:
             video = video[:, -num_frames:]
         return jnp.transpose(video, (0, 4, 1, 2, 3))
@@ -197,18 +363,21 @@ class VideoVAE(nn.Module):
         only on ≤ ``overlap`` earlier latent frames (the decoder's temporal
         receptive field); feeding each chunk with that much left context
         reproduces the full decode EXACTLY while peak activation memory drops
-        from O(T) to O(chunk + overlap). The reference's Wan VAE streams with
-        a feat-cache for the same reason (its CausalConv3d design).
+        from O(T) to O(chunk + overlap) — the reference's Wan VAE streams
+        with a feat-cache for the same reason. Interior latents each decode
+        to ``down`` frames; only the sequence-first latent yields one frame,
+        so segments starting past 0 keep their last ``(e−s)·down`` frames.
         """
-        z = latents / self.cfg.scaling_factor + self.cfg.shift_factor
+        z = self.post_quant_conv(self._denormalize(latents))
         Tl = z.shape[1]
-        t_up = self.cfg.temporal_down
+        d = self.cfg.temporal_down
         outs = []
         for s in range(0, Tl, chunk):
             e = min(s + chunk, Tl)
             lo = max(0, s - overlap)
-            seg = self.decoder(z[:, lo:e])  # (B, (e-lo)*t_up, H, W, C)
-            outs.append(seg[:, (s - lo) * t_up:])
+            seg = self.decoder(z[:, lo:e], first_frame_drop=lo == 0)
+            keep = (e - s) * d + (1 - d if s == 0 and lo == 0 else 0)
+            outs.append(seg[:, seg.shape[1] - keep:])
         video = jnp.concatenate(outs, axis=1)
         if num_frames is not None and video.shape[1] > num_frames:
             video = video[:, -num_frames:]

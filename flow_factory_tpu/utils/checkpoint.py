@@ -533,6 +533,103 @@ def load_safetensors_dir(path: str) -> Dict[str, np.ndarray]:
     return out
 
 
+def wan_vae_key_map(
+    channel_mults: Tuple[int, ...],
+    layers_per_block: int,
+    temporal_down: int = 4,
+    attn_scales: Tuple[float, ...] = (),
+    base_channels: int = 96,
+) -> Tuple[Dict[str, str], Dict[str, str]]:
+    """diffusers ``AutoencoderKLWan`` module path → our ``wan/video_vae.py``.
+
+    Mirrors the upstream flat ``down_blocks``/``up_blocks`` ModuleList
+    indexing (resblocks, optional attention at configured scales, resample
+    per stage), the ``mid_block.resnets.{0,1}/attentions.0`` mid block, the
+    ``resample.1`` spatial conv inside each WanResample, per-norm ``gamma``
+    parameters (raw copies), and the quant convs. ``WanCausalConv3d`` leaves
+    are bare convs upstream but nested ``.../conv`` scopes here. Shortcut
+    convs exist only where a residual block changes width. Returns
+    ``(key_map, raw_map)``.
+    """
+    n_spatial = len(channel_mults) - 1
+    n_temporal = {1: 0, 2: 1, 4: 2}[temporal_down]
+    t_flags = tuple(i >= n_spatial - n_temporal for i in range(n_spatial))
+
+    m: Dict[str, str] = {}
+    raw: Dict[str, str] = {}
+
+    def causal(src: str, dst: str) -> None:
+        m[src] = f"{dst}/conv"
+
+    def resblock(src: str, dst: str, shortcut: bool) -> None:
+        raw[f"{src}.norm1.gamma"] = f"{dst}/norm1/gamma"
+        raw[f"{src}.norm2.gamma"] = f"{dst}/norm2/gamma"
+        causal(f"{src}.conv1", f"{dst}/conv1")
+        causal(f"{src}.conv2", f"{dst}/conv2")
+        if shortcut:
+            causal(f"{src}.conv_shortcut", f"{dst}/conv_shortcut")
+
+    def attnblock(src: str, dst: str) -> None:
+        raw[f"{src}.norm.gamma"] = f"{dst}/norm/gamma"
+        m[f"{src}.to_qkv"] = f"{dst}/to_qkv"
+        m[f"{src}.proj"] = f"{dst}/proj"
+
+    for side in ("encoder", "decoder"):
+        causal(f"{side}.conv_in", f"{side}/conv_in")
+        causal(f"{side}.conv_out", f"{side}/conv_out")
+        raw[f"{side}.norm_out.gamma"] = f"{side}/norm_out/gamma"
+        resblock(f"{side}.mid_block.resnets.0", f"{side}/mid_block/resnets_0", False)
+        resblock(f"{side}.mid_block.resnets.1", f"{side}/mid_block/resnets_1", False)
+        attnblock(f"{side}.mid_block.attentions.0", f"{side}/mid_block/attentions_0")
+    causal("quant_conv", "quant_conv")
+    causal("post_quant_conv", "post_quant_conv")
+
+    # encoder stages
+    idx, scale, prev = 0, 1.0, base_channels
+    for i, mult in enumerate(channel_mults):
+        ch = base_channels * mult
+        for _ in range(layers_per_block):
+            resblock(f"encoder.down_blocks.{idx}", f"encoder/down_blocks_{idx}",
+                     shortcut=prev != ch)
+            prev = ch
+            idx += 1
+            if scale in attn_scales:
+                attnblock(f"encoder.down_blocks.{idx}", f"encoder/down_blocks_{idx}")
+                idx += 1
+        if i < n_spatial:
+            m[f"encoder.down_blocks.{idx}.resample.1"] = f"encoder/down_blocks_{idx}/resample_1"
+            if t_flags[i]:
+                causal(f"encoder.down_blocks.{idx}.time_conv",
+                       f"encoder/down_blocks_{idx}/time_conv")
+            idx += 1
+            scale /= 2.0
+
+    # decoder stages (reversed mults; upsample halves width, so the next
+    # stage's first resblock sees prev//2 input channels)
+    mults = tuple(reversed(channel_mults))
+    up_flags = tuple(reversed(t_flags))
+    idx, scale, prev = 0, 1.0 / (2 ** n_spatial), base_channels * mults[0]
+    for i, mult in enumerate(mults):
+        ch = base_channels * mult
+        for _ in range(layers_per_block + 1):
+            resblock(f"decoder.up_blocks.{idx}", f"decoder/up_blocks_{idx}",
+                     shortcut=prev != ch)
+            prev = ch
+            idx += 1
+            if scale in attn_scales:
+                attnblock(f"decoder.up_blocks.{idx}", f"decoder/up_blocks_{idx}")
+                idx += 1
+        if i < n_spatial:
+            m[f"decoder.up_blocks.{idx}.resample.1"] = f"decoder/up_blocks_{idx}/resample_1"
+            if up_flags[i]:
+                causal(f"decoder.up_blocks.{idx}.time_conv",
+                       f"decoder/up_blocks_{idx}/time_conv")
+            idx += 1
+            scale *= 2.0
+            prev = ch // 2
+    return m, raw
+
+
 def clip_text_encoder_key_map(num_layers: int) -> Tuple[Dict[str, str], Dict[str, str]]:
     """transformers ``CLIPTextModel(WithProjection)`` → our ``CLIPTextEncoder``.
 

@@ -146,51 +146,93 @@ def test_per_frame_timesteps_expand():
 
 
 def test_video_vae_causality():
-    """Causal VAE: frame t's encoding/decoding never sees future frames."""
+    """Causal VAE: frame t's encoding/decoding never sees future frames.
+
+    Wan frame convention (temporal_down=2): T=7 pixel frames → 4 latent
+    frames; latent 0 ← frame 0, latent i ← frames (2i−1, 2i)."""
     import jax
     from flow_factory_tpu.models.wan.video_vae import VideoVAEConfig, VideoVAE
 
     cfg = VideoVAEConfig.tiny()
     vae = VideoVAE(cfg)
     rng = np.random.default_rng(0)
-    v1 = jnp.asarray(rng.standard_normal((1, 3, 6, 16, 16)), jnp.float32)
-    v2 = v1.at[:, :, 4:].set(jnp.asarray(rng.standard_normal((1, 3, 2, 16, 16)), jnp.float32))
+    v1 = jnp.asarray(rng.standard_normal((1, 3, 7, 16, 16)), jnp.float32)
+    v2 = v1.at[:, :, 5:].set(jnp.asarray(rng.standard_normal((1, 3, 2, 16, 16)), jnp.float32))
     params = vae.init(jax.random.key(0), v1)["params"]
 
     z1 = vae.apply({"params": params}, v1, method=VideoVAE.encode)
     z2 = vae.apply({"params": params}, v2, method=VideoVAE.encode)
-    # temporal_down=2, T=6: latent frames 0..2 cover pixel frames
-    # (0,1),(2,3),(4,5); only the last latent frame may change
-    np.testing.assert_allclose(np.asarray(z1[:, :2]), np.asarray(z2[:, :2]), atol=1e-6)
-    assert not np.allclose(np.asarray(z1[:, 2]), np.asarray(z2[:, 2]))
+    assert z1.shape[1] == 4  # 1 + (7-1)/2
+    # perturbing pixel frames 5,6 may only change the last latent frame
+    np.testing.assert_allclose(np.asarray(z1[:, :3]), np.asarray(z2[:, :3]), atol=1e-6)
+    assert not np.allclose(np.asarray(z1[:, 3]), np.asarray(z2[:, 3]))
 
     # decode causality: perturbing the last latent frame leaves earlier
-    # pixel frames untouched
+    # pixel frames untouched (decode of 4 latents → 1 + 3·2 = 7 frames)
     d1 = vae.apply({"params": params}, z1, method=VideoVAE.decode)
-    z1p = z1.at[:, 2].add(1.0)
+    assert d1.shape[2] == 7
+    z1p = z1.at[:, 3].add(1.0)
     d2 = vae.apply({"params": params}, z1p, method=VideoVAE.decode)
-    np.testing.assert_allclose(np.asarray(d1[:, :, :4]), np.asarray(d2[:, :, :4]), atol=1e-6)
-    assert not np.allclose(np.asarray(d1[:, :, 4:]), np.asarray(d2[:, :, 4:]))
+    np.testing.assert_allclose(np.asarray(d1[:, :, :5]), np.asarray(d2[:, :, :5]), atol=1e-6)
+    assert not np.allclose(np.asarray(d1[:, :, 5:]), np.asarray(d2[:, :, 5:]))
 
 
 def test_video_vae_chunked_decode_exact():
-    """Streaming decode == full decode, bit-for-bit, thanks to causality."""
+    """Streaming decode == full decode, thanks to causality."""
     import jax
     from flow_factory_tpu.models.wan.video_vae import VideoVAEConfig, VideoVAE
 
     cfg = VideoVAEConfig.tiny()
     vae = VideoVAE(cfg)
     rng = np.random.default_rng(5)
-    v = jnp.asarray(rng.standard_normal((1, 3, 12, 16, 16)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((1, 3, 13, 16, 16)), jnp.float32)
     params = vae.init(jax.random.key(0), v)["params"]
-    z = vae.apply({"params": params}, v, method=VideoVAE.encode)  # (1, 6, 8, 8, c)
+    z = vae.apply({"params": params}, v, method=VideoVAE.encode)  # (1, 7, 8, 8, c)
+    assert z.shape[1] == 7
 
     full = vae.apply({"params": params}, z, method=VideoVAE.decode)
+    assert full.shape[2] == 13
     for chunk in (1, 2, 4):
         stream = vae.apply(
             {"params": params}, z, chunk, 8, method=VideoVAE.decode_chunked
         )
+        assert stream.shape == full.shape
         np.testing.assert_allclose(np.asarray(stream), np.asarray(full), atol=1e-5)
     # too-small overlap must actually differ (the test is not vacuous)
     approx = vae.apply({"params": params}, z, 1, 0, method=VideoVAE.decode_chunked)
     assert not np.allclose(np.asarray(approx), np.asarray(full), atol=1e-5)
+
+
+def test_wan_vae_key_map_full_coverage():
+    """Upstream AutoencoderKLWan graph: every leaf (incl. quant convs, RMS
+    gammas, time convs, mid attention) is covered by the key map; conv layout
+    transposes round-trip."""
+    import jax
+    from flow_factory_tpu.models.wan.video_vae import VideoVAEConfig, VideoVAE
+    from flow_factory_tpu.utils.checkpoint import import_diffusers_params, wan_vae_key_map
+    from test_utils_aux import _synth_torch_state_dict
+
+    cfg = VideoVAEConfig.tiny(attn_scales=(1.0,))
+    vae = VideoVAE(cfg)
+    v = jnp.zeros((1, 3, 5, 16, 16), jnp.float32)
+    template = vae.init(jax.random.key(0), v)["params"]
+    km, rm = wan_vae_key_map(
+        cfg.channel_mults, cfg.layers_per_block, cfg.temporal_down,
+        cfg.attn_scales, cfg.base_channels,
+    )
+    sd = _synth_torch_state_dict(template, km, raw_map=rm, seed=21)
+    out = import_diffusers_params(sd, km, template, raw_map=rm)
+    import numpy as _np
+    for (path, before), (_, after) in zip(
+        jax.tree_util.tree_flatten_with_path(template)[0],
+        jax.tree_util.tree_flatten_with_path(out)[0],
+    ):
+        assert not _np.array_equal(_np.asarray(before), _np.asarray(after)), path
+    # conv3d transpose convention: torch (out,in,kt,kh,kw) → flax (kt,kh,kw,in,out)
+    w = sd["encoder.conv_in.weight"]
+    _np.testing.assert_allclose(
+        _np.asarray(out["encoder"]["conv_in"]["conv"]["kernel"]),
+        _np.transpose(w, (2, 3, 4, 1, 0)), atol=1e-6)
+    # the imported VAE must run: encode → decode round trip
+    dec = vae.apply({"params": out}, v)
+    assert dec.shape == v.shape

@@ -192,7 +192,15 @@ def _synth_torch_state_dict(template, key_map, raw_map=None, conv_specs=None, se
             if conv_specs and tk in conv_specs:
                 sd[f"{tk}.weight"] = rng.standard_normal(conv_specs[tk], dtype=np.float32)
             else:
-                sd[f"{tk}.weight"] = rng.standard_normal(shp[::-1], dtype=np.float32)
+                # torch layout per rank: linear (out,in); conv2d (out,in,kh,kw)
+                # from flax (kh,kw,in,out); conv3d (out,in,kt,kh,kw)
+                if len(shp) == 4:
+                    shp = (shp[3], shp[2], shp[0], shp[1])
+                elif len(shp) == 5:
+                    shp = (shp[4], shp[3], shp[0], shp[1], shp[2])
+                else:
+                    shp = shp[::-1]
+                sd[f"{tk}.weight"] = rng.standard_normal(shp, dtype=np.float32)
         elif f"{our}/scale" in shapes:
             sd[f"{tk}.weight"] = rng.standard_normal(shapes[f"{our}/scale"], dtype=np.float32)
         if f"{our}/bias" in shapes:
