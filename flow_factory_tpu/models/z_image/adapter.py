@@ -2,10 +2,11 @@
 
 TPU-native re-design of the reference Z-Image adapter
 (``src/flow_factory/models/z_image/z_image.py``): a single-stream DiT —
-text tokens and packed image tokens concatenated through one stack of fused
-attention+MLP blocks (the FLUX single-block form) with RoPE, conditioned on
-a Qwen3 LM's hidden states; embedded guidance (distillation), no pooled
-vector.
+text tokens and packed image tokens concatenated through ONE stack of
+sequential attention + SwiGLU blocks (the upstream S3-DiT layout, per-block
+Linears pinned by ``z_image.py:70-75``), conditioned on a Qwen3 LM's hidden
+states. The upstream transformer takes no guidance embedding and no pooled
+vector (``z_image.py:444-449``) — CFG, when requested, is batch-doubled.
 """
 from __future__ import annotations
 
@@ -20,30 +21,33 @@ from ...samples import T2ISample
 from ...utils.base import derive_key
 from ...utils.tokenizer import load_tokenizer
 from ..flux.adapter import Flux1Adapter
-from ..flux.transformer import FluxConfig, FluxTransformer
 from ..text_encoders.lm import LMConfig, LMEncoder
 from ..vae import AutoencoderKL, VAEConfig
+from .transformer import ZImageConfig, ZImageTransformer
 
 logger = logging.getLogger(__name__)
+
+# The reference's per-block targets (``z_image.py:70-75``): 4 attention
+# projections + 3 SwiGLU Linears.
+Z_IMAGE_LORA_TARGETS = (
+    r".*layer_\d+/(to_q|to_k|to_v|to_out)/kernel$",
+    r".*layer_\d+/(w1|w2|w3)/kernel$",
+)
 
 
 def _preset(name: str, attn_backend: str, dtype: str) -> Dict[str, Any]:
     if name == "tiny":
         return dict(
-            transformer=FluxConfig.tiny(
-                attn_backend=attn_backend, dtype=dtype, context_dim=32, pooled_dim=0,
-                num_double_blocks=0, num_single_blocks=3,
-            ),
+            transformer=ZImageConfig.tiny(attn_backend=attn_backend, dtype=dtype),
             vae=VAEConfig.tiny(latent_channels=4, dtype=dtype),
             lm=LMConfig.tiny(hidden_dim=32, dtype=dtype),
             max_length=16,
         )
     if name in ("z-image", "6b"):
         return dict(
-            transformer=FluxConfig(
-                in_channels=64, hidden_dim=3072, num_heads=24,
-                num_double_blocks=0, num_single_blocks=38,
-                context_dim=2560, pooled_dim=0, guidance_embeds=True,
+            transformer=ZImageConfig(
+                in_channels=64, hidden_dim=3072, num_heads=24, num_layers=38,
+                ffn_dim=8192, context_dim=2560,
                 axes_dim=(16, 56, 56), attn_backend=attn_backend, dtype=dtype,
             ),
             vae=VAEConfig(latent_channels=16, dtype=dtype),
@@ -56,7 +60,30 @@ def _preset(name: str, attn_backend: str, dtype: str) -> Dict[str, Any]:
 
 class ZImageAdapter(Flux1Adapter):
     sample_class = T2ISample
-    embed_keys = ("prompt_embeds", "img_ids", "txt_ids")
+    default_target_patterns = Z_IMAGE_LORA_TARGETS
+    embed_keys = ("prompt_embeds", "negative_prompt_embeds", "img_ids", "txt_ids")
+
+    def pretrained_component_maps(self):
+        from ...utils.checkpoint import (
+            lm_decoder_key_map,
+            vae_key_map,
+            z_image_transformer_key_map,
+        )
+
+        maps = {}
+        tcfg = self.component_configs.get("transformer")
+        if tcfg is not None:
+            maps["transformer"] = (
+                "transformer", z_image_transformer_key_map(tcfg.num_layers), None, None)
+        lcfg = self.component_configs.get("text_encoder")
+        if lcfg is not None and "text_encoder" in self.params:
+            lkm, lrm = lm_decoder_key_map(lcfg.num_layers)
+            maps["text_encoder"] = ("text_encoder", lkm, lrm, None)
+        vcfg = self.component_configs.get("vae")
+        if vcfg is not None and "vae" in self.params:
+            maps["vae"] = ("vae", vae_key_map(
+                vcfg.channel_mults, vcfg.layers_per_block, vcfg.use_mid_attention), None, None)
+        return maps
 
     def load_models(self) -> None:
         ma = self.model_args
@@ -73,7 +100,7 @@ class ZImageAdapter(Flux1Adapter):
         self.max_length = preset["max_length"]
 
         self.modules = {
-            "transformer": FluxTransformer(preset["transformer"]),
+            "transformer": ZImageTransformer(preset["transformer"]),
             "vae": AutoencoderKL(preset["vae"]),
             "text_encoder": LMEncoder(preset["lm"]),
         }
@@ -86,15 +113,15 @@ class ZImageAdapter(Flux1Adapter):
         if wanted:
             self.modules = {k: v for k, v in self.modules.items() if k in set(wanted)}
 
-        tcfg: FluxConfig = preset["transformer"]
+        tcfg: ZImageConfig = preset["transformer"]
         self.packed_channels = tcfg.in_channels
         key = derive_key("z_image_init", self.training_args.seed)
         L = 16
         init_fns = {
             "transformer": lambda m, k: m.init(
                 k, jnp.zeros((1, L, tcfg.in_channels)), jnp.zeros((1,)),
-                jnp.zeros((1, 4, tcfg.context_dim)), None,
-                jnp.zeros((L, 3)), jnp.zeros((4, 3)), jnp.zeros((1,)),
+                jnp.zeros((1, 4, tcfg.context_dim)),
+                jnp.zeros((L, 3)), jnp.zeros((4, 3)),
             ),
             "vae": lambda m, k: m.init(
                 k, jnp.zeros((1, 3, 8 * preset["vae"].downscale, 8 * preset["vae"].downscale))
@@ -149,19 +176,59 @@ class ZImageAdapter(Flux1Adapter):
         out: Dict[str, Any] = {}
         if batch.get("prompt") is not None:
             out.update(self.encode_prompt(batch["prompt"]))
+            if float(self.training_args.guidance_scale) > 1.0:
+                neg = batch.get("negative_prompt") or [""] * len(batch["prompt"])
+                out["negative_prompt_embeds"] = self.encode_prompt(neg)["prompt_embeds"]
         return out
+
+    def inference(self, negative_prompt=None, negative_prompt_embeds=None,
+                  guidance_scale=None, **kwargs):
+        """Rollout with optional true CFG (reference ``z_image.py:444-459``:
+        batch-doubled forward when guidance > 1 and negatives exist)."""
+        ta = self.training_args
+        g = float(ta.guidance_scale if guidance_scale is None else guidance_scale)
+        extra = kwargs.pop("extra_embeds", None) or {}
+        neg_np = None
+        if g > 1.0 and "negative_prompt_embeds" not in extra:
+            if negative_prompt_embeds is None:
+                prompts = kwargs.get("prompt")
+                n = len(prompts) if prompts is not None else len(kwargs["prompt_embeds"])
+                neg = list(negative_prompt) if negative_prompt is not None else [""] * n
+                negative_prompt_embeds = self.encode_prompt(neg)["prompt_embeds"]
+            extra["negative_prompt_embeds"] = jnp.asarray(negative_prompt_embeds)
+        if "negative_prompt_embeds" in extra:
+            neg_np = np.asarray(extra["negative_prompt_embeds"], np.float32)
+            kwargs.setdefault("do_cfg_override", True)
+        samples = super().inference(
+            guidance_scale=g, extra_embeds=extra or None, **kwargs)
+        if neg_np is not None:
+            for i, s in enumerate(samples):
+                s.negative_prompt_embeds = neg_np[i]
+                s._unique_id = None
+        return samples
 
     def _velocity(self, merged, latents, t, embeds, guidance_scale, do_cfg):
         model = self.modules["transformer"]
         dt = self.component_configs["transformer"].compute_dtype
-        B = latents.shape[0]
-        guidance = jnp.broadcast_to(jnp.asarray(guidance_scale, jnp.float32), (B,))
         img_ids = embeds["img_ids"]
         img_ids = img_ids[0] if img_ids.ndim == 3 else img_ids
         txt_ids = embeds["txt_ids"]
         txt_ids = txt_ids[0] if txt_ids.ndim == 3 else txt_ids
-        v = model.apply(
-            {"params": merged}, latents.astype(dt), t,
-            embeds["prompt_embeds"], None, img_ids, txt_ids, guidance,
-        )
-        return v.astype(jnp.float32)
+
+        def fwd(lat, tt, ctx):
+            v = model.apply(
+                {"params": merged}, lat.astype(dt), tt, ctx, img_ids, txt_ids,
+            )
+            return v.astype(jnp.float32)
+
+        # upstream CFG: batch-doubled forward (no guidance embedding,
+        # reference z_image.py:444-459)
+        if do_cfg and "negative_prompt_embeds" in embeds:
+            lat2 = jnp.concatenate([latents, latents], axis=0)
+            t2 = jnp.concatenate([t, t], axis=0)
+            ctx2 = jnp.concatenate(
+                [embeds["negative_prompt_embeds"], embeds["prompt_embeds"]], axis=0)
+            v = fwd(lat2, t2, ctx2)
+            v_u, v_c = jnp.split(v, 2, axis=0)
+            return v_u + guidance_scale * (v_c - v_u)
+        return fwd(latents, t, embeds["prompt_embeds"])

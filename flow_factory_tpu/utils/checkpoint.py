@@ -533,6 +533,44 @@ def load_safetensors_dir(path: str) -> Dict[str, np.ndarray]:
     return out
 
 
+def z_image_transformer_key_map(num_layers: int) -> Dict[str, str]:
+    """Upstream Z-Image (S3-DiT) module path → our param path.
+
+    The per-block Linear layout (attention.{to_q,to_k,to_v,to_out.0} +
+    feed_forward.{w1,w2,w3} SwiGLU) is VERIFIED against the reference's
+    ``default_target_modules`` (``src/flow_factory/models/z_image/
+    z_image.py:70-75``). Norm/adaLN/embedder spellings follow the NextDiT
+    family conventions Z-Image derives from and are best-effort pending
+    real weights (PARITY.md gap 1).
+    """
+    m: Dict[str, str] = {
+        "x_embedder": "x_embedder",
+        "cap_embedder.0": "cap_norm",
+        "cap_embedder.1": "cap_embedder",
+        "t_embedder.mlp.0": "t_embedder/linear_1",
+        "t_embedder.mlp.2": "t_embedder/linear_2",
+        "final_layer.adaLN_modulation.1": "final_adaLN",
+        "final_layer.linear": "final_linear",
+    }
+    for i in range(num_layers):
+        b, o = f"layers.{i}", f"layer_{i}"
+        m[f"{b}.attention.to_q"] = f"{o}/to_q"
+        m[f"{b}.attention.to_k"] = f"{o}/to_k"
+        m[f"{b}.attention.to_v"] = f"{o}/to_v"
+        m[f"{b}.attention.to_out.0"] = f"{o}/to_out"
+        m[f"{b}.attention.norm_q"] = f"{o}/qk_norm/q_norm"
+        m[f"{b}.attention.norm_k"] = f"{o}/qk_norm/k_norm"
+        m[f"{b}.feed_forward.w1"] = f"{o}/w1"
+        m[f"{b}.feed_forward.w2"] = f"{o}/w2"
+        m[f"{b}.feed_forward.w3"] = f"{o}/w3"
+        m[f"{b}.attention_norm1"] = f"{o}/attention_norm1"
+        m[f"{b}.attention_norm2"] = f"{o}/attention_norm2"
+        m[f"{b}.ffn_norm1"] = f"{o}/ffn_norm1"
+        m[f"{b}.ffn_norm2"] = f"{o}/ffn_norm2"
+        m[f"{b}.adaLN_modulation.1"] = f"{o}/adaLN_modulation"
+    return m
+
+
 def wan_vae_key_map(
     channel_mults: Tuple[int, ...],
     layers_per_block: int,

@@ -190,7 +190,10 @@ def test_family_replay_invariant(key, needs_images, g):
         "sigma_max": jnp.float32(sig[1]),
     }
     for ek in adapter.embed_keys:
-        batch[ek] = jnp.asarray(b[ek])
+        # embeds are optional by the adapter contract (training_forward
+        # selects `k in batch`): e.g. negatives exist only under CFG
+        if ek in b and b[ek] is not None:
+            batch[ek] = jnp.asarray(b[ek])
     out = adapter.training_forward(adapter.trainable, batch)
     ratio = np.exp(np.asarray(out.log_prob) - b["log_probs"][:, lpi])
     np.testing.assert_allclose(ratio, 1.0, atol=1e-4)
@@ -227,7 +230,10 @@ def test_conditioned_video_family_replay(key):
     if key == "ltx2-i2av":
         batch["audio_latents"] = jnp.asarray(b["audio_all_latents"][:, li])
     for ek in adapter.embed_keys:
-        batch[ek] = jnp.asarray(b[ek])
+        # embeds are optional by the adapter contract (training_forward
+        # selects `k in batch`): e.g. negatives exist only under CFG
+        if ek in b and b[ek] is not None:
+            batch[ek] = jnp.asarray(b[ek])
     out = adapter.training_forward(adapter.trainable, batch)
     ratio = np.exp(np.asarray(out.log_prob) - b["log_probs"][:, lpi])
     np.testing.assert_allclose(ratio, 1.0, atol=1e-4)
@@ -336,7 +342,10 @@ def test_ltx2_multi_guidance_stg_and_modality():
         "sigma_max": jnp.float32(sig[1]),
     }
     for ek in adapter.embed_keys:
-        batch[ek] = jnp.asarray(b[ek])
+        # embeds are optional by the adapter contract (training_forward
+        # selects `k in batch`): e.g. negatives exist only under CFG
+        if ek in b and b[ek] is not None:
+            batch[ek] = jnp.asarray(b[ek])
     out = adapter.training_forward(adapter.trainable, batch)
     ratio = np.exp(np.asarray(out.log_prob) - b["log_probs"][:, lpi])
     np.testing.assert_allclose(ratio, 1.0, atol=1e-4)

@@ -309,6 +309,36 @@ def test_ltx2_key_map_full_coverage():
         sd["transformer_blocks.0.audio_to_video_attn.to_q.weight"].T, atol=1e-6)
 
 
+def test_z_image_key_map_full_coverage():
+    """Z-Image S3-DiT: sequential attention + SwiGLU blocks; every leaf
+    covered by the upstream key map."""
+    import jax
+    import jax.numpy as jnp
+
+    from flow_factory_tpu.models.z_image.transformer import ZImageConfig, ZImageTransformer
+    from flow_factory_tpu.utils.checkpoint import z_image_transformer_key_map
+
+    cfg = ZImageConfig.tiny()
+    model = ZImageTransformer(cfg)
+    template = model.init(
+        jax.random.key(0),
+        jnp.zeros((1, 4, cfg.in_channels)), jnp.zeros((1,)),
+        jnp.zeros((1, 3, cfg.context_dim)),
+        jnp.zeros((4, 3)), jnp.zeros((3, 3)),
+    )["params"]
+    key_map = z_image_transformer_key_map(cfg.num_layers)
+    sd = _synth_torch_state_dict(template, key_map, seed=13)
+    out = import_diffusers_params(sd, key_map, template)
+    for (path, before), (_, after) in zip(
+        jax.tree_util.tree_flatten_with_path(template)[0],
+        jax.tree_util.tree_flatten_with_path(out)[0],
+    ):
+        assert not np.array_equal(np.asarray(before), np.asarray(after)), path
+    np.testing.assert_allclose(
+        np.asarray(out["layer_0"]["w1"]["kernel"]),
+        sd["layers.0.feed_forward.w1.weight"].T, atol=1e-6)
+
+
 @pytest.mark.parametrize("mlp_style", ["gelu_tanh", "swiglu"])
 def test_flux2_key_map_full_coverage(mlp_style):
     """FLUX.2: fused single blocks map DIRECTLY (upstream to_qkv_mlp_proj ==
