@@ -349,3 +349,65 @@ def test_ltx2_multi_guidance_stg_and_modality():
     out = adapter.training_forward(adapter.trainable, batch)
     ratio = np.exp(np.asarray(out.log_prob) - b["log_probs"][:, lpi])
     np.testing.assert_allclose(ratio, 1.0, atol=1e-4)
+
+
+def test_ltx2_modality_isolation_independence():
+    """With cross-modal attention disabled (isolate_modalities=True), the
+    video stream's output must be INDEPENDENT of the audio input (and vice
+    versa) — the sharp invariant behind Modality Isolation Guidance
+    (reference ltx2_t2av.py:726-760). With it enabled, both couple."""
+    import jax
+    from flow_factory_tpu.models.ltx2.transformer import LTX2Config, LTX2Transformer
+
+    cfg = LTX2Config.tiny(attn_backend="native")
+    model = LTX2Transformer(cfg)
+    rng = np.random.default_rng(0)
+    v = jnp.asarray(rng.standard_normal((1, 8, cfg.video_channels)), jnp.float32)
+    a1 = jnp.asarray(rng.standard_normal((1, 4, cfg.audio_channels)), jnp.float32)
+    a2 = jnp.asarray(rng.standard_normal((1, 4, cfg.audio_channels)), jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((1, 3, cfg.context_dim)), jnp.float32)
+    t = jnp.full((1,), 500.0)
+    vid_ids = jnp.asarray(np.stack([np.arange(8) // 4, (np.arange(8) // 2) % 2,
+                                    np.arange(8) % 2], -1), jnp.float32)
+    aud_ids = jnp.asarray(np.stack([np.linspace(0, 1, 4), np.zeros(4), np.zeros(4)], -1),
+                          jnp.float32)
+    params = model.init(jax.random.key(0), v, a1, t, ctx, vid_ids, aud_ids)["params"]
+
+    def fwd(a, iso):
+        return model.apply({"params": params}, v, a, t, ctx, vid_ids, aud_ids,
+                           (), isolate_modalities=iso)
+
+    v_iso1, a_iso1 = fwd(a1, True)
+    v_iso2, a_iso2 = fwd(a2, True)
+    np.testing.assert_allclose(np.asarray(v_iso1), np.asarray(v_iso2), atol=1e-6)
+    assert not np.allclose(np.asarray(a_iso1), np.asarray(a_iso2))
+
+    v_c1, _ = fwd(a1, False)
+    v_c2, _ = fwd(a2, False)
+    assert not np.allclose(np.asarray(v_c1), np.asarray(v_c2))
+
+
+def test_z_image_transformer_contract():
+    """Single-stream S3-DiT: output covers image tokens only, text
+    conditioning flows through the joint attention, and per-block SwiGLU
+    params exist (w1/w2/w3)."""
+    import jax
+    from flow_factory_tpu.models.z_image.transformer import ZImageConfig, ZImageTransformer
+
+    cfg = ZImageConfig.tiny(attn_backend="native")
+    model = ZImageTransformer(cfg)
+    rng = np.random.default_rng(1)
+    L, Lc = 4, 3
+    lat = jnp.asarray(rng.standard_normal((2, L, cfg.in_channels)), jnp.float32)
+    ctx1 = jnp.asarray(rng.standard_normal((2, Lc, cfg.context_dim)), jnp.float32)
+    ctx2 = jnp.asarray(rng.standard_normal((2, Lc, cfg.context_dim)), jnp.float32)
+    t = jnp.full((2,), 500.0)
+    img_ids = jnp.asarray(np.stack([np.zeros(L), np.arange(L) // 2, np.arange(L) % 2], -1),
+                          jnp.float32)
+    txt_ids = jnp.zeros((Lc, 3), jnp.float32)
+    params = model.init(jax.random.key(0), lat, t, ctx1, img_ids, txt_ids)["params"]
+    out1 = model.apply({"params": params}, lat, t, ctx1, img_ids, txt_ids)
+    out2 = model.apply({"params": params}, lat, t, ctx2, img_ids, txt_ids)
+    assert out1.shape == (2, L, cfg.in_channels)
+    assert not np.allclose(np.asarray(out1), np.asarray(out2))
+    assert {"w1", "w2", "w3", "to_q", "to_out"} <= set(params["layer_0"].keys())
