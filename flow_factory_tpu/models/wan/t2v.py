@@ -68,6 +68,20 @@ def _preset(name: str, attn_backend: str, dtype: str) -> Dict[str, Any]:
             t5_max_length=512,
             boundary_ratio=0.875,  # high-noise expert above t = 875
         )
+    if name in ("wan2.2-ti2v-5b", "ti2v-5b", "5b"):
+        # Wan 2.2 TI2V-5B: dense 5B DiT over the 48-channel 16×16×4 VAE
+        # (expand_timesteps conditioning lives in the I2V adapter)
+        return dict(
+            transformer=WanConfig(
+                in_channels=48, out_channels=48, hidden_dim=3072, ffn_dim=14336,
+                num_heads=24, num_layers=30, axes_dim=(44, 42, 42),
+                attn_backend=attn_backend, dtype=dtype,
+            ),
+            vae=VideoVAEConfig.wan22_5b(dtype=dtype),
+            t5=T5Config.xxl(dtype=dtype),
+            t5_max_length=512,
+            boundary_ratio=None,
+        )
     raise ValueError(f"Unknown Wan preset {name!r}")
 
 
@@ -99,6 +113,7 @@ class WanT2VAdapter(BaseAdapter):
             vkm, vrm = wan_vae_key_map(
                 vcfg.channel_mults, vcfg.layers_per_block, vcfg.temporal_down,
                 vcfg.attn_scales, vcfg.base_channels,
+                residual=vcfg.resample_residual,
             )
             maps["vae"] = ("vae", vkm, vrm, None)
         return maps
@@ -109,12 +124,20 @@ class WanT2VAdapter(BaseAdapter):
             "tiny" if ma.model_name_or_path in ("", "tiny") else "1.3b"
         )
         preset = _preset(variant, ma.attn_backend, ma.inference_dtype)
+        import dataclasses as _dc
+
         if self.training_args.enable_gradient_checkpointing or (
             self.model_args.enable_gradient_checkpointing_override
         ):
-            import dataclasses as _dc
-
             preset["transformer"] = _dc.replace(preset["transformer"], remat=True)
+        # config-level VAE graph knobs (e.g. Wan 2.2: `vae_overrides:
+        # {spatial_patch: 2, resample_residual: true, latents_mean: [...]}`
+        # — lets real-checkpoint configs set per-channel normalization)
+        vo = getattr(ma, "vae_overrides", None)
+        if vo:
+            preset["vae"] = _dc.replace(
+                preset["vae"], **{k: (tuple(v) if isinstance(v, list) else v)
+                                  for k, v in dict(vo).items()})
         self.t5_max_length = preset["t5_max_length"]
         self.boundary_ratio = getattr(ma, "boundary_ratio", None) or preset["boundary_ratio"]
 

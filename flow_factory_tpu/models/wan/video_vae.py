@@ -62,6 +62,10 @@ class VideoVAEConfig:
     #: per-channel latent normalization (upstream ``latents_mean/std``)
     latents_mean: Optional[Tuple[float, ...]] = None
     latents_std: Optional[Tuple[float, ...]] = None
+    #: Wan 2.2 (TI2V 5B) graph knobs: 2×2 pixel patchify at the VAE boundary
+    #: and residual resample stages with param-free avg/dup shortcuts
+    spatial_patch: int = 1
+    resample_residual: bool = False
     dtype: str = "float32"
 
     @property
@@ -70,7 +74,7 @@ class VideoVAEConfig:
 
     @property
     def spatial_down(self) -> int:
-        return 2 ** (len(self.channel_mults) - 1)
+        return 2 ** (len(self.channel_mults) - 1) * self.spatial_patch
 
     @property
     def n_temporal(self) -> int:
@@ -88,6 +92,15 @@ class VideoVAEConfig:
     @staticmethod
     def wan(**o) -> "VideoVAEConfig":
         return VideoVAEConfig(**o)
+
+    @staticmethod
+    def wan22_5b(**o) -> "VideoVAEConfig":
+        """Wan 2.2 TI2V-5B VAE: 16×16 spatial (8 conv × 2 patch), ×4
+        temporal, 48 latent channels, residual resample stages."""
+        base = dict(base_channels=160, latent_channels=48,
+                    spatial_patch=2, resample_residual=True)
+        base.update(o)
+        return VideoVAEConfig(**base)
 
     @staticmethod
     def tiny(**o) -> "VideoVAEConfig":
@@ -209,6 +222,48 @@ class WanResample(nn.Module):
         return x
 
 
+def avg_down_shortcut(x, ft: int, fs: int, out_ch: int):
+    """Param-free residual shortcut for Wan 2.2 downsample stages.
+
+    Pixel-unshuffles (time, space) factors into channels, then averages
+    channel groups down to ``out_ch`` (upstream ``AvgDown3D``). Time is
+    front-replicated to stay causal and keep the 1+(T−1)/ft convention.
+    """
+    B, T, H, W, C = x.shape
+    pad = (-T) % ft
+    if pad:
+        x = jnp.concatenate([jnp.repeat(x[:, :1], pad, axis=1), x], axis=1)
+        T = x.shape[1]
+    x = x.reshape(B, T // ft, ft, H // fs, fs, W // fs, fs, C)
+    x = jnp.einsum("btphqwrc->bthwpqrc", x).reshape(
+        B, T // ft, H // fs, W // fs, ft * fs * fs * C)
+    total = ft * fs * fs * C
+    if total % out_ch == 0:
+        return x.reshape(*x.shape[:-1], out_ch, total // out_ch).mean(-1)
+    # channel-widening stage (no resample factors to fold): repeat
+    return jnp.repeat(x, out_ch // total, axis=-1)
+
+
+def dup_up_shortcut(x, ft: int, fs: int, out_ch: int, first_frame_drop: bool):
+    """Param-free residual shortcut for Wan 2.2 upsample stages: channel
+    repeat then pixel-shuffle into (time, space) (upstream ``DupUp3D``);
+    the leading duplicated frames drop at sequence start (frame convention).
+    """
+    B, T, H, W, C = x.shape
+    total = ft * fs * fs * out_ch
+    if total % C == 0:
+        x = jnp.repeat(x, total // C, axis=-1)  # (B,T,H,W, ft*fs*fs*out_ch)
+    else:
+        # channel-narrowing stage with no resample factors: group mean
+        x = x.reshape(B, T, H, W, total, C // total).mean(-1)
+    x = x.reshape(B, T, H, W, ft, fs, fs, out_ch)
+    x = jnp.einsum("bthwpqrc->btphqwrc", x).reshape(
+        B, T * ft, H * fs, W * fs, out_ch)
+    if first_frame_drop and ft > 1:
+        x = x[:, ft - 1:]
+    return x
+
+
 class WanMidBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
@@ -217,6 +272,30 @@ class WanMidBlock(nn.Module):
         x = WanResidualBlock(x.shape[-1], dtype=self.dtype, name="resnets_0")(x)
         x = WanAttentionBlock(dtype=self.dtype, name="attentions_0")(x)
         return WanResidualBlock(x.shape[-1], dtype=self.dtype, name="resnets_1")(x)
+
+
+class WanResidualDownStage(nn.Module):
+    """Wan 2.2 residual encoder stage: resnets → downsample, plus a
+    param-free avg shortcut from the stage input (upstream residual
+    down block; exact shortcut grouping is best-effort pending real
+    weights — see module docstring)."""
+
+    out_channels: int
+    num_resnets: int
+    mode: str  # downsample2d | downsample3d | none
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = x
+        for j in range(self.num_resnets):
+            h = WanResidualBlock(self.out_channels, dtype=self.dtype,
+                                 name=f"resnets_{j}")(h)
+        ft = 2 if self.mode == "downsample3d" else 1
+        fs = 2 if self.mode != "none" else 1
+        if self.mode != "none":
+            h = WanResample(self.mode, dtype=self.dtype, name="downsampler")(h)
+        return h + avg_down_shortcut(x, ft, fs, self.out_channels)
 
 
 class VideoEncoder(nn.Module):
@@ -229,26 +308,61 @@ class VideoEncoder(nn.Module):
         n_spatial = len(cfg.channel_mults) - 1
         t_flags = cfg.temporal_down_flags()
         h = WanCausalConv3d(cfg.base_channels, dtype=dt, name="conv_in")(x)
-        idx = 0
-        scale = 1.0
-        for i, mult in enumerate(cfg.channel_mults):
-            ch = cfg.base_channels * mult
-            for _ in range(cfg.layers_per_block):
-                h = WanResidualBlock(ch, dtype=dt, name=f"down_blocks_{idx}")(h)
-                idx += 1
-                if scale in cfg.attn_scales:
-                    h = WanAttentionBlock(dtype=dt, name=f"down_blocks_{idx}")(h)
+        if cfg.resample_residual:
+            # Wan 2.2: one residual stage per mult (nested scopes)
+            for i, mult in enumerate(cfg.channel_mults):
+                mode = "none" if i >= n_spatial else (
+                    "downsample3d" if t_flags[i] else "downsample2d")
+                h = WanResidualDownStage(
+                    cfg.base_channels * mult, cfg.layers_per_block, mode,
+                    dtype=dt, name=f"down_blocks_{i}")(h)
+        else:
+            idx = 0
+            scale = 1.0
+            for i, mult in enumerate(cfg.channel_mults):
+                ch = cfg.base_channels * mult
+                for _ in range(cfg.layers_per_block):
+                    h = WanResidualBlock(ch, dtype=dt, name=f"down_blocks_{idx}")(h)
                     idx += 1
-            if i < n_spatial:
-                mode = "downsample3d" if t_flags[i] else "downsample2d"
-                h = WanResample(mode, dtype=dt, name=f"down_blocks_{idx}")(h)
-                idx += 1
-                scale /= 2.0
+                    if scale in cfg.attn_scales:
+                        h = WanAttentionBlock(dtype=dt, name=f"down_blocks_{idx}")(h)
+                        idx += 1
+                if i < n_spatial:
+                    mode = "downsample3d" if t_flags[i] else "downsample2d"
+                    h = WanResample(mode, dtype=dt, name=f"down_blocks_{idx}")(h)
+                    idx += 1
+                    scale /= 2.0
         h = WanMidBlock(dtype=dt, name="mid_block")(h)
         h = WanRMSNorm(name="norm_out")(h)
         h = nn.silu(h.astype(jnp.float32))
         return WanCausalConv3d(2 * cfg.latent_channels, dtype=jnp.float32,
                                name="conv_out")(h)
+
+
+class WanResidualUpStage(nn.Module):
+    """Wan 2.2 residual decoder stage: resnets → upsample, plus a
+    param-free dup shortcut from the stage input."""
+
+    out_channels: int  # resnet width; upsample conv halves it on exit
+    num_resnets: int
+    mode: str  # upsample2d | upsample3d | none
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, first_frame_drop: bool = True):
+        h = x
+        for j in range(self.num_resnets):
+            h = WanResidualBlock(self.out_channels, dtype=self.dtype,
+                                 name=f"resnets_{j}")(h)
+        ft = 2 if self.mode == "upsample3d" else 1
+        fs = 2 if self.mode != "none" else 1
+        if self.mode != "none":
+            h = WanResample(self.mode, dtype=self.dtype, name="upsampler")(
+                h, first_frame_drop=first_frame_drop)
+            short_ch = self.out_channels // 2
+        else:
+            short_ch = self.out_channels
+        return h + dup_up_shortcut(x, ft, fs, short_ch, first_frame_drop)
 
 
 class VideoDecoder(nn.Module):
@@ -265,25 +379,34 @@ class VideoDecoder(nn.Module):
         t_flags = tuple(reversed(cfg.temporal_down_flags()))
         h = WanCausalConv3d(cfg.base_channels * mults[0], dtype=dt, name="conv_in")(z)
         h = WanMidBlock(dtype=dt, name="mid_block")(h)
-        idx = 0
-        scale = 1.0 / cfg.spatial_down
-        for i, mult in enumerate(mults):
-            ch = cfg.base_channels * mult
-            for _ in range(cfg.layers_per_block + 1):
-                h = WanResidualBlock(ch, dtype=dt, name=f"up_blocks_{idx}")(h)
-                idx += 1
-                if scale in cfg.attn_scales:
-                    h = WanAttentionBlock(dtype=dt, name=f"up_blocks_{idx}")(h)
+        if cfg.resample_residual:
+            for i, mult in enumerate(mults):
+                mode = "none" if i >= n_spatial else (
+                    "upsample3d" if t_flags[i] else "upsample2d")
+                h = WanResidualUpStage(
+                    cfg.base_channels * mult, cfg.layers_per_block + 1, mode,
+                    dtype=dt, name=f"up_blocks_{i}")(h, first_frame_drop)
+        else:
+            idx = 0
+            scale = 1.0 / (2 ** n_spatial)
+            for i, mult in enumerate(mults):
+                ch = cfg.base_channels * mult
+                for _ in range(cfg.layers_per_block + 1):
+                    h = WanResidualBlock(ch, dtype=dt, name=f"up_blocks_{idx}")(h)
                     idx += 1
-            if i < n_spatial:
-                mode = "upsample3d" if t_flags[i] else "upsample2d"
-                h = WanResample(mode, dtype=dt, name=f"up_blocks_{idx}")(
-                    h, first_frame_drop=first_frame_drop)
-                idx += 1
-                scale *= 2.0
+                    if scale in cfg.attn_scales:
+                        h = WanAttentionBlock(dtype=dt, name=f"up_blocks_{idx}")(h)
+                        idx += 1
+                if i < n_spatial:
+                    mode = "upsample3d" if t_flags[i] else "upsample2d"
+                    h = WanResample(mode, dtype=dt, name=f"up_blocks_{idx}")(
+                        h, first_frame_drop=first_frame_drop)
+                    idx += 1
+                    scale *= 2.0
         h = WanRMSNorm(name="norm_out")(h)
         h = nn.silu(h.astype(jnp.float32))
-        return WanCausalConv3d(cfg.in_channels, dtype=jnp.float32, name="conv_out")(h)
+        return WanCausalConv3d(cfg.in_channels * cfg.spatial_patch ** 2,
+                               dtype=jnp.float32, name="conv_out")(h)
 
 
 class VideoVAE(nn.Module):
@@ -326,11 +449,27 @@ class VideoVAE(nn.Module):
             x = jnp.concatenate([jnp.repeat(x[:, :1], pad, axis=1), x], axis=1)
         return x
 
+    def _patchify(self, x):
+        p = self.cfg.spatial_patch
+        if p == 1:
+            return x
+        B, T, H, W, C = x.shape
+        x = x.reshape(B, T, H // p, p, W // p, p, C)
+        return jnp.einsum("bthpwqc->bthwpqc", x).reshape(B, T, H // p, W // p, p * p * C)
+
+    def _unpatchify(self, x):
+        p = self.cfg.spatial_patch
+        if p == 1:
+            return x
+        B, T, H, W, C = x.shape
+        x = x.reshape(B, T, H, W, p, p, C // (p * p))
+        return jnp.einsum("bthwpqc->bthpwqc", x).reshape(B, T, H * p, W * p, C // (p * p))
+
     def encode(
         self, videos: jax.Array, key: Optional[jax.Array] = None, sample: bool = False
     ) -> jax.Array:
         x = jnp.transpose(videos, (0, 2, 3, 4, 1))  # → (B, T, H, W, C)
-        x = self._pad_front(x)
+        x = self._patchify(self._pad_front(x))
         moments = self.quant_conv(self.encoder(x))
         mean, logvar = jnp.split(moments, 2, axis=-1)
         z = mean
@@ -345,7 +484,7 @@ class VideoVAE(nn.Module):
     def decode(self, latents: jax.Array, num_frames: Optional[int] = None) -> jax.Array:
         """Latents → videos (B, C, T, H, W) in [-1, 1]; T = 1 + (Tl−1)·down."""
         z = self.post_quant_conv(self._denormalize(latents))
-        video = self.decoder(z)  # (B, 1 + (Tl-1)·down, H, W, C)
+        video = self._unpatchify(self.decoder(z))  # (B, 1 + (Tl-1)·down, H, W, C)
         if num_frames is not None and video.shape[1] > num_frames:
             video = video[:, -num_frames:]
         return jnp.transpose(video, (0, 4, 1, 2, 3))
@@ -375,7 +514,7 @@ class VideoVAE(nn.Module):
         for s in range(0, Tl, chunk):
             e = min(s + chunk, Tl)
             lo = max(0, s - overlap)
-            seg = self.decoder(z[:, lo:e], first_frame_drop=lo == 0)
+            seg = self._unpatchify(self.decoder(z[:, lo:e], first_frame_drop=lo == 0))
             keep = (e - s) * d + (1 - d if s == 0 and lo == 0 else 0)
             outs.append(seg[:, seg.shape[1] - keep:])
         video = jnp.concatenate(outs, axis=1)

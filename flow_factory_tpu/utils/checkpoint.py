@@ -577,6 +577,7 @@ def wan_vae_key_map(
     temporal_down: int = 4,
     attn_scales: Tuple[float, ...] = (),
     base_channels: int = 96,
+    residual: bool = False,
 ) -> Tuple[Dict[str, str], Dict[str, str]]:
     """diffusers ``AutoencoderKLWan`` module path → our ``wan/video_vae.py``.
 
@@ -621,6 +622,41 @@ def wan_vae_key_map(
         attnblock(f"{side}.mid_block.attentions.0", f"{side}/mid_block/attentions_0")
     causal("quant_conv", "quant_conv")
     causal("post_quant_conv", "post_quant_conv")
+
+    if residual:
+        # Wan 2.2 graph: one residual stage per mult, nested scopes; the
+        # avg/dup shortcuts are param-free
+        prev = base_channels
+        for i, mult in enumerate(channel_mults):
+            ch = base_channels * mult
+            st = f"encoder.down_blocks.{i}"
+            dst = f"encoder/down_blocks_{i}"
+            for j in range(layers_per_block):
+                resblock(f"{st}.resnets.{j}", f"{dst}/resnets_{j}",
+                         shortcut=(j == 0 and prev != ch))
+            prev = ch
+            if i < n_spatial:
+                m[f"{st}.downsampler.resample.1"] = f"{dst}/downsampler/resample_1"
+                if t_flags[i]:
+                    causal(f"{st}.downsampler.time_conv", f"{dst}/downsampler/time_conv")
+        mults = tuple(reversed(channel_mults))
+        up_flags = tuple(reversed(t_flags))
+        prev = base_channels * mults[0]
+        for i, mult in enumerate(mults):
+            ch = base_channels * mult
+            st = f"decoder.up_blocks.{i}"
+            dst = f"decoder/up_blocks_{i}"
+            for j in range(layers_per_block + 1):
+                resblock(f"{st}.resnets.{j}", f"{dst}/resnets_{j}",
+                         shortcut=(j == 0 and prev != ch))
+            if i < n_spatial:
+                m[f"{st}.upsampler.resample.1"] = f"{dst}/upsampler/resample_1"
+                if up_flags[i]:
+                    causal(f"{st}.upsampler.time_conv", f"{dst}/upsampler/time_conv")
+                prev = ch // 2
+            else:
+                prev = ch
+        return m, raw
 
     # encoder stages
     idx, scale, prev = 0, 1.0, base_channels

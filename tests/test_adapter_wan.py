@@ -236,3 +236,54 @@ def test_wan_vae_key_map_full_coverage():
     # the imported VAE must run: encode → decode round trip
     dec = vae.apply({"params": out}, v)
     assert dec.shape == v.shape
+
+
+def test_wan22_residual_vae_variant():
+    """Wan 2.2 graph knobs: 2x2 patchify + residual avg/dup-shortcut stages.
+    Causality, the frame convention, exact streaming decode, and key-map
+    coverage all must hold for the residual variant too."""
+    import jax
+    from flow_factory_tpu.models.wan.video_vae import VideoVAEConfig, VideoVAE
+    from flow_factory_tpu.utils.checkpoint import import_diffusers_params, wan_vae_key_map
+    from test_utils_aux import _synth_torch_state_dict
+
+    cfg = VideoVAEConfig.tiny(spatial_patch=2, resample_residual=True,
+                              channel_mults=(1, 2), temporal_down=2)
+    vae = VideoVAE(cfg)
+    rng = np.random.default_rng(3)
+    v = jnp.asarray(rng.standard_normal((1, 3, 7, 16, 16)), jnp.float32)
+    params = vae.init(jax.random.key(0), v)["params"]
+
+    z = vae.apply({"params": params}, v, method=VideoVAE.encode)
+    # spatial: 16 / (2 conv-down=2 * patch=2) = 4; temporal: 1+(7-1)/2 = 4
+    assert z.shape == (1, 4, 4, 4, cfg.latent_channels), z.shape
+    dec = vae.apply({"params": params}, z, method=VideoVAE.decode)
+    assert dec.shape == (1, 3, 7, 16, 16)
+
+    # encode causality: perturbing frames 5,6 only changes the last latent
+    v2 = v.at[:, :, 5:].set(jnp.asarray(rng.standard_normal((1, 3, 2, 16, 16)), jnp.float32))
+    z2 = vae.apply({"params": params}, v2, method=VideoVAE.encode)
+    np.testing.assert_allclose(np.asarray(z[:, :3]), np.asarray(z2[:, :3]), atol=1e-6)
+    assert not np.allclose(np.asarray(z[:, 3]), np.asarray(z2[:, 3]))
+
+    # decode causality through the dup shortcuts
+    zp = z.at[:, 3].add(1.0)
+    d2 = vae.apply({"params": params}, zp, method=VideoVAE.decode)
+    np.testing.assert_allclose(np.asarray(dec[:, :, :5]), np.asarray(d2[:, :, :5]), atol=1e-6)
+
+    # streaming decode stays exact
+    full = vae.apply({"params": params}, z, method=VideoVAE.decode)
+    stream = vae.apply({"params": params}, z, 2, 8, method=VideoVAE.decode_chunked)
+    np.testing.assert_allclose(np.asarray(stream), np.asarray(full), atol=1e-5)
+
+    # key-map coverage (nested residual-stage paths)
+    km, rm = wan_vae_key_map(cfg.channel_mults, cfg.layers_per_block,
+                             cfg.temporal_down, cfg.attn_scales,
+                             cfg.base_channels, residual=True)
+    sd = _synth_torch_state_dict(params, km, raw_map=rm, seed=31)
+    out = import_diffusers_params(sd, km, params, raw_map=rm)
+    for (path, before), (_, after) in zip(
+        jax.tree_util.tree_flatten_with_path(params)[0],
+        jax.tree_util.tree_flatten_with_path(out)[0],
+    ):
+        assert not np.array_equal(np.asarray(before), np.asarray(after)), path
