@@ -130,9 +130,22 @@ class WanT2VAdapter(BaseAdapter):
             self.model_args.enable_gradient_checkpointing_override
         ):
             preset["transformer"] = _dc.replace(preset["transformer"], remat=True)
-        # config-level VAE graph knobs (e.g. Wan 2.2: `vae_overrides:
-        # {spatial_patch: 2, resample_residual: true, latents_mean: [...]}`
-        # — lets real-checkpoint configs set per-channel normalization)
+        # a real checkpoint directory self-configures the VAE graph +
+        # latent normalization from its diffusers config.json ...
+        import os as _os
+
+        if ma.model_name_or_path and _os.path.isdir(ma.model_name_or_path):
+            from ...utils.checkpoint import (
+                load_component_config,
+                wan_vae_overrides_from_config,
+            )
+
+            vcfg_json = load_component_config(ma.model_name_or_path, "vae")
+            if vcfg_json:
+                preset["vae"] = _dc.replace(
+                    preset["vae"], **wan_vae_overrides_from_config(vcfg_json))
+        # ... and explicit config-level knobs win (e.g. Wan 2.2:
+        # `vae_overrides: {spatial_patch: 2, resample_residual: true}`)
         vo = getattr(ma, "vae_overrides", None)
         if vo:
             preset["vae"] = _dc.replace(

@@ -519,6 +519,50 @@ def qwen_image_transformer_key_map(num_blocks: int) -> Dict[str, str]:
     return m
 
 
+def load_component_config(path: str, subfolder: str) -> Optional[Dict[str, Any]]:
+    """Read ``<path>/<subfolder>/config.json`` if present (diffusers layout)."""
+    import json as _json
+    import os as _os
+
+    f = _os.path.join(path, subfolder, "config.json")
+    if not _os.path.isfile(f):
+        return None
+    try:
+        with open(f) as fh:
+            return _json.load(fh)
+    except Exception as e:  # malformed config: warn, fall back to preset
+        logger.warning("Could not parse %s: %s", f, e)
+        return None
+
+
+def wan_vae_overrides_from_config(cfg: Dict[str, Any]) -> Dict[str, Any]:
+    """diffusers ``AutoencoderKLWan`` config.json → our VideoVAEConfig
+    overrides (graph geometry + per-channel latent normalization), so a
+    real checkpoint directory self-configures the VAE."""
+    out: Dict[str, Any] = {}
+    if "base_dim" in cfg:
+        out["base_channels"] = int(cfg["base_dim"])
+    if "z_dim" in cfg:
+        out["latent_channels"] = int(cfg["z_dim"])
+    if "dim_mult" in cfg:
+        out["channel_mults"] = tuple(int(m) for m in cfg["dim_mult"])
+    if "num_res_blocks" in cfg:
+        out["layers_per_block"] = int(cfg["num_res_blocks"])
+    if "attn_scales" in cfg:
+        out["attn_scales"] = tuple(float(s) for s in cfg["attn_scales"])
+    if "temperal_downsample" in cfg:  # upstream spelling
+        out["temporal_down"] = 2 ** sum(bool(b) for b in cfg["temperal_downsample"])
+    if cfg.get("patch_size"):
+        out["spatial_patch"] = int(cfg["patch_size"])
+    if "is_residual" in cfg:
+        out["resample_residual"] = bool(cfg["is_residual"])
+    if cfg.get("latents_mean") is not None:
+        out["latents_mean"] = tuple(float(v) for v in cfg["latents_mean"])
+    if cfg.get("latents_std") is not None:
+        out["latents_std"] = tuple(float(v) for v in cfg["latents_std"])
+    return out
+
+
 def load_safetensors_dir(path: str) -> Dict[str, np.ndarray]:
     """Merge every ``*.safetensors`` file in a directory into one state dict
     (diffusers shards a component across multiple files with an index)."""

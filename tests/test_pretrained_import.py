@@ -134,3 +134,43 @@ def test_sd3_full_pipeline_import(tmp_path):
     # encode + inference run end-to-end on the imported pipeline
     samples = adapter.inference(prompt=["hello"], compute_log_prob=True, seed=0)
     assert np.all(np.isfinite(samples[0].log_probs))
+
+
+def test_wan_vae_config_json_self_configures(tmp_path):
+    """A diffusers-layout checkpoint dir with vae/config.json reconfigures
+    the VAE graph + per-channel latent normalization (upstream
+    AutoencoderKLWan config keys, incl. the 'temperal_downsample' spelling
+    and Wan 2.2 patch/residual knobs)."""
+    import json
+
+    ckpt = tmp_path / "wan-ck"
+    (ckpt / "vae").mkdir(parents=True)
+    mean = [0.1] * 8
+    std = [2.0] * 8
+    (ckpt / "vae" / "config.json").write_text(json.dumps({
+        "_class_name": "AutoencoderKLWan",
+        "base_dim": 8, "z_dim": 8, "dim_mult": [1, 2], "num_res_blocks": 1,
+        "attn_scales": [], "temperal_downsample": [True],
+        "patch_size": 2, "is_residual": True,
+        "latents_mean": mean, "latents_std": std,
+    }))
+
+    adapter = load_adapter(_cfg("wan2-t2v", str(ckpt)))
+    vcfg = adapter.component_configs["vae"]
+    assert vcfg.base_channels == 8 and vcfg.latent_channels == 8
+    assert vcfg.channel_mults == (1, 2) and vcfg.temporal_down == 2
+    assert vcfg.spatial_patch == 2 and vcfg.resample_residual
+    assert vcfg.latents_mean == tuple(mean) and vcfg.latents_std == tuple(std)
+    assert vcfg.spatial_down == 4  # 2 conv-down x 2 patch
+
+    # normalization actually applies: encode then denormalized decode runs
+    v = np.random.default_rng(0).random((1, 5, 3, 32, 32)).astype(np.float32)
+    z = adapter.encode_video(v)
+    assert z.shape[-1] == 8 and np.all(np.isfinite(z))
+    dec = adapter.decode_latents(jax.numpy.asarray(z), num_frames=5)
+    assert dec.shape == (1, 5, 3, 32, 32)
+
+    # explicit vae_overrides still win over config.json
+    cfg2 = _cfg("wan2-t2v", str(ckpt), extra_model={"vae_overrides": {"spatial_patch": 1}})
+    adapter2 = load_adapter(cfg2)
+    assert adapter2.component_configs["vae"].spatial_patch == 1
