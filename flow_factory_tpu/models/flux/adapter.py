@@ -111,6 +111,22 @@ class Flux1Adapter(BaseAdapter):
             "tiny" if ma.model_name_or_path in ("", "tiny") else "dev"
         )
         preset = _preset(variant, ma.attn_backend, ma.inference_dtype)
+        from ...utils.checkpoint import (
+            apply_config_json_overrides,
+            clip_text_overrides_from_config,
+            flux_transformer_overrides_from_config,
+            image_vae_overrides_from_config,
+            t5_overrides_from_config,
+        )
+
+        for pkey, sub, fn in (
+            ("transformer", "transformer", flux_transformer_overrides_from_config),
+            ("clip_l", "text_encoder", clip_text_overrides_from_config),
+            ("t5", "text_encoder_2", t5_overrides_from_config),
+            ("vae", "vae", image_vae_overrides_from_config),
+        ):
+            preset[pkey] = apply_config_json_overrides(
+                preset[pkey], ma.model_name_or_path, sub, fn)
         if self.training_args.enable_gradient_checkpointing or (
             self.model_args.enable_gradient_checkpointing_override
         ):

@@ -114,6 +114,20 @@ class Flux2Adapter(Flux1KontextAdapter):
         ma = self.model_args
         preset = _preset(self._variant(), ma.attn_backend, ma.inference_dtype,
                          mlp_style=getattr(ma, "mlp_style", None) or "gelu_tanh")
+        from ...utils.checkpoint import (
+            apply_config_json_overrides,
+            flux_transformer_overrides_from_config,
+            image_vae_overrides_from_config,
+            lm_overrides_from_config,
+        )
+
+        for pkey, sub, fn in (
+            ("transformer", "transformer", flux_transformer_overrides_from_config),
+            ("lm", "text_encoder", lm_overrides_from_config),
+            ("vae", "vae", image_vae_overrides_from_config),
+        ):
+            preset[pkey] = apply_config_json_overrides(
+                preset[pkey], ma.model_name_or_path, sub, fn)
         if self.training_args.enable_gradient_checkpointing or (
             self.model_args.enable_gradient_checkpointing_override
         ):

@@ -125,6 +125,23 @@ class SD35Adapter(BaseAdapter):
             "tiny" if ma.model_name_or_path in ("", "tiny") else "medium"
         )
         preset = _preset(variant, ma.attn_backend, ma.inference_dtype)
+        from ...utils.checkpoint import (
+            apply_config_json_overrides,
+            clip_text_overrides_from_config,
+            image_vae_overrides_from_config,
+            sd3_transformer_overrides_from_config,
+            t5_overrides_from_config,
+        )
+
+        for pkey, sub, fn in (
+            ("transformer", "transformer", sd3_transformer_overrides_from_config),
+            ("clip_l", "text_encoder", clip_text_overrides_from_config),
+            ("clip_g", "text_encoder_2", clip_text_overrides_from_config),
+            ("t5", "text_encoder_3", t5_overrides_from_config),
+            ("vae", "vae", image_vae_overrides_from_config),
+        ):
+            preset[pkey] = apply_config_json_overrides(
+                preset[pkey], ma.model_name_or_path, sub, fn)
         if self.training_args.enable_gradient_checkpointing or (
             self.model_args.enable_gradient_checkpointing_override
         ):

@@ -54,7 +54,19 @@ class WanI2VAdapter(WanT2VAdapter):
             "tiny" if ma.model_name_or_path in ("", "tiny") else "1.3b"
         )
         preset = _preset(variant, ma.attn_backend, ma.inference_dtype)
-        base_cfg: WanConfig = preset["transformer"]
+        from ...utils.checkpoint import (
+            apply_config_json_overrides,
+            wan_transformer_overrides_from_config,
+        )
+
+        raw_cfg: WanConfig = preset["transformer"]
+        base_cfg: WanConfig = apply_config_json_overrides(
+            raw_cfg, ma.model_name_or_path, "transformer",
+            wan_transformer_overrides_from_config)
+        # a real I2V checkpoint's transformer config.json already declares
+        # the WIDENED in_channels (e.g. 36 = 16 latent + 20 conditioning for
+        # Wan2.1 I2V) — trust it and skip our own widening then
+        checkpoint_declared_width = base_cfg.in_channels != raw_cfg.in_channels
         import dataclasses
 
         # Wan2.1-style I2V additionally cross-attends to CLIP image tokens;
@@ -76,7 +88,8 @@ class WanI2VAdapter(WanT2VAdapter):
 
         wide_cfg = dataclasses.replace(
             base_cfg,
-            in_channels=base_cfg.in_channels + self.cond_channels,
+            in_channels=(base_cfg.in_channels if checkpoint_declared_width
+                         else base_cfg.in_channels + self.cond_channels),
             image_context_tokens=n_tokens if self.use_image_encoder else 0,
             image_context_dim=vis_cfg.hidden_dim if vis_cfg else 0,
         )

@@ -126,6 +126,17 @@ class WanT2VAdapter(BaseAdapter):
         preset = _preset(variant, ma.attn_backend, ma.inference_dtype)
         import dataclasses as _dc
 
+        from ...utils.checkpoint import (
+            apply_config_json_overrides,
+            t5_overrides_from_config,
+            wan_transformer_overrides_from_config,
+        )
+
+        preset["transformer"] = apply_config_json_overrides(
+            preset["transformer"], ma.model_name_or_path, "transformer",
+            wan_transformer_overrides_from_config)
+        preset["t5"] = apply_config_json_overrides(
+            preset["t5"], ma.model_name_or_path, "text_encoder", t5_overrides_from_config)
         if self.training_args.enable_gradient_checkpointing or (
             self.model_args.enable_gradient_checkpointing_override
         ):

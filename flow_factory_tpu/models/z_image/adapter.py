@@ -91,6 +91,16 @@ class ZImageAdapter(Flux1Adapter):
             "tiny" if ma.model_name_or_path in ("", "tiny") else "z-image"
         )
         preset = _preset(variant, ma.attn_backend, ma.inference_dtype)
+        from ...utils.checkpoint import (
+            apply_config_json_overrides,
+            image_vae_overrides_from_config,
+            lm_overrides_from_config,
+        )
+
+        preset["lm"] = apply_config_json_overrides(
+            preset["lm"], ma.model_name_or_path, "text_encoder", lm_overrides_from_config)
+        preset["vae"] = apply_config_json_overrides(
+            preset["vae"], ma.model_name_or_path, "vae", image_vae_overrides_from_config)
         if self.training_args.enable_gradient_checkpointing or (
             self.model_args.enable_gradient_checkpointing_override
         ):

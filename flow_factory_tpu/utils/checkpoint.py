@@ -535,6 +535,164 @@ def load_component_config(path: str, subfolder: str) -> Optional[Dict[str, Any]]
         return None
 
 
+def apply_config_json_overrides(preset_cfg: Any, path: Optional[str], subfolder: str,
+                                overrides_fn) -> Any:
+    """Self-configure a component dataclass from a checkpoint directory's
+    diffusers ``config.json`` (the reference gets this for free from
+    ``DiffusionPipeline.from_pretrained``; here the per-family
+    ``*_overrides_from_config`` functions translate the key names)."""
+    import dataclasses as _dc
+    import os as _os
+
+    if path and _os.path.isdir(path):
+        cj = load_component_config(path, subfolder)
+        if cj:
+            return _dc.replace(preset_cfg, **overrides_fn(cj))
+    return preset_cfg
+
+
+def sd3_transformer_overrides_from_config(cfg: Dict[str, Any]) -> Dict[str, Any]:
+    """diffusers ``SD3Transformer2DModel`` config.json → MMDiTConfig overrides."""
+    out: Dict[str, Any] = {}
+    if "num_layers" in cfg:
+        out["depth"] = int(cfg["num_layers"])
+    if "num_attention_heads" in cfg:
+        out["num_heads"] = int(cfg["num_attention_heads"])
+        if "attention_head_dim" in cfg:
+            out["hidden_dim"] = int(cfg["num_attention_heads"]) * int(cfg["attention_head_dim"])
+    for src, dst in (("in_channels", "in_channels"), ("out_channels", "out_channels"),
+                     ("patch_size", "patch_size"),
+                     ("joint_attention_dim", "context_dim"),
+                     ("pooled_projection_dim", "pooled_dim"),
+                     ("pos_embed_max_size", "pos_embed_max_size")):
+        if cfg.get(src) is not None:
+            out[dst] = int(cfg[src])
+    if "dual_attention_layers" in cfg:
+        out["dual_attention_layers"] = tuple(int(i) for i in cfg["dual_attention_layers"])
+    if "qk_norm" in cfg:
+        out["qk_norm"] = bool(cfg["qk_norm"])
+    if "out_channels" not in out and "in_channels" in out:
+        out["out_channels"] = out["in_channels"]
+    return out
+
+
+def flux_transformer_overrides_from_config(cfg: Dict[str, Any]) -> Dict[str, Any]:
+    """diffusers ``FluxTransformer2DModel`` (and the Qwen-Image /
+    FLUX.2 variants that keep its key names) config.json → FluxConfig
+    overrides. Only keys present apply, so partial configs are safe."""
+    out: Dict[str, Any] = {}
+    if "num_layers" in cfg:
+        out["num_double_blocks"] = int(cfg["num_layers"])
+    if "num_single_layers" in cfg:
+        out["num_single_blocks"] = int(cfg["num_single_layers"])
+    if "num_attention_heads" in cfg:
+        out["num_heads"] = int(cfg["num_attention_heads"])
+        if "attention_head_dim" in cfg:
+            out["hidden_dim"] = int(cfg["num_attention_heads"]) * int(cfg["attention_head_dim"])
+    if cfg.get("in_channels") is not None:
+        out["in_channels"] = int(cfg["in_channels"])
+    if cfg.get("joint_attention_dim") is not None:
+        out["context_dim"] = int(cfg["joint_attention_dim"])
+    if cfg.get("pooled_projection_dim") is not None:
+        out["pooled_dim"] = int(cfg["pooled_projection_dim"])
+    if "guidance_embeds" in cfg:
+        out["guidance_embeds"] = bool(cfg["guidance_embeds"])
+    if "axes_dims_rope" in cfg:
+        out["axes_dim"] = tuple(int(d) for d in cfg["axes_dims_rope"])
+    return out
+
+
+def wan_transformer_overrides_from_config(cfg: Dict[str, Any]) -> Dict[str, Any]:
+    """diffusers ``WanTransformer3DModel`` config.json → WanConfig overrides."""
+    out: Dict[str, Any] = {}
+    for src, dst in (("dim", "hidden_dim"), ("ffn_dim", "ffn_dim"),
+                     ("num_heads", "num_heads"), ("num_layers", "num_layers"),
+                     ("in_channels", "in_channels"), ("out_channels", "out_channels"),
+                     ("text_dim", "context_dim"), ("freq_dim", "freq_dim"),
+                     ("image_dim", "image_context_dim")):
+        if cfg.get(src) is not None:
+            out[dst] = int(cfg[src])
+    if "patch_size" in cfg:
+        out["patch_size"] = tuple(int(p) for p in cfg["patch_size"])
+    if "qk_norm" in cfg:
+        out["qk_norm"] = bool(cfg["qk_norm"])
+    return out
+
+
+def clip_text_overrides_from_config(cfg: Dict[str, Any]) -> Dict[str, Any]:
+    """transformers ``CLIPTextConfig`` config.json → our CLIPTextConfig."""
+    out: Dict[str, Any] = {}
+    for src, dst in (("vocab_size", "vocab_size"), ("hidden_size", "hidden_dim"),
+                     ("num_hidden_layers", "num_layers"),
+                     ("num_attention_heads", "num_heads"),
+                     ("max_position_embeddings", "max_positions"),
+                     ("projection_dim", "projection_dim"),
+                     ("eos_token_id", "eos_token_id")):
+        if cfg.get(src) is not None:
+            out[dst] = int(cfg[src])
+    if cfg.get("hidden_act"):
+        out["hidden_act"] = str(cfg["hidden_act"])
+    return out
+
+
+def t5_overrides_from_config(cfg: Dict[str, Any]) -> Dict[str, Any]:
+    """transformers ``T5Config``/``UMT5Config`` config.json → our T5Config."""
+    out: Dict[str, Any] = {}
+    for src, dst in (("vocab_size", "vocab_size"), ("d_model", "hidden_dim"),
+                     ("d_ff", "ff_dim"), ("num_layers", "num_layers"),
+                     ("num_heads", "num_heads"), ("d_kv", "head_dim"),
+                     ("relative_attention_num_buckets", "rel_pos_buckets"),
+                     ("relative_attention_max_distance", "rel_pos_max_distance")):
+        if cfg.get(src) is not None:
+            out[dst] = int(cfg[src])
+    return out
+
+
+def lm_overrides_from_config(cfg: Dict[str, Any]) -> Dict[str, Any]:
+    """transformers causal-LM config.json (Llama/Mistral/Qwen2/Gemma layout)
+    → our LMConfig. Qwen2.x is detected by ``model_type`` for attn biases."""
+    out: Dict[str, Any] = {}
+    for src, dst in (("vocab_size", "vocab_size"), ("hidden_size", "hidden_dim"),
+                     ("num_hidden_layers", "num_layers"),
+                     ("num_attention_heads", "num_heads"),
+                     ("num_key_value_heads", "num_kv_heads"),
+                     ("head_dim", "head_dim"),
+                     ("intermediate_size", "mlp_dim")):
+        if cfg.get(src) is not None:
+            out[dst] = int(cfg[src])
+    if cfg.get("rope_theta") is not None:
+        out["rope_theta"] = float(cfg["rope_theta"])
+    if "head_dim" not in out and {"hidden_size", "num_attention_heads"} <= cfg.keys():
+        out["head_dim"] = int(cfg["hidden_size"]) // int(cfg["num_attention_heads"])
+    mt = str(cfg.get("model_type", ""))
+    if mt.startswith("qwen2"):
+        out["attn_bias"] = True
+    elif mt:
+        out["attn_bias"] = bool(cfg.get("attention_bias", False))
+    return out
+
+
+def image_vae_overrides_from_config(cfg: Dict[str, Any]) -> Dict[str, Any]:
+    """diffusers ``AutoencoderKL`` config.json → our image VAEConfig."""
+    out: Dict[str, Any] = {}
+    if cfg.get("block_out_channels"):
+        blocks = [int(b) for b in cfg["block_out_channels"]]
+        out["base_channels"] = blocks[0]
+        out["channel_mults"] = tuple(b // blocks[0] for b in blocks)
+    for src, dst in (("in_channels", "in_channels"),
+                     ("latent_channels", "latent_channels"),
+                     ("layers_per_block", "layers_per_block")):
+        if cfg.get(src) is not None:
+            out[dst] = int(cfg[src])
+    for src, dst in (("scaling_factor", "scaling_factor"),
+                     ("shift_factor", "shift_factor")):
+        if cfg.get(src) is not None:
+            out[dst] = float(cfg[src])
+    if "mid_block_add_attention" in cfg:
+        out["use_mid_attention"] = bool(cfg["mid_block_add_attention"])
+    return out
+
+
 def wan_vae_overrides_from_config(cfg: Dict[str, Any]) -> Dict[str, Any]:
     """diffusers ``AutoencoderKLWan`` config.json → our VideoVAEConfig
     overrides (graph geometry + per-channel latent normalization), so a
@@ -561,6 +719,155 @@ def wan_vae_overrides_from_config(cfg: Dict[str, Any]) -> Dict[str, Any]:
     if cfg.get("latents_std") is not None:
         out["latents_std"] = tuple(float(v) for v in cfg["latents_std"])
     return out
+
+
+def ltx_video_vae_overrides_from_config(cfg: Dict[str, Any]) -> Dict[str, Any]:
+    """diffusers ``AutoencoderKLLTXVideo`` config.json → our
+    LTXVideoVAEConfig overrides. Decoder-side lists are stored in ENCODER
+    orientation upstream (the torch decoder reverses them internally); we
+    store them in decoder forward order, so they reverse here."""
+    out: Dict[str, Any] = {}
+    for src, dst in (("in_channels", "in_channels"), ("out_channels", "out_channels"),
+                     ("latent_channels", "latent_channels"),
+                     ("patch_size", "patch_size"), ("patch_size_t", "patch_size_t")):
+        if cfg.get(src) is not None:
+            out[dst] = int(cfg[src])
+    if cfg.get("block_out_channels"):
+        out["block_out_channels"] = tuple(int(c) for c in cfg["block_out_channels"])
+    if cfg.get("decoder_block_out_channels"):
+        out["decoder_block_out_channels"] = tuple(
+            int(c) for c in reversed(cfg["decoder_block_out_channels"]))
+    if cfg.get("layers_per_block"):
+        out["layers_per_block"] = tuple(int(n) for n in cfg["layers_per_block"])
+    if cfg.get("decoder_layers_per_block"):
+        out["decoder_layers_per_block"] = tuple(int(n) for n in cfg["decoder_layers_per_block"])
+    if cfg.get("spatio_temporal_scaling"):
+        out["spatio_temporal_scaling"] = tuple(bool(b) for b in cfg["spatio_temporal_scaling"])
+    if cfg.get("decoder_spatio_temporal_scaling"):
+        out["decoder_spatio_temporal_scaling"] = tuple(
+            bool(b) for b in reversed(cfg["decoder_spatio_temporal_scaling"]))
+    if cfg.get("decoder_inject_noise"):
+        out["decoder_inject_noise"] = tuple(
+            bool(b) for b in reversed(cfg["decoder_inject_noise"]))
+    if cfg.get("upsample_residual"):
+        out["upsample_residual"] = tuple(bool(b) for b in reversed(cfg["upsample_residual"]))
+    if cfg.get("upsample_factor"):
+        out["upsample_factor"] = tuple(int(f) for f in reversed(cfg["upsample_factor"]))
+    if "timestep_conditioning" in cfg:
+        out["timestep_conditioning"] = bool(cfg["timestep_conditioning"])
+    if "encoder_causal" in cfg:
+        out["encoder_causal"] = bool(cfg["encoder_causal"])
+    if "decoder_causal" in cfg:
+        out["decoder_causal"] = bool(cfg["decoder_causal"])
+    if cfg.get("resnet_norm_eps") is not None:
+        out["resnet_norm_eps"] = float(cfg["resnet_norm_eps"])
+    if cfg.get("scaling_factor") is not None:
+        out["scaling_factor"] = float(cfg["scaling_factor"])
+    if cfg.get("latents_mean") is not None:
+        out["latents_mean"] = tuple(float(v) for v in cfg["latents_mean"])
+    if cfg.get("latents_std") is not None:
+        out["latents_std"] = tuple(float(v) for v in cfg["latents_std"])
+    return out
+
+
+def ltx_video_vae_key_map(cfg) -> Tuple[Dict[str, str], Dict[str, str]]:
+    """diffusers ``AutoencoderKLLTXVideo`` module path → our
+    ``ltx2/video_vae.py`` param path. Returns ``(key_map, raw_map)``.
+
+    Covered: causal-conv leaves (bare ``.conv`` scopes both sides), the
+    per-stage ``conv_out``/``conv_in`` channel-change resnets, stride-(2,2,2)
+    ``downsamplers.0`` and pixel-shuffle ``upsamplers.0`` convs, per-resnet
+    ``scale_shift_table`` AdaLN tables and ``per_channel_scale1/2`` noise
+    amplitudes (raw copies), the decoder-level ``scale_shift_table`` and
+    ``timestep_scale_multiplier``, and the time-embedder MLPs. Norms are
+    parameter-free upstream (``elementwise_affine=False``) and contribute no
+    keys. Time-embedder Linears upstream live under
+    ``time_embedder.emb.timestep_embedder.linear_{1,2}`` (PixArt-α combined
+    embedder) — spelled here as documented best-effort. ``latents_mean/std``
+    state-dict buffers are NOT params here; pop them with
+    :func:`pop_ltx_vae_latent_stats` and apply as config overrides.
+    """
+    m: Dict[str, str] = {}
+    raw: Dict[str, str] = {}
+
+    def causal(src: str, dst: str) -> None:
+        m[src] = f"{dst}/conv"
+
+    def resblock(src: str, dst: str, shortcut: bool, cond: bool = False,
+                 noise: bool = False) -> None:
+        causal(f"{src}.conv1", f"{dst}/conv1")
+        causal(f"{src}.conv2", f"{dst}/conv2")
+        if shortcut:
+            causal(f"{src}.conv_shortcut", f"{dst}/conv_shortcut")
+        if cond:
+            raw[f"{src}.scale_shift_table"] = f"{dst}/scale_shift_table"
+        if noise:
+            raw[f"{src}.per_channel_scale1"] = f"{dst}/per_channel_scale1"
+            raw[f"{src}.per_channel_scale2"] = f"{dst}/per_channel_scale2"
+
+    def time_embedder(src: str, dst: str) -> None:
+        m[f"{src}.emb.timestep_embedder.linear_1"] = f"{dst}/linear_1"
+        m[f"{src}.emb.timestep_embedder.linear_2"] = f"{dst}/linear_2"
+
+    blocks = cfg.block_out_channels
+    causal("encoder.conv_in", "encoder/conv_in")
+    causal("encoder.conv_out", "encoder/conv_out")
+    for i in range(len(blocks)):
+        out_ch = blocks[i + 1] if i + 1 < len(blocks) else blocks[i]
+        st, dst = f"encoder.down_blocks.{i}", f"encoder/down_blocks_{i}"
+        for j in range(cfg.layers_per_block[i]):
+            resblock(f"{st}.resnets.{j}", f"{dst}/resnets_{j}", shortcut=False)
+        if cfg.spatio_temporal_scaling[i]:
+            causal(f"{st}.downsamplers.0", f"{dst}/downsampler")
+        if out_ch != blocks[i]:
+            resblock(f"{st}.conv_out", f"{dst}/conv_out", shortcut=True)
+    for j in range(cfg.layers_per_block[-1]):
+        resblock(f"encoder.mid_block.resnets.{j}",
+                 f"encoder/mid_block/resnets_{j}", shortcut=False)
+
+    dblocks = cfg.decoder_block_out_channels
+    cond = cfg.timestep_conditioning
+    causal("decoder.conv_in", "decoder/conv_in")
+    causal("decoder.conv_out", "decoder/conv_out")
+    for j in range(cfg.decoder_layers_per_block[0]):
+        resblock(f"decoder.mid_block.resnets.{j}",
+                 f"decoder/mid_block/resnets_{j}", shortcut=False, cond=cond)
+    if cond:
+        time_embedder("decoder.mid_block.time_embedder", "decoder/mid_block/time_embedder")
+        time_embedder("decoder.time_embedder", "decoder/time_embedder")
+        raw["decoder.scale_shift_table"] = "decoder/scale_shift_table"
+        raw["decoder.timestep_scale_multiplier"] = "decoder/timestep_scale_multiplier"
+    width = dblocks[0]
+    for i in range(len(dblocks)):
+        out_ch = dblocks[i + 1] if i + 1 < len(dblocks) else dblocks[i]
+        st, dst = f"decoder.up_blocks.{i}", f"decoder/up_blocks_{i}"
+        scale = cfg.decoder_spatio_temporal_scaling[i]
+        mid_ch = out_ch * cfg.upsample_factor[i] if scale else out_ch
+        if width != mid_ch:
+            resblock(f"{st}.conv_in", f"{dst}/conv_in", shortcut=True, cond=False)
+        if scale:
+            causal(f"{st}.upsamplers.0", f"{dst}/upsampler/conv")
+        if cond:
+            time_embedder(f"{st}.time_embedder", f"{dst}/time_embedder")
+        n = (cfg.decoder_layers_per_block[i + 1]
+             if i + 1 < len(cfg.decoder_layers_per_block)
+             else cfg.decoder_layers_per_block[-1])
+        for j in range(n):
+            resblock(f"{st}.resnets.{j}", f"{dst}/resnets_{j}", shortcut=False,
+                     cond=cond, noise=cfg.decoder_inject_noise[i])
+        width = out_ch
+    return m, raw
+
+
+def pop_ltx_vae_latent_stats(
+    state_dict: Dict[str, np.ndarray],
+) -> Tuple[Dict[str, np.ndarray], Optional[Tuple[float, ...]], Optional[Tuple[float, ...]]]:
+    """Pop the ``latents_mean``/``latents_std`` buffers an LTX VAE checkpoint
+    stores in its state dict (they are config on our side, not params)."""
+    mean = state_dict.pop("latents_mean", None)
+    std = state_dict.pop("latents_std", None)
+    to_t = lambda v: tuple(float(x) for x in np.asarray(v).reshape(-1)) if v is not None else None
+    return state_dict, to_t(mean), to_t(std)
 
 
 def load_safetensors_dir(path: str) -> Dict[str, np.ndarray]:

@@ -174,3 +174,85 @@ def test_wan_vae_config_json_self_configures(tmp_path):
     cfg2 = _cfg("wan2-t2v", str(ckpt), extra_model={"vae_overrides": {"spatial_patch": 1}})
     adapter2 = load_adapter(cfg2)
     assert adapter2.component_configs["vae"].spatial_patch == 1
+
+
+def test_transformer_config_json_self_configures(tmp_path):
+    """transformer/config.json (diffusers keys) reconfigures the DiT preset:
+    a 3-layer checkpoint config widens the tiny 2-layer preset and still
+    rolls out end-to-end."""
+    import json
+
+    ckpt = tmp_path / "sd35-ck"
+    (ckpt / "transformer").mkdir(parents=True)
+    (ckpt / "transformer" / "config.json").write_text(json.dumps({
+        "_class_name": "SD3Transformer2DModel",
+        "num_layers": 3, "num_attention_heads": 4, "attention_head_dim": 16,
+        "in_channels": 16, "patch_size": 2,
+        "joint_attention_dim": 48, "pooled_projection_dim": 40,
+        "pos_embed_max_size": 32, "dual_attention_layers": [0],
+        "qk_norm": "rms_norm",
+    }))
+    adapter = load_adapter(_cfg("sd3-5", str(ckpt)))
+    tcfg = adapter.component_configs["transformer"]
+    assert tcfg.depth == 3 and tcfg.hidden_dim == 64
+    assert tcfg.dual_attention_layers == (0,)
+    samples = adapter.inference(prompt=["x"], compute_log_prob=True, seed=0)
+    assert np.all(np.isfinite(samples[0].log_probs))
+
+
+def test_encoder_and_vae_config_json_self_configure(tmp_path):
+    """text_encoder*/config.json (transformers keys) and vae/config.json
+    (AutoencoderKL keys) reconfigure the encoders/VAE; the adapter still
+    encodes + rolls out."""
+    import json
+
+    ckpt = tmp_path / "sd35-enc-ck"
+    # CLIP-L: deepen to 3 layers, keep tiny dims (hidden 16, heads 2, proj 16)
+    (ckpt / "text_encoder").mkdir(parents=True)
+    (ckpt / "text_encoder" / "config.json").write_text(json.dumps({
+        "model_type": "clip_text_model", "vocab_size": 1000,
+        "hidden_size": 16, "num_hidden_layers": 3, "num_attention_heads": 2,
+        "projection_dim": 16, "eos_token_id": 2, "hidden_act": "gelu",
+    }))
+    # T5: deepen to 3 layers, keep tiny dims (d_model 48, heads 2, d_kv 8)
+    (ckpt / "text_encoder_3").mkdir(parents=True)
+    (ckpt / "text_encoder_3" / "config.json").write_text(json.dumps({
+        "model_type": "umt5", "vocab_size": 1000, "d_model": 48, "d_ff": 64,
+        "num_layers": 3, "num_heads": 2, "d_kv": 8,
+    }))
+    (ckpt / "vae").mkdir(parents=True)
+    (ckpt / "vae" / "config.json").write_text(json.dumps({
+        "_class_name": "AutoencoderKL", "in_channels": 3, "latent_channels": 16,
+        "block_out_channels": [8, 16], "layers_per_block": 1,
+        "scaling_factor": 0.5, "shift_factor": 0.25,
+        "mid_block_add_attention": True,
+    }))
+
+    adapter = load_adapter(_cfg("sd3-5", str(ckpt)))
+    assert adapter.component_configs["text_encoder"].num_layers == 3
+    assert adapter.component_configs["text_encoder"].hidden_act == "gelu"
+    assert adapter.component_configs["text_encoder_3"].num_layers == 3
+    vcfg = adapter.component_configs["vae"]
+    assert vcfg.scaling_factor == 0.5 and vcfg.shift_factor == 0.25
+    assert vcfg.channel_mults == (1, 2) and vcfg.layers_per_block == 1
+    samples = adapter.inference(prompt=["y"], compute_log_prob=True, seed=0)
+    assert samples[0].image.shape == (3, 32, 32)
+    assert np.all(np.isfinite(samples[0].log_probs))
+
+
+def test_lm_overrides_qwen_detection():
+    """Qwen2.x configs enable attn biases; Llama-layout ones don't; GQA and
+    derived head_dim map through."""
+    from flow_factory_tpu.utils.checkpoint import lm_overrides_from_config
+
+    q = lm_overrides_from_config({
+        "model_type": "qwen2_5_vl", "hidden_size": 64, "num_hidden_layers": 2,
+        "num_attention_heads": 4, "num_key_value_heads": 2,
+        "intermediate_size": 128, "vocab_size": 1000, "rope_theta": 10000.0,
+    })
+    assert q["attn_bias"] is True and q["head_dim"] == 16
+    l = lm_overrides_from_config({
+        "model_type": "mistral", "hidden_size": 64, "num_attention_heads": 4,
+        "head_dim": 16,
+    })
+    assert l["attn_bias"] is False
