@@ -18,7 +18,7 @@ import numpy as np
 
 from ...samples import I2AVSample
 from ...utils.media import standardize_image_batch
-from ..wan.video_vae import VideoVAE
+from .video_vae import LTXVideoVAE
 from .t2av import LTX2T2AVAdapter
 
 logger = logging.getLogger(__name__)
@@ -44,7 +44,7 @@ class LTX2I2AVAdapter(LTX2T2AVAdapter):
         def _encode(params, v):
             v = jnp.transpose(v, (0, 2, 1, 3, 4)) * 2.0 - 1.0
             return self.modules["vae"].apply(
-                {"params": params}, v, None, False, method=VideoVAE.encode
+                {"params": params}, v, None, False, method=LTXVideoVAE.encode
             ).astype(jnp.float32)
 
         lat = np.asarray(jax.device_get(jax.jit(_encode)(self.params["vae"], videos)))

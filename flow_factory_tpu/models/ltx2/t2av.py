@@ -37,8 +37,8 @@ from ...utils.tokenizer import load_tokenizer
 from ...utils.trajectory import build_store_maps
 from ..abc import BaseAdapter
 from ..text_encoders.lm import LMConfig, LMEncoder
-from ..wan.video_vae import VideoVAE, VideoVAEConfig
 from .audio import AudioVAE, AudioVAEConfig
+from .video_vae import LTXVideoVAE, LTXVideoVAEConfig
 from .transformer import LTX2Config, LTX2Transformer
 
 logger = logging.getLogger(__name__)
@@ -56,7 +56,7 @@ def _preset(name: str, attn_backend: str, dtype: str) -> Dict[str, Any]:
     if name == "tiny":
         return dict(
             transformer=LTX2Config.tiny(attn_backend=attn_backend, dtype=dtype),
-            video_vae=VideoVAEConfig.tiny(latent_channels=16, dtype=dtype),
+            video_vae=LTXVideoVAEConfig.tiny(latent_channels=16, dtype=dtype),
             audio_vae=AudioVAEConfig.tiny(dtype=dtype),
             lm=LMConfig.tiny(hidden_dim=32, dtype=dtype),
             max_length=16,
@@ -65,7 +65,7 @@ def _preset(name: str, attn_backend: str, dtype: str) -> Dict[str, Any]:
         return dict(
             transformer=LTX2Config.ltx2(attn_backend=attn_backend, dtype=dtype,
                                         video_channels=128, audio_channels=128),
-            video_vae=VideoVAEConfig.wan(latent_channels=128, base_channels=128, dtype=dtype),
+            video_vae=LTXVideoVAEConfig.ltx2(dtype=dtype),
             audio_vae=AudioVAEConfig.ltx2(latent_channels=128, dtype=dtype),
             lm=LMConfig.gemma3(dtype=dtype),
             max_length=512,
@@ -90,6 +90,28 @@ class LTX2T2AVAdapter(BaseAdapter):
         if lcfg is not None and "text_encoder" in self.params:
             lkm, lrm = lm_decoder_key_map(lcfg.num_layers)
             maps["text_encoder"] = ("text_encoder", lkm, lrm, None)
+        vcfg = self.component_configs.get("vae")
+        if vcfg is not None and "vae" in self.params:
+            from ...utils.checkpoint import ltx_video_vae_key_map
+
+            vkm, vrm = ltx_video_vae_key_map(vcfg)
+
+            def _pop_stats(sd, _self=self):
+                # latents_mean/std live as state-dict buffers upstream;
+                # they are config here (decode normalization)
+                from ...utils.checkpoint import pop_ltx_vae_latent_stats
+
+                sd, mean, std = pop_ltx_vae_latent_stats(sd)
+                if mean is not None and std is not None:
+                    import dataclasses as _dc
+
+                    cfg2 = _dc.replace(_self.component_configs["vae"],
+                                       latents_mean=mean, latents_std=std)
+                    _self.component_configs["vae"] = cfg2
+                    _self.modules["vae"] = LTXVideoVAE(cfg2)
+                return sd
+
+            maps["vae"] = ("vae", vkm, vrm, _pop_stats)
         return maps
 
     def load_models(self) -> None:
@@ -98,6 +120,17 @@ class LTX2T2AVAdapter(BaseAdapter):
             "tiny" if ma.model_name_or_path in ("", "tiny") else "ltx2"
         )
         preset = _preset(variant, ma.attn_backend, ma.inference_dtype)
+        from ...utils.checkpoint import (
+            apply_config_json_overrides,
+            lm_overrides_from_config,
+            ltx_video_vae_overrides_from_config,
+        )
+
+        preset["lm"] = apply_config_json_overrides(
+            preset["lm"], ma.model_name_or_path, "text_encoder", lm_overrides_from_config)
+        preset["video_vae"] = apply_config_json_overrides(
+            preset["video_vae"], ma.model_name_or_path, "vae",
+            ltx_video_vae_overrides_from_config)
         if self.training_args.enable_gradient_checkpointing or (
             self.model_args.enable_gradient_checkpointing_override
         ):
@@ -108,7 +141,7 @@ class LTX2T2AVAdapter(BaseAdapter):
 
         self.modules = {
             "transformer": LTX2Transformer(preset["transformer"]),
-            "vae": VideoVAE(preset["video_vae"]),
+            "vae": LTXVideoVAE(preset["video_vae"]),
             "audio_vae": AudioVAE(preset["audio_vae"]),
             "text_encoder": LMEncoder(preset["lm"]),
         }
@@ -132,7 +165,8 @@ class LTX2T2AVAdapter(BaseAdapter):
                 jnp.zeros((8, 3)), jnp.zeros((4, 3)),
             ),
             "vae": lambda m, k: m.init(
-                k, jnp.zeros((1, 3, 5, preset["video_vae"].spatial_down * 2,
+                k, jnp.zeros((1, 3, preset["video_vae"].temporal_down + 1,
+                              preset["video_vae"].spatial_down * 2,
                               preset["video_vae"].spatial_down * 2))
             ),
             "audio_vae": lambda m, k: m.init(
@@ -584,14 +618,32 @@ class LTX2T2AVAdapter(BaseAdapter):
     # ------------------------------------------------------------------
     def decode_latents(self, latents: jax.Array, tl: int, h: int, w: int,
                        num_frames: int) -> np.ndarray:
-        """Video tokens (B, Lv, Cv) → (B, T, C, H, W) in [0, 1]."""
-        def _decode(params, z):
+        """Video tokens (B, Lv, Cv) → (B, T, C, H, W) in [0, 1].
+
+        When the VAE decoder is timestep-conditioned, ``decode_timestep`` /
+        ``decode_noise_scale`` (model config knobs, both 0.0 by default as in
+        the reference, ``ltx2_t2av.py:536-559``) mix fresh noise into the
+        latents and condition the decoder on the chosen timestep."""
+        dt = float(getattr(self.model_args, "decode_timestep", None) or 0.0)
+        dns = getattr(self.model_args, "decode_noise_scale", None)
+        dns = dt if dns is None else float(dns)
+        conditioned = getattr(self.component_configs["vae"], "timestep_conditioning", False)
+
+        def _decode(params, z, key):
             z5 = z.reshape(z.shape[0], tl, h, w, z.shape[-1]).astype(jnp.float32)
-            video = self.modules["vae"].apply({"params": params}, z5, num_frames, method=VideoVAE.decode)
+            ts = None
+            if conditioned:
+                if dns > 0.0:
+                    noise = jax.random.normal(key, z5.shape, z5.dtype)
+                    z5 = (1.0 - dns) * z5 + dns * noise
+                ts = jnp.full((z5.shape[0],), dt, jnp.float32)
+            video = self.modules["vae"].apply(
+                {"params": params}, z5, num_frames, ts, method=LTXVideoVAE.decode)
             video = jnp.clip(video.astype(jnp.float32) / 2.0 + 0.5, 0.0, 1.0)
             return jnp.transpose(video, (0, 2, 1, 3, 4))
 
-        out = jax.jit(_decode)(self.params["vae"], latents)
+        key = derive_key("ltx2_decode", self.training_args.seed)
+        out = jax.jit(_decode)(self.params["vae"], latents, key)
         return np.asarray(jax.device_get(out))
 
     def decode_audio(self, latents: jax.Array) -> np.ndarray:
