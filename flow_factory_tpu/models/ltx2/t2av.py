@@ -123,14 +123,49 @@ class LTX2T2AVAdapter(BaseAdapter):
         from ...utils.checkpoint import (
             apply_config_json_overrides,
             lm_overrides_from_config,
+            load_component_config,
+            ltx2_audio_vae_overrides_from_config,
+            ltx2_transformer_overrides_from_config,
             ltx_video_vae_overrides_from_config,
         )
 
+        preset["transformer"] = apply_config_json_overrides(
+            preset["transformer"], ma.model_name_or_path, "transformer",
+            ltx2_transformer_overrides_from_config)
+        preset["audio_vae"] = apply_config_json_overrides(
+            preset["audio_vae"], ma.model_name_or_path, "audio_vae",
+            ltx2_audio_vae_overrides_from_config)
         preset["lm"] = apply_config_json_overrides(
             preset["lm"], ma.model_name_or_path, "text_encoder", lm_overrides_from_config)
         preset["video_vae"] = apply_config_json_overrides(
             preset["video_vae"], ma.model_name_or_path, "vae",
             ltx_video_vae_overrides_from_config)
+        # Token widths are shared state: the transformer's video/audio
+        # channels ARE the VAEs' latent widths (1:1 packing). A real
+        # checkpoint's configs agree; when only one side declares a width,
+        # propagate it — explicit VAE config wins over the transformer's.
+        import dataclasses as _dc
+        import os as _os
+
+        path = ma.model_name_or_path if (
+            ma.model_name_or_path and _os.path.isdir(ma.model_name_or_path)) else None
+        for tx_field, vkey, sub in (("video_channels", "video_vae", "vae"),
+                                    ("audio_channels", "audio_vae", "audio_vae")):
+            tx_w = getattr(preset["transformer"], tx_field)
+            vae_w = preset[vkey].latent_channels
+            if tx_w == vae_w:
+                continue
+            vae_json = load_component_config(path, sub) if path else None
+            if vae_json and vae_json.get("latent_channels") is not None:
+                preset["transformer"] = _dc.replace(
+                    preset["transformer"], **{tx_field: vae_w})
+            else:
+                preset[vkey] = _dc.replace(preset[vkey], latent_channels=tx_w)
+        # context width: the connectors consume LM embeddings directly, so
+        # the transformer's context_dim follows the (self-configured) LM
+        if preset["transformer"].context_dim != preset["lm"].hidden_dim:
+            preset["transformer"] = _dc.replace(
+                preset["transformer"], context_dim=preset["lm"].hidden_dim)
         if self.training_args.enable_gradient_checkpointing or (
             self.model_args.enable_gradient_checkpointing_override
         ):

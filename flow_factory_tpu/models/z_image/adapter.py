@@ -95,8 +95,12 @@ class ZImageAdapter(Flux1Adapter):
             apply_config_json_overrides,
             image_vae_overrides_from_config,
             lm_overrides_from_config,
+            z_image_transformer_overrides_from_config,
         )
 
+        preset["transformer"] = apply_config_json_overrides(
+            preset["transformer"], ma.model_name_or_path, "transformer",
+            z_image_transformer_overrides_from_config)
         preset["lm"] = apply_config_json_overrides(
             preset["lm"], ma.model_name_or_path, "text_encoder", lm_overrides_from_config)
         preset["vae"] = apply_config_json_overrides(

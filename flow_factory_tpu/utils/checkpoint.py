@@ -619,6 +619,88 @@ def wan_transformer_overrides_from_config(cfg: Dict[str, Any]) -> Dict[str, Any]
     return out
 
 
+def ltx2_transformer_overrides_from_config(cfg: Dict[str, Any]) -> Dict[str, Any]:
+    """diffusers LTX-Video/LTX-2 transformer config.json → LTX2Config
+    overrides. Video keys follow ``LTXVideoTransformer3DModel`` spellings
+    (num_layers / num_attention_heads / attention_head_dim /
+    cross_attention_dim / in_channels); audio-side keys are accepted under
+    the plausible ``audio_*`` spellings — best-effort pending real
+    checkpoints, like the transformer key map."""
+    out: Dict[str, Any] = {}
+    if "num_layers" in cfg:
+        out["num_layers"] = int(cfg["num_layers"])
+    if "num_attention_heads" in cfg:
+        out["num_heads"] = int(cfg["num_attention_heads"])
+        if "attention_head_dim" in cfg:
+            out["hidden_dim"] = int(cfg["num_attention_heads"]) * int(cfg["attention_head_dim"])
+    # NOTE: no cross_attention_dim mapping — our context_dim is the text
+    # encoder's hidden size (the connectors are in-transformer and consume
+    # LM embeddings directly); the adapter reconciles it from the LM config
+    if cfg.get("in_channels") is not None:
+        out["video_channels"] = int(cfg["in_channels"])
+    for src in ("audio_in_channels", "audio_channels"):
+        if cfg.get(src) is not None:
+            out["audio_channels"] = int(cfg[src])
+            break
+    if cfg.get("ffn_dim") is not None:
+        out["ffn_dim"] = int(cfg["ffn_dim"])
+    if cfg.get("rope_theta") is not None:
+        out["rope_theta"] = float(cfg["rope_theta"])
+    return out
+
+
+def z_image_transformer_overrides_from_config(cfg: Dict[str, Any]) -> Dict[str, Any]:
+    """Z-Image (S3-DiT) transformer config.json → ZImageConfig overrides.
+
+    Accepts both diffusers-style (num_layers / num_attention_heads /
+    attention_head_dim / joint_attention_dim) and Lumina-style
+    (hidden_size / n_layers / n_heads / cap_feat_dim) spellings —
+    best-effort pending real checkpoints. ``in_channels`` is the UNPACKED
+    latent channel count upstream; ours is packed, so it scales by
+    ``patch_size²`` when a patch_size is declared."""
+    out: Dict[str, Any] = {}
+    layers = cfg.get("num_layers", cfg.get("n_layers"))
+    if layers is not None:
+        out["num_layers"] = int(layers)
+    heads = cfg.get("num_attention_heads", cfg.get("n_heads"))
+    if heads is not None:
+        out["num_heads"] = int(heads)
+    hidden = cfg.get("hidden_size", cfg.get("dim"))
+    if hidden is not None:
+        out["hidden_dim"] = int(hidden)
+    elif heads is not None and cfg.get("attention_head_dim") is not None:
+        out["hidden_dim"] = int(heads) * int(cfg["attention_head_dim"])
+    ctx = cfg.get("cap_feat_dim", cfg.get("joint_attention_dim"))
+    if ctx is not None:
+        out["context_dim"] = int(ctx)
+    if cfg.get("in_channels") is not None:
+        p = int(cfg.get("patch_size") or 1)
+        out["in_channels"] = int(cfg["in_channels"]) * p * p
+    axes = cfg.get("axes_dim_rope", cfg.get("axes_dims_rope"))
+    if axes is not None:
+        out["axes_dim"] = tuple(int(d) for d in axes)
+    if cfg.get("ffn_dim") is not None:
+        out["ffn_dim"] = int(cfg["ffn_dim"])
+    if cfg.get("rope_theta") is not None:
+        out["rope_theta"] = float(cfg["rope_theta"])
+    return out
+
+
+def ltx2_audio_vae_overrides_from_config(cfg: Dict[str, Any]) -> Dict[str, Any]:
+    """LTX-2 audio VAE config.json → our AudioVAEConfig overrides. The
+    reference reads ``audio_vae.config.mel_bins`` (``ltx2_t2av.py:569``);
+    the remaining spellings are best-effort."""
+    out: Dict[str, Any] = {}
+    for src, dst in (("latent_channels", "latent_channels"),
+                     ("mel_bins", "n_mels"), ("n_mels", "n_mels"),
+                     ("sampling_rate", "sample_rate"), ("sample_rate", "sample_rate"),
+                     ("hop_length", "hop"), ("n_fft", "n_fft"),
+                     ("base_channels", "base_channels")):
+        if cfg.get(src) is not None:
+            out[dst] = int(cfg[src])
+    return out
+
+
 def clip_text_overrides_from_config(cfg: Dict[str, Any]) -> Dict[str, Any]:
     """transformers ``CLIPTextConfig`` config.json → our CLIPTextConfig."""
     out: Dict[str, Any] = {}

@@ -256,3 +256,44 @@ def test_lm_overrides_qwen_detection():
         "head_dim": 16,
     })
     assert l["attn_bias"] is False
+
+
+def test_ltx2_and_z_image_transformer_overrides():
+    """LTX-2 (LTXVideoTransformer3DModel spellings) and Z-Image (both
+    diffusers- and Lumina-style spellings) transformer config.json keys
+    reshape the presets; packed in_channels scales by patch_size^2."""
+    from flow_factory_tpu.models.ltx2.transformer import LTX2Config
+    from flow_factory_tpu.models.z_image.transformer import ZImageConfig
+    from flow_factory_tpu.utils.checkpoint import (
+        ltx2_transformer_overrides_from_config,
+        z_image_transformer_overrides_from_config,
+    )
+    import dataclasses as dc
+
+    o = ltx2_transformer_overrides_from_config({
+        "num_layers": 28, "num_attention_heads": 32, "attention_head_dim": 64,
+        "cross_attention_dim": 4096, "in_channels": 128,
+        "audio_in_channels": 128, "rope_theta": 10000.0,
+    })
+    cfg = dc.replace(LTX2Config.tiny(), **o)
+    assert cfg.num_layers == 28 and cfg.hidden_dim == 2048
+    assert cfg.video_channels == 128 and cfg.audio_channels == 128
+    # context_dim intentionally NOT taken from cross_attention_dim: the
+    # adapter reconciles it from the text encoder's hidden size
+    assert "context_dim" not in o
+
+    z1 = z_image_transformer_overrides_from_config({
+        "hidden_size": 3072, "n_layers": 38, "n_heads": 24,
+        "cap_feat_dim": 2560, "in_channels": 16, "patch_size": 2,
+        "axes_dim_rope": [16, 56, 56],
+    })
+    z2 = z_image_transformer_overrides_from_config({
+        "num_layers": 38, "num_attention_heads": 24, "attention_head_dim": 128,
+        "joint_attention_dim": 2560, "in_channels": 16, "patch_size": 2,
+        "axes_dims_rope": [16, 56, 56],
+    })
+    for z in (z1, z2):
+        cfg = dc.replace(ZImageConfig.tiny(), **z)
+        assert cfg.num_layers == 38 and cfg.hidden_dim == 3072
+        assert cfg.in_channels == 64  # 16 unpacked x 2x2 patch
+        assert cfg.context_dim == 2560 and cfg.axes_dim == (16, 56, 56)
