@@ -27,6 +27,12 @@ H100_BASELINE_SAMPLES_PER_SEC = 3.2  # documented estimate (see module docstring
 
 def main() -> None:
     import jax
+
+    # Persistent compilation cache: through the remote-compile relay a cold
+    # SD3.5-M rollout compile is ~5-10 min; a cache hit replays in seconds.
+    # Survives across processes (and driver rounds) in the repo tree.
+    jax.config.update("jax_compilation_cache_dir", os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR", os.path.join(os.path.dirname(__file__), ".jax_cache")))
     import jax.numpy as jnp
 
     on_tpu = jax.default_backend() == "tpu"
