@@ -29,6 +29,10 @@ class AudioVAEConfig:
     latent_channels: int = 8
     base_channels: int = 32
     temporal_down: int = 4  # mel frames per latent frame
+    #: HiFi-GAN generator width/MRF geometry (upstream defaults)
+    vocoder_channels: int = 512
+    resblock_kernels: Tuple[int, ...] = (3, 7, 11)
+    resblock_dilations: Tuple[int, ...] = (1, 3, 5)
     dtype: str = "float32"
 
     @property
@@ -42,7 +46,8 @@ class AudioVAEConfig:
     @staticmethod
     def tiny(**o) -> "AudioVAEConfig":
         base = dict(n_fft=256, hop=64, n_mels=16, latent_channels=8, base_channels=8,
-                    temporal_down=2)
+                    temporal_down=2, vocoder_channels=16,
+                    resblock_kernels=(3,), resblock_dilations=(1, 3))
         base.update(o)
         return AudioVAEConfig(**base)
 
@@ -121,8 +126,56 @@ class AudioDecoder(nn.Module):
         return nn.Conv(cfg.n_mels, (5,), padding=2, dtype=jnp.float32, name="conv_out")(h)
 
 
+def vocoder_upsample_rates(hop: int) -> tuple:
+    """Factor the hop length into HiFi-GAN upsample stages (largest first):
+    256 → (8, 8, 2, 2) — the published HiFi-GAN/universal-vocoder rates."""
+    known = {512: (8, 8, 2, 2, 2), 256: (8, 8, 2, 2), 128: (8, 8, 2), 64: (8, 8)}
+    if hop in known:
+        return known[hop]
+    rates = []
+    rem = hop
+    while rem > 1:
+        f = 8 if rem % 8 == 0 else (4 if rem % 4 == 0 else 2)
+        rates.append(f)
+        rem //= f
+    return tuple(rates)
+
+
+class HiFiGANResBlock(nn.Module):
+    """HiFi-GAN MRF ResBlock1: per dilation, LReLU→dilated conv→LReLU→conv
+    with a residual add (upstream ``ResBlock1.convs1/convs2``)."""
+
+    channels: int
+    kernel: int
+    dilations: Tuple[int, ...]
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for j, d in enumerate(self.dilations):
+            xt = jax.nn.leaky_relu(x, 0.1)
+            xt = nn.Conv(self.channels, (self.kernel,), kernel_dilation=(d,),
+                         padding="SAME", dtype=self.dtype, name=f"convs1_{j}")(xt)
+            xt = jax.nn.leaky_relu(xt, 0.1)
+            xt = nn.Conv(self.channels, (self.kernel,), padding="SAME",
+                         dtype=self.dtype, name=f"convs2_{j}")(xt)
+            x = x + xt
+        return x
+
+
 class Vocoder(nn.Module):
-    """Mel → waveform (HiFiGAN-shaped transposed-conv stack stand-in)."""
+    """Mel → waveform: the HiFi-GAN generator graph.
+
+    Upstream structure (the public HiFi-GAN ``Generator``; the reference's
+    LTX-2 pipeline decodes audio "audio_vae → mel → vocoder",
+    ``ltx2_t2av.py:494-594``): ``conv_pre`` (k=7) → per upsample stage a
+    LReLU + ConvTranspose (k=2·rate, stride=rate, channels halve) followed
+    by a multi-receptive-field fusion — the MEAN of ``len(resblock_kernels)``
+    ResBlock1 stacks — then LReLU → ``conv_post`` (k=7) → tanh. Weight-norm
+    leaves fuse at import (:func:`...utils.checkpoint.fuse_weight_norm`);
+    ConvTranspose flip/layout conventions are pinned by shape (exact
+    numerics need real weights, same policy as the transformer maps).
+    """
 
     cfg: AudioVAEConfig
 
@@ -130,21 +183,22 @@ class Vocoder(nn.Module):
     def __call__(self, mel: jax.Array) -> jax.Array:
         cfg = self.cfg
         dt = cfg.compute_dtype
-        h = nn.Conv(cfg.base_channels * 4, (7,), padding=3, dtype=dt, name="conv_in")(mel.astype(dt))
-        # total upsampling = hop
-        ups = []
-        rem = cfg.hop
-        while rem > 1:
-            f = 8 if rem % 8 == 0 and rem >= 8 else (4 if rem % 4 == 0 else 2)
-            ups.append(f)
-            rem //= f
-        ch = cfg.base_channels * 4
-        for i, f in enumerate(ups):
-            ch = max(ch // 2, 8)
-            h = nn.silu(h)
-            h = nn.ConvTranspose(ch, (2 * f,), strides=(f,), padding="SAME", dtype=dt, name=f"up_{i}")(h)
-        h = nn.silu(h)
-        wave = nn.Conv(1, (7,), padding=3, dtype=jnp.float32, name="conv_out")(h)
+        rates = vocoder_upsample_rates(cfg.hop)
+        ch0 = cfg.vocoder_channels
+        h = nn.Conv(ch0, (7,), padding=3, dtype=dt, name="conv_pre")(mel.astype(dt))
+        for i, u in enumerate(rates):
+            ch = max(ch0 // 2 ** (i + 1), 8)
+            h = jax.nn.leaky_relu(h, 0.1)
+            h = nn.ConvTranspose(ch, (2 * u,), strides=(u,), padding="SAME",
+                                 dtype=dt, name=f"ups_{i}")(h)
+            acc = None
+            for r, k in enumerate(cfg.resblock_kernels):
+                y = HiFiGANResBlock(ch, k, cfg.resblock_dilations, dtype=dt,
+                                    name=f"resblocks_{i}_{r}")(h)
+                acc = y if acc is None else acc + y
+            h = acc / float(len(cfg.resblock_kernels))
+        h = jax.nn.leaky_relu(h, 0.01)  # upstream uses the default slope here
+        wave = nn.Conv(1, (7,), padding=3, dtype=jnp.float32, name="conv_post")(h)
         return jnp.tanh(wave[..., 0])
 
 

@@ -112,6 +112,26 @@ class LTX2T2AVAdapter(BaseAdapter):
                 return sd
 
             maps["vae"] = ("vae", vkm, vrm, _pop_stats)
+        acfg = self.component_configs.get("audio_vae")
+        if acfg is not None and "audio_vae" in self.params:
+            import re as _re
+
+            from ...utils.checkpoint import fuse_weight_norm, hifigan_vocoder_key_map
+
+            def _voc_pre(sd):
+                # HiFi-GAN checkpoints: weight-norm pairs fuse; a leading
+                # ``generator.`` strips; ConvTranspose weights are
+                # (in, out, k) upstream → conv-style (out, in, k) for the
+                # generic rank-3 transpose
+                sd = fuse_weight_norm(sd)
+                sd = {(k[10:] if k.startswith("generator.") else k): v
+                      for k, v in sd.items()}
+                for k in list(sd):
+                    if _re.match(r"^ups\.\d+\.weight$", k):
+                        sd[k] = np.swapaxes(np.asarray(sd[k]), 0, 1)
+                return sd
+
+            maps["audio_vae"] = ("vocoder", hifigan_vocoder_key_map(acfg), None, _voc_pre)
         return maps
 
     def load_models(self) -> None:

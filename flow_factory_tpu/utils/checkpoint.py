@@ -26,6 +26,10 @@ def torch_linear_to_dense(w: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(w.T)
 
 
+def torch_conv1d_to_flax(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (2, 1, 0))  # (out,in,k) → (k,in,out)
+
+
 def torch_conv2d_to_flax(w: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(np.transpose(w, (2, 3, 1, 0)))
 
@@ -189,6 +193,8 @@ def import_diffusers_params(
         if suffix == "weight":
             if v.ndim == 2:
                 name, v = "kernel", torch_linear_to_dense(v)
+            elif v.ndim == 3:
+                name, v = "kernel", torch_conv1d_to_flax(v)
             elif v.ndim == 4:
                 name, v = "kernel", torch_conv2d_to_flax(v)
             elif v.ndim == 5:
@@ -950,6 +956,51 @@ def pop_ltx_vae_latent_stats(
     std = state_dict.pop("latents_std", None)
     to_t = lambda v: tuple(float(x) for x in np.asarray(v).reshape(-1)) if v is not None else None
     return state_dict, to_t(mean), to_t(std)
+
+
+def fuse_weight_norm(state_dict: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Fuse torch ``weight_norm`` parameter pairs: ``w = g · v / ||v||``
+    (norm over all dims except the out-channel dim 0). HiFi-GAN vocoders
+    ship every conv this way; our flax modules hold the fused kernel."""
+    out: Dict[str, np.ndarray] = {}
+    for k, v in state_dict.items():
+        if k.endswith(".weight_g"):
+            base = k[: -len(".weight_g")]
+            wv = np.asarray(state_dict[base + ".weight_v"], np.float32)
+            g = np.asarray(v, np.float32)
+            axes = tuple(range(1, wv.ndim))
+            norm = np.sqrt(np.sum(np.square(wv), axis=axes, keepdims=True))
+            out[base + ".weight"] = (g * wv / np.maximum(norm, 1e-12)).astype(wv.dtype)
+        elif k.endswith(".weight_v"):
+            continue
+        else:
+            out[k] = v
+    return out
+
+
+def hifigan_vocoder_key_map(cfg, prefix: str = "") -> Dict[str, str]:
+    """Public HiFi-GAN ``Generator`` module path → our ``Vocoder`` param
+    path (nested under the AudioVAE's ``vocoder`` scope). ``prefix``
+    handles checkpoints whose keys lead with ``generator.`` — strip or
+    pass it through. Run :func:`fuse_weight_norm` on the state dict first.
+    ConvTranspose weights are (in, out, k) upstream: pre-swap the leading
+    axes in a preprocess (the generic rank-3 handler assumes (out, in, k));
+    the flip convention is pinned when real weights exist."""
+    from ..models.ltx2.audio import vocoder_upsample_rates
+
+    m: Dict[str, str] = {}
+    m[f"{prefix}conv_pre"] = "vocoder/conv_pre"
+    m[f"{prefix}conv_post"] = "vocoder/conv_post"
+    rates = vocoder_upsample_rates(cfg.hop)
+    nk = len(cfg.resblock_kernels)
+    for i in range(len(rates)):
+        m[f"{prefix}ups.{i}"] = f"vocoder/ups_{i}"
+        for r in range(nk):
+            flat = i * nk + r
+            for j in range(len(cfg.resblock_dilations)):
+                m[f"{prefix}resblocks.{flat}.convs1.{j}"] = f"vocoder/resblocks_{i}_{r}/convs1_{j}"
+                m[f"{prefix}resblocks.{flat}.convs2.{j}"] = f"vocoder/resblocks_{i}_{r}/convs2_{j}"
+    return m
 
 
 def load_safetensors_dir(path: str) -> Dict[str, np.ndarray]:

@@ -183,3 +183,62 @@ def test_overrides_from_config_reverses_decoder_lists():
     assert o["timestep_conditioning"] is True
     cfg = LTXVideoVAEConfig(**o)
     assert cfg.spatial_down == 32 and cfg.temporal_down == 8
+
+
+def test_hifigan_vocoder_graph_and_key_map():
+    """The vocoder is the public HiFi-GAN generator graph: conv_pre, per-rate
+    ConvTranspose upsamplers, MRF resblock mean, conv_post/tanh; hop-length
+    upsampling exact; weight-norm pairs fuse; key map covers every leaf."""
+    from flow_factory_tpu.models.ltx2.audio import (
+        AudioVAEConfig,
+        Vocoder,
+        vocoder_upsample_rates,
+    )
+    from flow_factory_tpu.utils.checkpoint import (
+        fuse_weight_norm,
+        hifigan_vocoder_key_map,
+        import_diffusers_params,
+    )
+
+    cfg = AudioVAEConfig.tiny()
+    assert vocoder_upsample_rates(256) == (8, 8, 2, 2)  # published rates
+    assert vocoder_upsample_rates(cfg.hop) == (8, 8)
+    voc = Vocoder(cfg)
+    mel = jnp.zeros((2, 6, cfg.n_mels), jnp.float32)
+    params = voc.init(jax.random.key(0), mel)["params"]
+    wave = voc.apply({"params": params}, mel)
+    assert wave.shape == (2, 6 * cfg.hop)  # exact hop upsampling
+    assert np.all(np.abs(np.asarray(wave)) <= 1.0)
+
+    # weight-norm fusing: w == g * v / ||v||
+    v = np.arange(24, dtype=np.float32).reshape(2, 3, 4) + 1
+    g = np.asarray([[[2.0]], [[3.0]]], np.float32)
+    fused = fuse_weight_norm({"x.weight_g": g, "x.weight_v": v})
+    norm = np.sqrt((v ** 2).sum(axis=(1, 2), keepdims=True))
+    np.testing.assert_allclose(fused["x.weight"], g * v / norm, rtol=1e-6)
+
+    # full-coverage import of the vocoder subtree (torch layouts: conv1d
+    # (out,in,k); ConvTranspose (in,out,k) pre-swapped by the adapter's
+    # preprocess — emulated here)
+    km = hifigan_vocoder_key_map(cfg)
+    template = {"vocoder": params}  # match the AudioVAE scope nesting
+    rng = np.random.default_rng(11)
+    sd = {}
+    import jax as _jax
+    flat = _jax.tree_util.tree_flatten_with_path(template)[0]
+    shapes = {"/".join(str(getattr(p, "key", p)) for p in path): np.asarray(x).shape
+              for path, x in flat}
+    for tk, our in km.items():
+        kshape = shapes[f"{our}/kernel"]  # (k, in, out)
+        sd[f"{tk}.weight"] = rng.standard_normal(
+            (kshape[2], kshape[1], kshape[0])).astype(np.float32)
+        sd[f"{tk}.bias"] = rng.standard_normal(shapes[f"{our}/bias"]).astype(np.float32)
+    out = import_diffusers_params(sd, km, template)
+    for (path, before), (_, after) in zip(
+        _jax.tree_util.tree_flatten_with_path(template)[0],
+        _jax.tree_util.tree_flatten_with_path(out)[0],
+    ):
+        assert not np.array_equal(np.asarray(before), np.asarray(after)), path
+    # imported vocoder still runs
+    w2 = voc.apply({"params": out["vocoder"]}, mel)
+    assert w2.shape == wave.shape
