@@ -907,6 +907,19 @@ class BaseAdapter(ABC):
 
         return _shard(tree, self.mesh)
 
+    def encoder_input_place(self, enc_params: Any):
+        """Placement for tokenizer outputs feeding a jitted encoder call:
+        replicated over the mesh when params are mesh-sharded (a
+        single-device put would raise incompatible-devices), else wherever
+        the encoder params live (host until onloaded)."""
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            sharding = NamedSharding(self.mesh, PartitionSpec())
+            return lambda x: jax.device_put(jnp.asarray(x), sharding)
+        dev = list(jax.tree.leaves(enc_params)[0].devices())[0]
+        return lambda x: jax.device_put(jnp.asarray(x), dev)
+
     # ------------------------------------------------------------------
     # Utilities
     # ------------------------------------------------------------------

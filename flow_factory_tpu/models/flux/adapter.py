@@ -259,13 +259,7 @@ class Flux1Adapter(BaseAdapter):
         if self._encode_jit is None:
             self._encode_jit = jax.jit(self._encode_impl)
         enc_params = {k: self.params[k] for k in ("text_encoder", "text_encoder_2")}
-        if self.mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec
-
-            place = lambda x: jax.device_put(jnp.asarray(x), NamedSharding(self.mesh, PartitionSpec()))
-        else:
-            dev = list(jax.tree.leaves(enc_params)[0].devices())[0]
-            place = lambda x: jax.device_put(jnp.asarray(x), dev)
+        place = self.encoder_input_place(enc_params)
         embeds, pooled = self._encode_jit(enc_params, place(ids_clip), place(ids_t5))
         return {
             "prompt_embeds": np.asarray(jax.device_get(embeds), np.float32),

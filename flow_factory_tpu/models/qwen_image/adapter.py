@@ -188,11 +188,11 @@ class QwenImageAdapter(Flux1Adapter):
         enc = self.tokenizer(list(prompts), max_length=self.max_length)
         if self._encode_jit is None:
             self._encode_jit = jax.jit(self._encode_impl)
-        dev = list(jax.tree.leaves(self.params["text_encoder"])[0].devices())[0]
+        place = self.encoder_input_place(self.params["text_encoder"])
         emb = self._encode_jit(
             self.params["text_encoder"],
-            jax.device_put(jnp.asarray(enc["input_ids"]), dev),
-            jax.device_put(jnp.asarray(enc["attention_mask"]), dev),
+            place(enc["input_ids"]),
+            place(enc["attention_mask"]),
         )
         return {"prompt_embeds": np.asarray(jax.device_get(emb), np.float32)}
 

@@ -275,15 +275,7 @@ class SD35Adapter(BaseAdapter):
             k: self.params[k] for k in ("text_encoder", "text_encoder_2", "text_encoder_3")
         }
         # run where the encoder params live (host until onloaded / mesh)
-        if self.mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec
-
-            place = lambda x: jax.device_put(
-                jnp.asarray(x), NamedSharding(self.mesh, PartitionSpec())
-            )
-        else:
-            dev = list(jax.tree.leaves(enc_params)[0].devices())[0]
-            place = lambda x: jax.device_put(jnp.asarray(x), dev)
+        place = self.encoder_input_place(enc_params)
         embeds, pooled = self._encode_jit(
             enc_params, place(ids_l), place(ids_g), place(ids_t5)
         )

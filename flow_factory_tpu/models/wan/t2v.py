@@ -245,8 +245,8 @@ class WanT2VAdapter(BaseAdapter):
         ids = self.tokenizer(list(prompts), max_length=self.t5_max_length)["input_ids"]
         if self._encode_jit is None:
             self._encode_jit = jax.jit(self._encode_impl)
-        dev = list(jax.tree.leaves(self.params["text_encoder"])[0].devices())[0]
-        emb = self._encode_jit(self.params["text_encoder"], jax.device_put(jnp.asarray(ids), dev))
+        place = self.encoder_input_place(self.params["text_encoder"])
+        emb = self._encode_jit(self.params["text_encoder"], place(ids))
         return {"prompt_embeds": np.asarray(jax.device_get(emb), np.float32)}
 
     def preprocess_func(self, batch: Dict[str, Any], **kwargs) -> Dict[str, Any]:
