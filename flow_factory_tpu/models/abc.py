@@ -138,6 +138,11 @@ class BaseAdapter(ABC):
             )
             logger.info("Imported pretrained %s weights from %s", comp, d)
 
+    #: extra per-timestep trajectory keys trainers must feed training_forward:
+    #: {batch_key: stacked_sample_key} indexed by the stored-latent slot
+    #: (e.g. LTX-2's joint-AV replay needs the audio latent alongside video)
+    trajectory_batch_keys: Dict[str, str] = {}
+
     #: default scheduler registry key (adapters override; Wan uses 'unipc')
     default_scheduler: str = "flow_match_euler"
 

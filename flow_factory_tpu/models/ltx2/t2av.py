@@ -77,6 +77,9 @@ class LTX2T2AVAdapter(BaseAdapter):
     sample_class = T2AVSample
     default_target_patterns = LTX2_LORA_TARGETS
     embed_keys = ("prompt_embeds", "negative_prompt_embeds", "video_ids", "audio_ids")
+    # joint-AV replay: trainers feed the stored AUDIO latent for the same
+    # trajectory slot alongside the video latents
+    trajectory_batch_keys = {"audio_latents": "audio_all_latents"}
 
     def pretrained_component_maps(self):
         from ...utils.checkpoint import lm_decoder_key_map, ltx2_transformer_key_map

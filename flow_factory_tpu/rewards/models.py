@@ -24,14 +24,21 @@ logger = logging.getLogger(__name__)
 
 
 class MyReward(PointwiseRewardModel):
-    """Template pointwise reward: mean brightness of the image in [0, 1]."""
+    """Template pointwise reward: mean brightness in [0, 1]. Videos score
+    as the frame mean (the PickScore convention), so the template works for
+    every task family out of the box."""
 
-    required_fields = ("image", "prompt")
+    required_fields = ("image", "video", "prompt")
 
-    def compute_reward(self, image: Sequence[np.ndarray], prompt: Sequence[str], **_) -> np.ndarray:
-        return np.asarray(
-            [float(np.mean(img)) if img is not None else 0.0 for img in image], np.float64
-        )
+    def compute_reward(self, image: Sequence[np.ndarray], prompt: Sequence[str],
+                       video: Optional[Sequence[np.ndarray]] = None, **_) -> np.ndarray:
+        out = []
+        for i in range(len(prompt)):
+            img = image[i] if image is not None else None
+            vid = video[i] if video is not None else None
+            media = img if img is not None else vid
+            out.append(float(np.mean(media)) if media is not None else 0.0)
+        return np.asarray(out, np.float64)
 
 
 class MyGroupReward(GroupwiseRewardModel):

@@ -65,6 +65,14 @@ class DPOTrainer(DecoupledTrainer):
         frozen = self.adapter.frozen_velocity_params()
         T = ta.get_num_train_timesteps(self.config)
         B = max(1, min(self.micro_batch_size, len(pairs)))
+        # mesh data axes require a divisible batch: ties/short groups can
+        # drop pairs to a count the data axes cannot split — round the
+        # micro-batch UP and cycle-pad (the reference pads/cycles the same
+        # way for rank lockstep, dpo.py:355-430)
+        mesh = getattr(self.adapter, "mesh", None)
+        if mesh is not None:
+            d = mesh.shape["replica"] * mesh.shape["fsdp"]
+            B = -(-B // d) * d
         shard = self.adapter.shard_batch
         infos = []
 
@@ -74,7 +82,8 @@ class DPOTrainer(DecoupledTrainer):
             for start in range(0, len(pairs), B):
                 chunk = [pairs[i] for i in perm[start : start + B]]
                 if len(chunk) < B:  # cycle to keep shapes static (reference pads/cycles)
-                    chunk = chunk + [pairs[i] for i in perm[: B - len(chunk)]]
+                    chunk = chunk + [pairs[perm[i % len(perm)]]
+                                     for i in range(B - len(chunk))]
                 chosen = [c for c, _ in chunk]
                 rejected = [r for _, r in chunk]
                 from ..samples import stack_samples

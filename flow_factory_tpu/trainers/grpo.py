@@ -133,6 +133,9 @@ class GRPOTrainer(BaseTrainer):
                     )
                     if means is not None:
                         batch["rollout_mean"] = means[:, lni]
+                    for bk, sk in self.adapter.trajectory_batch_keys.items():
+                        if sk in batch_np and batch_np[sk] is not None:
+                            batch[bk] = jnp.asarray(batch_np[sk], jnp.float32)[:, li]
                     batch = shard(batch)
                     (loss, aux), grads = self._grad_fn(
                         self.adapter.trainable, frozen, batch, ref_trainable
