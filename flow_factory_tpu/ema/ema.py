@@ -32,9 +32,7 @@ def power_decay(gamma: float = 1.0, power: float = 2.0 / 3.0, max_decay: float =
     def fn(step: int) -> float:
         if step <= 0:
             return 0.0
-        return min(max_decay, (1.0 + step / gamma) ** -power * -1.0 + 1.0) if False else min(
-            max_decay, 1.0 - (1.0 + step / gamma) ** (-power)
-        )
+        return min(max_decay, 1.0 - (1.0 + step / gamma) ** (-power))
 
     return fn
 

@@ -62,6 +62,14 @@ class Arguments:
         self._resolve_sampler_type()
         self._align_batch_geometry()
         self._adjust_gradient_accumulation()
+        if not self.training_args.offload_samples_to_cpu:
+            # samples are ALWAYS host-resident in the TPU build (the rollout
+            # fetches with one device_get); the knob only exists for config
+            # compatibility and cannot be turned off.
+            logger.warning(
+                "offload_samples_to_cpu=false is ignored: rollout samples are "
+                "always stored host-side on TPU (see samples/samples.py)."
+            )
 
     # ------------------------------------------------------------------
     # Loading

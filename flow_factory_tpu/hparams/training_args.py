@@ -104,7 +104,9 @@ class TrainingArguments(ArgABC):
 
     # Memory levers
     enable_gradient_checkpointing: bool = field(default=False)
-    offload_samples_to_cpu: bool = field(default=False)
+    # always-on in the TPU build (samples are host numpy by construction);
+    # accepted for reference-config compatibility, warns if set false
+    offload_samples_to_cpu: bool = field(default=True)
     latent_storage_dtype: Optional[Literal["bf16", "fp16", "fp32"]] = field(default="fp16")
 
     # EMA

@@ -154,9 +154,20 @@ class RewardBuffer:
     """Accumulates rollout samples; async-scores eligible models immediately.
 
     Mirrors reference ``RewardBuffer`` (``reward_processor.py:543-821``)
-    minus the CUDA stream machinery: async pointwise models are dispatched to
-    a thread pool the moment samples arrive (overlapping the next rollout
-    batch); groupwise and sync models run at :meth:`finalize`.
+    minus the CUDA stream machinery (samples handed in are already host
+    numpy, so "data ready" is trivially true for pool workers):
+
+    * async **pointwise** models dispatch per-model full batches the moment
+      their pending count reaches ``model.batch_size`` (reference
+      ``_submit_ready_tasks``); the tail (< batch_size) flushes at
+      :meth:`finalize`.
+    * async **groupwise** models dispatch one task per COMPLETED group
+      (``group_size`` samples sharing a ``unique_id``) as groups fill up.
+      With ``distributed_groups`` groups span processes, so groupwise models
+      stay sync (cross-host gather happens once, at finalize).
+    * :meth:`finalize` takes ``split`` — ``'pointwise'`` lets evaluation
+      (1 sample/prompt ⇒ groups never complete) score without tripping the
+      complete-group invariant (reference ``grpo.py:123``).
     """
 
     def __init__(
@@ -170,43 +181,111 @@ class RewardBuffer:
         self.group_size = group_size
         self.distributed_groups = distributed_groups
         self.reward_weights = reward_weights or {m.name: m.weight for m in reward_models}
-        self.async_models = [
-            m for m in reward_models
-            if getattr(m.args, "async_reward", False) and m.reward_type == "pointwise"
+        is_async = lambda m: bool(getattr(m.args, "async_reward", False))
+        self.async_pointwise = [
+            m for m in reward_models if is_async(m) and m.reward_type == "pointwise"
         ]
+        self.async_groupwise = [
+            m
+            for m in reward_models
+            if is_async(m) and m.reward_type == "groupwise" and not distributed_groups
+        ]
+        self.async_models = self.async_pointwise + self.async_groupwise
         self.sync_models = [m for m in reward_models if m not in self.async_models]
         workers = sum(max(1, getattr(m.args, "num_workers", 1)) for m in self.async_models)
         self._pool = ThreadPoolExecutor(max_workers=max(1, workers)) if self.async_models else None
         self._samples: List[BaseSample] = []
-        self._futures: List[Tuple[str, int, int, Future]] = []  # (name, lo, hi, future)
+        #: (model_name, reward_type, [indices], future)
+        self._futures: List[Tuple[str, str, List[int], Future]] = []
+        self._pointwise_pending: Dict[str, List[int]] = {m.name: [] for m in self.async_pointwise}
+        self._groupwise_pending: Dict[str, List[int]] = {}
         self._lock = threading.Lock()
+
+    # -- dispatch ---------------------------------------------------------------
+    def _submit_pointwise(self, model: PointwiseRewardModel, indices: List[int]) -> None:
+        chunk = [self._samples[i] for i in indices]
+        fut = self._pool.submit(self.processor._score_pointwise, model, chunk)
+        self._futures.append((model.name, "pointwise", list(indices), fut))
+
+    def _score_one_group(self, model: GroupwiseRewardModel, group: List[BaseSample]) -> np.ndarray:
+        self.processor._ensure_setup()
+        fields = model.extract_fields(group)
+        return np.asarray(model.compute_group_reward(**fields), np.float64).reshape(-1)
+
+    def _submit_ready_tasks(self) -> None:
+        for model in self.async_pointwise:
+            bs = max(1, model.batch_size)
+            pending = self._pointwise_pending[model.name]
+            while len(pending) >= bs:
+                batch_idx, pending = pending[:bs], pending[bs:]
+                self._pointwise_pending[model.name] = pending
+                self._submit_pointwise(model, batch_idx)
+        if self.async_groupwise:
+            for uid, indices in list(self._groupwise_pending.items()):
+                if len(indices) >= self.group_size:
+                    group = [self._samples[i] for i in indices]
+                    for model in self.async_groupwise:
+                        fut = self._pool.submit(self._score_one_group, model, group)
+                        self._futures.append((model.name, "groupwise", list(indices), fut))
+                    del self._groupwise_pending[uid]
 
     def add_samples(self, samples: Sequence[BaseSample]) -> None:
         with self._lock:
             lo = len(self._samples)
             self._samples.extend(samples)
-            hi = len(self._samples)
-        for model in self.async_models:
-            fut = self._pool.submit(self.processor._score_pointwise, model, list(samples))
-            self._futures.append((model.name, lo, hi, fut))
+            new_indices = list(range(lo, len(self._samples)))
+            for model in self.async_pointwise:
+                self._pointwise_pending[model.name].extend(new_indices)
+            if self.async_groupwise:
+                for i, s in zip(new_indices, samples):
+                    self._groupwise_pending.setdefault(s.unique_id, []).append(i)
+            self._submit_ready_tasks()
 
     @property
     def samples(self) -> List[BaseSample]:
         return self._samples
 
-    def finalize(self) -> List[BaseSample]:
-        """Score remaining models, collect async futures, attach rewards."""
+    def finalize(self, split: str = "all") -> List[BaseSample]:
+        """Score remaining models, collect async futures, attach rewards.
+
+        ``split='pointwise'`` (evaluation) skips groupwise models entirely —
+        sync groupwise are not scored, async groupwise futures/pendings are
+        dropped — so incomplete groups (1 sample/prompt) never raise.
+        """
+        assert split in ("pointwise", "groupwise", "all"), split
         n = len(self._samples)
+        sync_models = [
+            m
+            for m in self.sync_models
+            if split == "all" or m.reward_type == split
+        ]
         per_model: Dict[str, np.ndarray] = {
-            name: np.zeros(n, np.float64) for name in self.reward_weights
+            m.name: np.zeros(n, np.float64) for m in sync_models + self.async_models
+            if split == "all" or m.reward_type == split
         }
-        sync_scores = self.processor.score(
-            self._samples, self.group_size, self.distributed_groups, models=self.sync_models
+        per_model.update(
+            self.processor.score(
+                self._samples, self.group_size, self.distributed_groups, models=sync_models
+            )
         )
-        per_model.update(sync_scores)
-        for name, lo, hi, fut in self._futures:
-            per_model[name][lo:hi] = fut.result()  # re-raises worker exceptions
-        self._futures.clear()
+        # flush pointwise tails (< batch_size) that never hit the trigger
+        if split in ("pointwise", "all"):
+            for model in self.async_pointwise:
+                pending = self._pointwise_pending[model.name]
+                if pending:
+                    self._pointwise_pending[model.name] = []
+                    self._submit_pointwise(model, pending)
+        if split == "all" and self._groupwise_pending:
+            incomplete = {u: len(ix) for u, ix in self._groupwise_pending.items()}
+            raise ValueError(f"incomplete groups at finalize: {incomplete}")
+        leftover: List[Tuple[str, str, List[int], Future]] = []
+        for name, rtype, indices, fut in self._futures:
+            if split != "all" and rtype != split:
+                leftover.append((name, rtype, indices, fut))
+                continue
+            out = fut.result()  # re-raises worker exceptions
+            per_model[name][np.asarray(indices)] = out
+        self._futures = leftover
 
         for i, s in enumerate(self._samples):
             rewards = {name: float(scores[i]) for name, scores in per_model.items()}
@@ -218,6 +297,8 @@ class RewardBuffer:
     def clear(self) -> None:
         self._samples = []
         self._futures = []
+        self._pointwise_pending = {m.name: [] for m in self.async_pointwise}
+        self._groupwise_pending = {}
 
     def cleanup(self) -> None:
         for _, _, _, fut in self._futures:

@@ -246,7 +246,9 @@ class BaseTrainer(ABC):
             )
             self.eval_reward_buffer.add_samples(samples)
             all_samples.extend(samples)
-        self.eval_reward_buffer.finalize()
+        # eval generates 1 sample/prompt — groups never complete, so score
+        # pointwise models only (reference grpo.py:123 finalize split)
+        self.eval_reward_buffer.finalize(split="pointwise")
         rewards = np.asarray([s.extra_kwargs.get("reward", 0.0) for s in all_samples])
         metrics = {
             "eval/reward_mean": float(rewards.mean()) if len(rewards) else 0.0,
@@ -264,6 +266,23 @@ class BaseTrainer(ABC):
             if media["videos"]:
                 self.logger_backend.log_videos(
                     "eval/samples", media["videos"], media["captions"], step=epoch
+                )
+            # conditioned tasks (i2i/i2v): log condition media alongside results
+            from ..logger.formatting import condition_result_table
+
+            rows = condition_result_table(all_samples, 16)
+            cond_imgs, cond_caps = [], []
+            for r in rows:
+                conds = r["conditions"]
+                if conds is None:
+                    continue
+                for c in conds if isinstance(conds, (list, tuple)) else [conds]:
+                    if isinstance(c, np.ndarray) and c.ndim == 3:
+                        cond_imgs.append(c)
+                        cond_caps.append(f"{r['prompt']} | r={r['reward']}")
+            if cond_imgs:
+                self.logger_backend.log_images(
+                    "eval/conditions", cond_imgs, cond_caps, step=epoch
                 )
         self.eval_reward_buffer.clear()
         self.adapter.train()

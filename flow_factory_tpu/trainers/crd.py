@@ -126,12 +126,14 @@ class CRDTrainer(DecoupledTrainer):
             if ta.use_old_for_loss else ref_trainable
         )
         B = self.micro_batch_size
+        # in-order indices, cycle-padded so remainder samples still contribute
+        idx = list(range(len(samples)))
+        if idx and len(idx) % B:
+            idx += idx[: B - len(idx) % B]
         for inner in range(ta.num_inner_epochs):
             # CRD keeps sample order (same-prompt grouping aids centering)
-            for bi in range(0, max(len(samples) - B + 1, 1), B):
-                mb = samples[bi : bi + B]
-                if len(mb) < B:
-                    break
+            for bi in range(0, len(idx) - B + 1, B):
+                mb = [samples[i] for i in idx[bi : bi + B]]
                 from ..samples import stack_samples
 
                 batch_np = stack_samples(mb)

@@ -105,7 +105,10 @@ class DecoupledTrainer(BaseTrainer):
         B = self.micro_batch_size
         rng = np.random.default_rng(derive_seed("shuffle", self.training_args.seed, epoch, inner))
         perm = rng.permutation(len(samples))
-        for start in range(0, len(samples) - B + 1, B):
+        # cycle-pad the remainder so every rollout sample contributes
+        if len(perm) % B:
+            perm = np.concatenate([perm, perm[: B - len(perm) % B]])
+        for start in range(0, len(perm) - B + 1, B):
             mb = [samples[i] for i in perm[start : start + B]]
             yield mb, stack_samples(mb)
 

@@ -89,7 +89,11 @@ class GRPOTrainer(BaseTrainer):
         for inner in range(ta.num_inner_epochs):
             rng = np.random.default_rng(derive_seed("shuffle", ta.seed, epoch, inner))
             perm = rng.permutation(len(samples))
-            for mb_start in range(0, len(samples) - B + 1, B):
+            # cycle-pad the remainder so every rollout sample contributes
+            # (instead of silently dropping len(samples) % B of the compute)
+            if len(perm) % B:
+                perm = np.concatenate([perm, perm[: B - len(perm) % B]])
+            for mb_start in range(0, len(perm) - B + 1, B):
                 mb = [samples[i] for i in perm[mb_start : mb_start + B]]
                 batch_np = stack_samples(mb)
                 lat_index_map = mb[0].latent_index_map

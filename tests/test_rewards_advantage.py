@@ -59,6 +59,54 @@ def test_groupwise_incomplete_group_raises():
     buf.cleanup()
 
 
+def test_async_groupwise_dispatches_complete_groups():
+    # async groupwise: one task per completed group, dispatched as groups fill
+    args = RewardArguments(
+        name="rank", reward_model="MyGroupReward", async_reward=True, num_workers=2
+    )
+    buf = RewardBuffer([MyGroupReward(args)], group_size=2, distributed_groups=False)
+    samples = _mk_samples(["a", "b", "a", "b"], [0.9, 0.2, 0.1, 0.8])
+    buf.add_samples(samples[:2])  # both groups incomplete → nothing dispatched
+    assert len(buf._futures) == 0
+    buf.add_samples(samples[2:])  # both groups complete → two tasks
+    assert len(buf._futures) == 2
+    done = buf.finalize()
+    ranks = [s.extra_kwargs["rewards"]["rank"] for s in done]
+    assert ranks == [1.0, 0.0, 0.0, 1.0]
+    buf.cleanup()
+
+
+def test_async_pointwise_batch_trigger_and_tail_flush():
+    # batch_size=2 → add_samples(3) dispatches one full batch; tail at finalize
+    args = RewardArguments(
+        name="bright", reward_model="MyReward", async_reward=True, batch_size=2
+    )
+    buf = RewardBuffer([MyReward(args)], group_size=1, distributed_groups=False)
+    buf.add_samples(_mk_samples(["a", "b", "c"], [0.1, 0.2, 0.3]))
+    assert len(buf._futures) == 1  # only the full batch dispatched
+    done = buf.finalize()
+    got = [s.extra_kwargs["rewards"]["bright"] for s in done]
+    assert got == pytest.approx([0.1, 0.2, 0.3], abs=1e-6)
+    buf.cleanup()
+
+
+def test_finalize_pointwise_split_skips_groupwise():
+    # evaluation path: 1 sample/prompt (incomplete groups) + groupwise model
+    # configured — split='pointwise' must not raise and must score pointwise
+    p_args = RewardArguments(name="bright", reward_model="MyReward", weight=2.0)
+    g_args = RewardArguments(name="rank", reward_model="MyGroupReward")
+    buf = RewardBuffer(
+        [MyReward(p_args), MyGroupReward(g_args)], group_size=4, distributed_groups=False
+    )
+    buf.add_samples(_mk_samples(["a", "b"], [0.25, 0.5]))
+    done = buf.finalize(split="pointwise")
+    for s, b in zip(done, [0.25, 0.5]):
+        assert s.extra_kwargs["rewards"]["bright"] == pytest.approx(b, abs=1e-6)
+        assert "rank" not in s.extra_kwargs["rewards"]
+        assert s.extra_kwargs["reward"] == pytest.approx(2 * b, abs=1e-5)
+    buf.cleanup()
+
+
 def test_multi_reward_loader_dedup():
     entries = MultiRewardArguments.from_list([
         {"name": "r1", "reward_model": "MyReward", "weight": 1.0},
