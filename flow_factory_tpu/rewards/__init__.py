@@ -1,6 +1,7 @@
 from .abc import BaseRewardModel, GroupwiseRewardModel, PointwiseRewardModel
 from .loader import MultiRewardLoader
-from .models import CLIPScoreReward, MyGroupReward, MyReward, PickScoreReward, RemoteReward
+from .models import (CLIPScoreReward, MyGroupReward, MyReward, PickScoreRankReward,
+                     PickScoreReward, RemoteReward)
 from .registry import available_rewards, register_reward, resolve_reward_class
 from .reward_processor import RewardBuffer, RewardProcessor
 
@@ -14,6 +15,7 @@ __all__ = [
     "MyReward",
     "MyGroupReward",
     "PickScoreReward",
+    "PickScoreRankReward",
     "CLIPScoreReward",
     "RemoteReward",
     "resolve_reward_class",

@@ -109,6 +109,25 @@ class PickScoreReward(PointwiseRewardModel):
         return np.asarray(out, np.float64)
 
 
+class PickScoreRankReward(GroupwiseRewardModel, PickScoreReward):
+    """Within-group rank reward on PickScore (reference
+    ``rewards/pick_score.py:143-246``, ``PickScoreRankRewardModel``).
+
+    Scores a COMPLETE group (K same-prompt samples) with PickScore (frame
+    mean for videos), then returns rank-based rewards
+    ``argsort(argsort(scores)) / K`` — 0 for the worst sample, (K−1)/K for
+    the best. Shares the scoring trunk with :class:`PickScoreReward`.
+    """
+
+    reward_type = "groupwise"
+    required_fields = ("image", "video", "prompt")
+
+    def compute_group_reward(self, prompt: Sequence[str], image=None, video=None, **_) -> np.ndarray:
+        raw = self.compute_reward(prompt, image=image, video=video)
+        ranks = np.argsort(np.argsort(raw))
+        return ranks.astype(np.float64) / max(1, len(prompt))
+
+
 class CLIPScoreReward(PointwiseRewardModel):
     """CLIP text-image cosine similarity (reference ``rewards/clip.py``)."""
 

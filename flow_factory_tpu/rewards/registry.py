@@ -8,6 +8,7 @@ _REWARD_REGISTRY = {
     "MyReward": "flow_factory_tpu.rewards.models:MyReward",
     "MyGroupReward": "flow_factory_tpu.rewards.models:MyGroupReward",
     "PickScore": "flow_factory_tpu.rewards.models:PickScoreReward",
+    "PickScoreRank": "flow_factory_tpu.rewards.models:PickScoreRankReward",
     "CLIPScore": "flow_factory_tpu.rewards.models:CLIPScoreReward",
     "Remote": "flow_factory_tpu.rewards.models:RemoteReward",
     "MyRewardRemote": "flow_factory_tpu.rewards.models:RemoteReward",
