@@ -143,6 +143,18 @@ class BaseAdapter(ABC):
     #: (e.g. LTX-2's joint-AV replay needs the audio latent alongside video)
     trajectory_batch_keys: Dict[str, str] = {}
 
+    @property
+    def decoupled_latent_keys(self) -> Dict[str, str]:
+        """Latent streams decoupled trainers train on: {batch_key: sample_key}.
+
+        Single-modality adapters expose just the primary latent; joint-AV
+        adapters inherit their ``trajectory_batch_keys`` streams (LTX-2 audio)
+        so NFT/AWM/DPO/DGPO/CRD losses cover every modality the rollout
+        produced — the reference trains on the unified [video; audio] tensor
+        (``ltx2_t2av.py`` forward concat), here it is a latent pytree.
+        """
+        return {"latents": "all_latents", **self.trajectory_batch_keys}
+
     #: default scheduler registry key (adapters override; Wan uses 'unipc')
     default_scheduler: str = "flow_match_euler"
 
@@ -825,6 +837,19 @@ class BaseAdapter(ABC):
 
             self._tv_jit = jax.jit(fn, static_argnames=("do_cfg",))
         return self._tv_jit(trainable, frozen, latents, t, embeds, guidance_scale, do_cfg=do_cfg)
+
+    def training_velocity_tree(
+        self, trainable: Dict[str, Any], batch: Dict[str, Any],
+        frozen: Optional[Dict[str, Any]] = None,
+    ) -> Dict[str, jax.Array]:
+        """Velocity for EVERY latent stream in ``decoupled_latent_keys``.
+
+        Returns a pytree keyed like the batch's latent streams; decoupled
+        trainers flatten it per sample for their reductions. Default:
+        single ``latents`` leaf via :meth:`training_velocity`. Joint-AV
+        adapters override to run the multi-stream forward once.
+        """
+        return {"latents": self.training_velocity(trainable, batch, frozen=frozen)}
 
     # ------------------------------------------------------------------
     # Component device management (reference abc.py:1847-1953 on/off_load)

@@ -541,6 +541,31 @@ class LTX2T2AVAdapter(BaseAdapter):
         )
 
     # ------------------------------------------------------------------
+    def training_velocity_tree(self, trainable, batch, frozen=None):
+        """Joint (video, audio) velocity at arbitrary latents/t — the
+        decoupled-trainer forward. One transformer pass covers both streams
+        (the reference trains decoupled algorithms on the unified
+        [video; audio] tensor; here the streams stay separate leaves)."""
+        embeds = {k: batch[k] for k in self.embed_keys if k in batch}
+        do_cfg = "negative_prompt_embeds" in embeds
+        if not hasattr(self, "_tvt_jit"):
+            def fn(trainable, frozen, v_lat, a_lat, t, embeds, guidance_scale, do_cfg):
+                merged = self.merged_params("transformer", trainable, frozen)
+                vel_v, vel_a = self._joint_velocity(
+                    merged, v_lat, a_lat, t, embeds, guidance_scale, do_cfg
+                )
+                return {"latents": vel_v, "audio_latents": vel_a}
+
+            self._tvt_jit = jax.jit(fn, static_argnames=("do_cfg",))
+        return self._tvt_jit(
+            trainable,
+            frozen if frozen is not None else self.frozen_velocity_params(),
+            batch["latents"], batch["audio_latents"], batch["timestep"], embeds,
+            batch.get("guidance_scale", jnp.float32(self.training_args.guidance_scale)),
+            do_cfg=do_cfg,
+        )
+
+    # ------------------------------------------------------------------
     def inference(
         self,
         prompt: Optional[Sequence[str]] = None,

@@ -70,7 +70,7 @@ class AWMTrainer(DecoupledTrainer):
 
         for inner in range(ta.num_inner_epochs):
             for bi, (mb, batch_np) in enumerate(self.iter_micro_batches(samples, epoch, inner)):
-                clean = jnp.asarray(batch_np["all_latents"][:, -1], jnp.float32)
+                clean = self.clean_latent_tree(batch_np)  # {latents[, audio_latents]}
                 embeds = self.batch_embeds(batch_np)
                 adv = jnp.asarray([s.extra_kwargs["advantage"] for s in mb], jnp.float32)
                 g = jnp.float32(mb[0].extra_kwargs.get("guidance_scale", ta.guidance_scale))
@@ -82,12 +82,14 @@ class AWMTrainer(DecoupledTrainer):
                 for t_idx in range(T):
                     t = jnp.asarray(all_t[t_idx])
                     key = derive_key("awm_noise", ta.seed, epoch, inner, bi, t_idx)
-                    noise = jax.random.normal(key, clean.shape, jnp.float32)
-                    x_t = self.noised_latents(clean, noise, t)
-                    fwd = shard({**embeds, "latents": x_t, "timestep": t, "guidance_scale": g})
-                    old_v = self.adapter.training_velocity(sampling_tr, fwd)
+                    noise = self.tree_normal(key, clean)
+                    x_t = self.tree_noised(clean, noise, t)
+                    fwd = shard({**embeds, **x_t, "timestep": t, "guidance_scale": g})
+                    old_v = self.adapter.training_velocity_tree(sampling_tr, fwd)
                     old_lp = weighted_log_prob(
-                        old_v, noise - clean, t, ta.awm_weighting, ta.ghuber_power
+                        self.tree_flat(old_v),
+                        self.tree_flat(noise) - self.tree_flat(clean),
+                        t, ta.awm_weighting, ta.ghuber_power,
                     )
                     noises.append(noise)
                     old_lps.append(jax.lax.stop_gradient(old_lp))
@@ -129,11 +131,15 @@ class AWMTrainer(DecoupledTrainer):
             weighting, ghp = ta.awm_weighting, ta.ghuber_power
             adapter = self.adapter
 
+            from .decoupled import DecoupledTrainer as _DT
+
             def loss_fn(trainable, frozen, batch, ref_trainable, ema_trainable):
-                clean, noise, t = batch["clean"], batch["noise"], batch["timestep"]
-                sigma = (t / 1000.0).reshape(-1, *([1] * (clean.ndim - 1)))
-                x_t = (1.0 - sigma) * clean + sigma * noise
-                v = adapter.training_velocity(trainable, {**batch, "latents": x_t}, frozen=frozen)
+                clean_t, noise_t, t = batch["clean"], batch["noise"], batch["timestep"]
+                x_t_tree = _DT.tree_noised(clean_t, noise_t, t)
+                v = _DT.tree_flat(adapter.training_velocity_tree(
+                    trainable, {**batch, **x_t_tree}, frozen=frozen
+                ))
+                clean, noise = _DT.tree_flat(clean_t), _DT.tree_flat(noise_t)
                 lp = weighted_log_prob(v, noise - clean, t, weighting, ghp)
 
                 ratio = jnp.exp(lp - batch["old_log_prob"])
@@ -150,16 +156,20 @@ class AWMTrainer(DecoupledTrainer):
                     "train/matching_lp": jnp.mean(lp),
                 }
                 if kl_beta > 0 and ref_trainable is not None:
-                    ref_v = jax.lax.stop_gradient(
-                        adapter.training_velocity(ref_trainable, {**batch, "latents": x_t}, frozen=frozen)
-                    )
+                    ref_v = jax.lax.stop_gradient(_DT.tree_flat(
+                        adapter.training_velocity_tree(
+                            ref_trainable, {**batch, **x_t_tree}, frozen=frozen
+                        )
+                    ))
                     kl = jnp.mean((v - ref_v) ** 2)
                     loss = loss + kl_beta * kl
                     aux["train/kl"] = kl
                 if ema_kl_beta > 0 and ema_trainable is not None:
-                    ema_v = jax.lax.stop_gradient(
-                        adapter.training_velocity(ema_trainable, {**batch, "latents": x_t}, frozen=frozen)
-                    )
+                    ema_v = jax.lax.stop_gradient(_DT.tree_flat(
+                        adapter.training_velocity_tree(
+                            ema_trainable, {**batch, **x_t_tree}, frozen=frozen
+                        )
+                    ))
                     ekl = jnp.mean((v - ema_v) ** 2)
                     loss = loss + ema_kl_beta * ekl
                     aux["train/ema_kl"] = ekl

@@ -137,7 +137,7 @@ class CRDTrainer(DecoupledTrainer):
                 from ..samples import stack_samples
 
                 batch_np = stack_samples(mb)
-                clean = jnp.asarray(batch_np["all_latents"][:, -1], jnp.float32)
+                clean = self.clean_latent_tree(batch_np)  # {latents[, audio_latents]}
                 embeds = self.batch_embeds(batch_np)
                 adv = jnp.asarray([s.extra_kwargs["advantage"] for s in mb], jnp.float32)
                 g = jnp.float32(mb[0].extra_kwargs.get("guidance_scale", ta.guidance_scale))
@@ -148,11 +148,11 @@ class CRDTrainer(DecoupledTrainer):
                 for t_idx in range(T):
                     t = jnp.asarray(all_t[t_idx])
                     key = derive_key("crd_noise", ta.seed, epoch, inner, bi, t_idx)
-                    noise = jax.random.normal(key, clean.shape, jnp.float32)
-                    x_t = self.noised_latents(clean, noise, t)
-                    fwd = shard({**embeds, "latents": x_t, "timestep": t, "guidance_scale": g})
+                    noise = self.tree_normal(key, clean)
+                    x_t = self.tree_noised(clean, noise, t)
+                    fwd = shard({**embeds, **x_t, "timestep": t, "guidance_scale": g})
                     fwd_uncfg = {k: v for k, v in fwd.items() if not k.startswith("negative_")}
-                    old_v = self.adapter.training_velocity(old_trainable, fwd_uncfg)
+                    old_v = self.adapter.training_velocity_tree(old_trainable, fwd_uncfg)
                     noises.append(noise)
                     old_vs.append(jax.lax.stop_gradient(old_v))
 
@@ -209,15 +209,18 @@ class CRDTrainer(DecoupledTrainer):
                     )
                 return jnp.mean((crd_beta * Rtc - Rc) ** 2)
 
+            from .decoupled import DecoupledTrainer as _DT
+
             def loss_fn(trainable, frozen, batch, ref_trainable):
-                clean, noise, t = batch["clean"], batch["noise"], batch["timestep"]
-                sigma = (t / 1000.0).reshape(-1, *([1] * (clean.ndim - 1)))
-                x_t = (1.0 - sigma) * clean + sigma * noise
-                target = noise - clean
-                fwd = {**batch, "latents": x_t}
+                clean_t, noise_t, t = batch["clean"], batch["noise"], batch["timestep"]
+                x_t_tree = _DT.tree_noised(clean_t, noise_t, t)
+                target = _DT.tree_flat(noise_t) - _DT.tree_flat(clean_t)
+                fwd = {**batch, **x_t_tree}
                 fwd_uncfg = {k: v for k, v in fwd.items() if not k.startswith("negative_")}
-                v = adapter.training_velocity(trainable, fwd_uncfg, frozen=frozen)
-                old_v = batch["old_v"]
+                v = _DT.tree_flat(
+                    adapter.training_velocity_tree(trainable, fwd_uncfg, frozen=frozen)
+                )
+                old_v = _DT.tree_flat(batch["old_v"])
 
                 if adaptive:
                     wt = sg(jnp.maximum(jnp.mean(
@@ -271,7 +274,9 @@ class CRDTrainer(DecoupledTrainer):
                         ref_fwd = {**fwd, "guidance_scale": jnp.float32(kl_cfg)}
                     else:
                         ref_fwd = fwd_uncfg
-                    ref_v = sg(adapter.training_velocity(ref_trainable, ref_fwd, frozen=frozen))
+                    ref_v = sg(_DT.tree_flat(
+                        adapter.training_velocity_tree(ref_trainable, ref_fwd, frozen=frozen)
+                    ))
                     kl = jnp.mean((v - ref_v).reshape(v.shape[0], -1) ** 2, axis=-1)
                     if reward_adaptive_kl:
                         base_beta = 1e-4

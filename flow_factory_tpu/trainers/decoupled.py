@@ -125,6 +125,40 @@ class DecoupledTrainer(BaseTrainer):
         sigma = (t / 1000.0).reshape(-1, *([1] * (clean.ndim - 1)))
         return (1.0 - sigma) * clean + sigma * noise
 
+    # ------------------------------------------------------------------
+    # Latent pytrees: every adapter latent stream (video + LTX-2 audio)
+    # flows through the decoupled losses. Streams stay separate leaves for
+    # the model forward; losses reduce over the flattened concat — the same
+    # semantics as the reference's unified [video; audio] tensor.
+    # ------------------------------------------------------------------
+    def clean_latent_tree(self, batch_np: Dict[str, Any]) -> Dict[str, jnp.ndarray]:
+        """Final (clean) latents per stream: {batch_key: (B, ...)}."""
+        out = {}
+        for bk, sk in self.adapter.decoupled_latent_keys.items():
+            if sk in batch_np and batch_np[sk] is not None:
+                out[bk] = jnp.asarray(batch_np[sk][:, -1], jnp.float32)
+        return out
+
+    @staticmethod
+    def tree_normal(key: jax.Array, tree: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+        """Independent N(0,1) per leaf (key folded per stream, sorted order)."""
+        return {
+            k: jax.random.normal(jax.random.fold_in(key, i), tree[k].shape, jnp.float32)
+            for i, k in enumerate(sorted(tree))
+        }
+
+    @classmethod
+    def tree_noised(cls, clean: Dict[str, jnp.ndarray], noise: Dict[str, jnp.ndarray],
+                    t: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        return {k: cls.noised_latents(clean[k], noise[k], t) for k in clean}
+
+    @staticmethod
+    def tree_flat(tree: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+        """(B, Σ leaf sizes) concat in sorted-key order — the loss view."""
+        ks = sorted(tree)
+        B = tree[ks[0]].shape[0]
+        return jnp.concatenate([tree[k].reshape(B, -1) for k in ks], axis=1)
+
     def aggregate_infos(self, infos: List[Dict[str, float]]) -> Dict[str, float]:
         if not infos:
             return {}

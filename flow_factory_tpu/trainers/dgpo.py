@@ -89,19 +89,27 @@ class DGPOTrainer(DecoupledTrainer):
         seed = derive_seed(self.training_args.seed, epoch, inner, _TAG_SHARED_T)
         return self.sample_timesteps(1, seed)[:, 0]
 
-    def _shared_noise(self, mb: List[BaseSample], shape, epoch: int, inner: int) -> jnp.ndarray:
-        """Per-unique-id shared (timestep-invariant) noise."""
-        cache: Dict[str, jnp.ndarray] = {}
-        rows = []
-        for s in mb:
-            if s.unique_id not in cache:
-                key = derive_key(
-                    self.training_args.seed, epoch, inner,
-                    self._uid_int(s.unique_id), _TAG_SHARED_NOISE,
-                )
-                cache[s.unique_id] = jax.random.normal(key, shape, jnp.float32)
-            rows.append(cache[s.unique_id])
-        return jnp.stack(rows, axis=0)
+    def _shared_noise(
+        self, mb: List[BaseSample], clean: Dict[str, jnp.ndarray], epoch: int, inner: int
+    ) -> Dict[str, jnp.ndarray]:
+        """Per-unique-id shared (timestep-invariant) noise, per latent stream."""
+        out: Dict[str, jnp.ndarray] = {}
+        for li, bk in enumerate(sorted(clean)):
+            shape = clean[bk].shape[1:]
+            cache: Dict[str, jnp.ndarray] = {}
+            rows = []
+            for s in mb:
+                if s.unique_id not in cache:
+                    key = derive_key(
+                        self.training_args.seed, epoch, inner,
+                        self._uid_int(s.unique_id), _TAG_SHARED_NOISE,
+                    )
+                    cache[s.unique_id] = jax.random.normal(
+                        jax.random.fold_in(key, li), shape, jnp.float32
+                    )
+                rows.append(cache[s.unique_id])
+            out[bk] = jnp.stack(rows, axis=0)
+        return out
 
     @staticmethod
     def _group_ids(mb: List[BaseSample]):
@@ -124,17 +132,17 @@ class DGPOTrainer(DecoupledTrainer):
         for inner in range(ta.num_inner_epochs):
             shared_t = self._shared_timesteps(epoch, inner)  # (T,)
             for bi, (mb, batch_np) in enumerate(self.iter_micro_batches(samples, epoch, inner)):
-                clean = jnp.asarray(batch_np["all_latents"][:, -1], jnp.float32)
+                clean = self.clean_latent_tree(batch_np)  # {latents[, audio_latents]}
                 embeds = self.batch_embeds(batch_np)
                 adv_raw = jnp.asarray([s.extra_kwargs["advantage"] for s in mb], jnp.float32)
                 adv = jnp.clip(adv_raw, ta.adv_clip_range[0], ta.adv_clip_range[1])
                 group_ids_np, num_groups = self._group_ids(mb)
                 group_ids = jnp.asarray(group_ids_np)
                 if ta.use_shared_noise:
-                    noise = self._shared_noise(mb, clean.shape[1:], epoch, inner)
+                    noise = self._shared_noise(mb, clean, epoch, inner)
                 else:
                     key = derive_key("dgpo_noise", ta.seed, epoch, inner, bi)
-                    noise = jax.random.normal(key, clean.shape, jnp.float32)
+                    noise = self.tree_normal(key, clean)
 
                 ema_ref_tr = (
                     self.adapter.get_named_parameters(self.EMA_REF)
@@ -184,22 +192,27 @@ class DGPOTrainer(DecoupledTrainer):
                 d = (a - b).reshape(a.shape[0], -1)
                 return jnp.mean(d * d, axis=-1)
 
+            from .decoupled import DecoupledTrainer as _DT
+
             def loss_fn(trainable, frozen, batch, ref_trainable, ema_ref_tr, num_groups):
-                clean, noise, t = batch["clean"], batch["noise"], batch["timestep"]
-                sigma = (t / 1000.0).reshape(-1, *([1] * (clean.ndim - 1)))
-                x_t = (1.0 - sigma) * clean + sigma * noise
-                target = noise - clean
-                fwd = {**batch, "latents": x_t, "guidance_scale": jnp.float32(1.0)}
+                clean_t, noise_t, t = batch["clean"], batch["noise"], batch["timestep"]
+                x_t_tree = _DT.tree_noised(clean_t, noise_t, t)
+                target = _DT.tree_flat(noise_t) - _DT.tree_flat(clean_t)
+                fwd = {**batch, **x_t_tree, "guidance_scale": jnp.float32(1.0)}
                 # model/old forwards run WITHOUT CFG (reference guidance 1.0):
                 # dropping the negative embeds makes do_cfg resolve statically.
                 fwd_uncfg = {k: v for k, v in fwd.items() if not k.startswith("negative_")}
 
-                model_v = adapter.training_velocity(trainable, fwd_uncfg, frozen=frozen)
+                model_v = _DT.tree_flat(
+                    adapter.training_velocity_tree(trainable, fwd_uncfg, frozen=frozen)
+                )
                 dsm = per_sample_mse(model_v, target)
 
                 old_v = None
                 if ema_ref_tr is not None and (clip_dsm or clip_kl or use_ema_ref):
-                    old_v = sg(adapter.training_velocity(ema_ref_tr, fwd_uncfg, frozen=frozen))
+                    old_v = sg(_DT.tree_flat(
+                        adapter.training_velocity_tree(ema_ref_tr, fwd_uncfg, frozen=frozen)
+                    ))
 
                 ref_v = None
                 if kl_beta > 0 or not use_ema_ref:
@@ -207,7 +220,9 @@ class DGPOTrainer(DecoupledTrainer):
                         ref_fwd = {**fwd, "guidance_scale": jnp.float32(kl_cfg)}
                     else:
                         ref_fwd = fwd_uncfg
-                    ref_v = sg(adapter.training_velocity(ref_trainable, ref_fwd, frozen=frozen))
+                    ref_v = sg(_DT.tree_flat(
+                        adapter.training_velocity_tree(ref_trainable, ref_fwd, frozen=frozen)
+                    ))
 
                 ref_dgpo_v = old_v if use_ema_ref else ref_v
                 ref_dsm = sg(per_sample_mse(ref_dgpo_v, target))

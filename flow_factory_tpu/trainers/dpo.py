@@ -89,8 +89,8 @@ class DPOTrainer(DecoupledTrainer):
                 from ..samples import stack_samples
 
                 cb, rb = stack_samples(chosen), stack_samples(rejected)
-                chosen_lat = jnp.asarray(cb["all_latents"][:, -1], jnp.float32)
-                rejected_lat = jnp.asarray(rb["all_latents"][:, -1], jnp.float32)
+                chosen_lat = self.clean_latent_tree(cb)   # {latents[, audio_latents]}
+                rejected_lat = self.clean_latent_tree(rb)
                 embeds = self.batch_embeds(cb)
 
                 t_seed = derive_seed("dpo_t", ta.seed, epoch, inner, start)
@@ -98,7 +98,7 @@ class DPOTrainer(DecoupledTrainer):
                 for t_idx in range(T):
                     t = jnp.asarray(all_t[t_idx])
                     key = derive_key("dpo_noise", ta.seed, epoch, inner, start, t_idx)
-                    noise = jax.random.normal(key, chosen_lat.shape, jnp.float32)
+                    noise = self.tree_normal(key, chosen_lat)  # shared ε across the pair
                     batch = dict(
                         chosen=chosen_lat,
                         rejected=rejected_lat,
@@ -130,17 +130,21 @@ class DPOTrainer(DecoupledTrainer):
             beta = float(ta.beta)
             adapter = self.adapter
 
+            from .decoupled import DecoupledTrainer as _DT
+
             def loss_fn(trainable, frozen, batch, ref_trainable):
                 t, noise = batch["timestep"], batch["noise"]
-                sigma = (t / 1000.0).reshape(-1, *([1] * (batch["chosen"].ndim - 1)))
-                xw = (1.0 - sigma) * batch["chosen"] + sigma * noise
-                xl = (1.0 - sigma) * batch["rejected"] + sigma * noise
-                target_w = noise - batch["chosen"]
-                target_l = noise - batch["rejected"]
+                xw = _DT.tree_noised(batch["chosen"], noise, t)
+                xl = _DT.tree_noised(batch["rejected"], noise, t)
+                noise_f = _DT.tree_flat(noise)
+                target_w = noise_f - _DT.tree_flat(batch["chosen"])
+                target_l = noise_f - _DT.tree_flat(batch["rejected"])
 
-                def err(tr, x, target):
-                    v = adapter.training_velocity(tr, {**batch, "latents": x}, frozen=frozen)
-                    d = (v - target).reshape(v.shape[0], -1)
+                def err(tr, x_tree, target):
+                    v = _DT.tree_flat(adapter.training_velocity_tree(
+                        tr, {**batch, **x_tree}, frozen=frozen
+                    ))
+                    d = v - target
                     return jnp.mean(d * d, axis=-1)
 
                 tw = err(trainable, xw, target_w)

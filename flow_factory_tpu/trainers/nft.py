@@ -54,7 +54,7 @@ class NFTTrainer(DecoupledTrainer):
 
         for inner in range(ta.num_inner_epochs):
             for bi, (mb, batch_np) in enumerate(self.iter_micro_batches(samples, epoch, inner)):
-                clean = jnp.asarray(batch_np["all_latents"][:, -1], jnp.float32)
+                clean = self.clean_latent_tree(batch_np)  # {latents[, audio_latents]}
                 embeds = self.batch_embeds(batch_np)
                 adv = jnp.asarray([s.extra_kwargs["advantage"] for s in mb], jnp.float32)
                 g = jnp.float32(mb[0].extra_kwargs.get("guidance_scale", ta.guidance_scale))
@@ -67,10 +67,10 @@ class NFTTrainer(DecoupledTrainer):
                 for t_idx in range(T):
                     t = jnp.asarray(all_t[t_idx])
                     key = derive_key("nft_noise", ta.seed, epoch, inner, bi, t_idx)
-                    noise = jax.random.normal(key, clean.shape, jnp.float32)
-                    x_t = self.noised_latents(clean, noise, t)
-                    fwd = shard({**embeds, "latents": x_t, "timestep": t, "guidance_scale": g})
-                    old_v = self.adapter.training_velocity(sampling_tr, fwd)
+                    noise = self.tree_normal(key, clean)
+                    x_t = self.tree_noised(clean, noise, t)
+                    fwd = shard({**embeds, **x_t, "timestep": t, "guidance_scale": g})
+                    old_v = self.adapter.training_velocity_tree(sampling_tr, fwd)
                     noises.append(noise)
                     old_vs.append(jax.lax.stop_gradient(old_v))
 
@@ -119,12 +119,20 @@ class NFTTrainer(DecoupledTrainer):
                 d = (x0_pred - clean) ** 2 / w
                 return jnp.mean(d.reshape(clean.shape[0], -1), axis=-1)
 
+            from .decoupled import DecoupledTrainer as _DT
+
             def loss_fn(trainable, frozen, batch, ref_trainable):
-                clean, noise, t = batch["clean"], batch["noise"], batch["timestep"]
+                clean_t, noise_t, t = batch["clean"], batch["noise"], batch["timestep"]
+                x_t_tree = _DT.tree_noised(clean_t, noise_t, t)
+                new_v_tree = adapter.training_velocity_tree(
+                    trainable, {**batch, **x_t_tree}, frozen=frozen
+                )
+                # loss math runs on the flattened concat of all latent streams
+                # (identical semantics to the reference's unified tensor)
+                clean, noise = _DT.tree_flat(clean_t), _DT.tree_flat(noise_t)
+                new_v, old_v = _DT.tree_flat(new_v_tree), _DT.tree_flat(batch["old_v"])
                 sigma = (t / 1000.0).reshape(-1, *([1] * (clean.ndim - 1)))
                 x_t = (1.0 - sigma) * clean + sigma * noise
-                new_v = adapter.training_velocity(trainable, {**batch, "latents": x_t}, frozen=frozen)
-                old_v = batch["old_v"]
 
                 adv = jnp.clip(batch["advantage"], adv_lo, adv_hi)
                 r = jnp.clip((adv / adv_hi) / 2.0 + 0.5, 0.0, 1.0)
@@ -143,9 +151,11 @@ class NFTTrainer(DecoupledTrainer):
                     "train/reward_r_mean": jnp.mean(r),
                 }
                 if kl_beta > 0 and ref_trainable is not None:
-                    ref_v = jax.lax.stop_gradient(
-                        adapter.training_velocity(ref_trainable, {**batch, "latents": x_t}, frozen=frozen)
-                    )
+                    ref_v = jax.lax.stop_gradient(_DT.tree_flat(
+                        adapter.training_velocity_tree(
+                            ref_trainable, {**batch, **x_t_tree}, frozen=frozen
+                        )
+                    ))
                     kl = jnp.mean((new_v - ref_v) ** 2)
                     loss = loss + kl_beta * kl
                     aux["train/kl"] = kl
