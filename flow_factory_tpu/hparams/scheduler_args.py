@@ -15,3 +15,7 @@ class SchedulerArguments(ArgABC):
     sde_steps: Optional[List[int]] = field(default=None)
     seed: int = field(default=42)
     scheduler_type: Optional[str] = field(default=None)  # None → adapter default
+    # UniPC eval-mode knobs (diffusers parity): predictor-corrector order 1-3
+    # and the final-steps order taper
+    solver_order: int = field(default=2)
+    lower_order_final: bool = field(default=True)

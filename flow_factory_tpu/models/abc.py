@@ -163,7 +163,7 @@ class BaseAdapter(ABC):
 
         sa = self.scheduler_args
         cls = get_scheduler_class(sa.scheduler_type or self.default_scheduler)
-        return cls(
+        sched = cls(
             noise_level=sa.noise_level,
             sde_steps=sa.sde_steps,
             num_sde_steps=sa.num_sde_steps,
@@ -171,6 +171,11 @@ class BaseAdapter(ABC):
             dynamics_type=sa.dynamics_type,
             **self.scheduler_defaults(),
         )
+        # UniPC eval knobs ride as attributes (only read by use_unipc_eval
+        # schedulers; harmless elsewhere)
+        sched.solver_order = int(getattr(sa, "solver_order", 2))
+        sched.lower_order_final = bool(getattr(sa, "lower_order_final", True))
+        return sched
 
     def scheduler_defaults(self) -> Dict[str, Any]:
         """Per-model sigma-schedule knobs (shift, dynamic shifting...)."""
@@ -707,7 +712,9 @@ class BaseAdapter(ABC):
     ):
         """Eval-mode UniPC(bh2) rollout — same signature as ``_rollout_impl``
         so adapters dispatch transparently; log-probs are zeros (ODE)."""
-        from ..scheduler.unipc import init_unipc_carry, unipc_eval_step
+        from ..scheduler.unipc import (
+            compute_unipc_orders, init_unipc_carry, unipc_eval_step,
+        )
 
         merged = self.merged_params(self.velocity_component, trainable, frozen)
         B = x0.shape[0]
@@ -715,16 +722,23 @@ class BaseAdapter(ABC):
         lat_buf = jnp.zeros((num_latent_slots + 1, *x0.shape), storage_dtype)
         lat_buf = lat_buf.at[latent_store_slot[0]].set(x0.astype(storage_dtype))
         lp_buf = jnp.zeros((num_logprob_slots + 1, B), jnp.float32)
+        # per-step order schedule (host-computed; T is static under jit)
+        pred_orders, corr_orders = compute_unipc_orders(
+            int(timesteps.shape[0]),
+            int(getattr(self.scheduler, "solver_order", 2)),
+            bool(getattr(self.scheduler, "lower_order_final", True)),
+        )
 
         def body(carry, inp):
             uc, lat_buf = carry
-            sigma, sigma_next, t, lat_slot = inp
+            sigma, sigma_next, t, lat_slot, p_ord, c_ord = inp
             v = self._velocity(merged, uc.x, jnp.full((B,), t), embeds, guidance_scale, do_cfg)
-            uc, x_next = unipc_eval_step(uc, v, sigma, sigma_next)
+            uc, x_next = unipc_eval_step(uc, v, sigma, sigma_next, p_ord, c_ord)
             lat_buf = lat_buf.at[lat_slot].set(x_next.astype(storage_dtype))
             return (uc, lat_buf), None
 
-        inputs = (sigmas[:-1], sigmas[1:], timesteps, latent_store_slot[1:])
+        inputs = (sigmas[:-1], sigmas[1:], timesteps, latent_store_slot[1:],
+                  jnp.asarray(pred_orders), jnp.asarray(corr_orders))
         (uc, lat_buf), _ = jax.lax.scan(body, (init_unipc_carry(x0), lat_buf), inputs)
         return uc.x, lat_buf[:-1], lp_buf[:-1], None
 

@@ -69,34 +69,176 @@ def test_video_vae_roundtrip_shapes(adapter):
     assert dec.shape == (1, 5, 3, 32, 32)
 
 
+def _run_unipc(v_of_sigma_x, sigmas, x, solver_order=2):
+    """Drive unipc_eval_step over a σ grid with the order schedule."""
+    from flow_factory_tpu.scheduler.unipc import compute_unipc_orders
+
+    n = len(sigmas) - 1
+    pred, corr = compute_unipc_orders(n, solver_order)
+    carry = init_unipc_carry(x)
+    for i in range(n):
+        v = v_of_sigma_x(float(sigmas[i]), carry.x)
+        carry, _ = unipc_eval_step(
+            carry, v, jnp.float32(sigmas[i]), jnp.float32(sigmas[i + 1]),
+            jnp.int32(pred[i]), jnp.int32(corr[i]),
+        )
+    return carry.x
+
+
 def test_unipc_exact_on_constant_field():
     """Constant velocity ⇒ exact linear solution; UniPC must land on it."""
     x = jnp.full((1, 4), 1.0)
-    carry = init_unipc_carry(x)
     sigmas = np.linspace(1.0, 0.0, 9)
-    for i in range(8):
-        v = jnp.full_like(x, 2.0)
-        carry, _ = unipc_eval_step(carry, v, jnp.float32(sigmas[i]), jnp.float32(sigmas[i + 1]))
-    np.testing.assert_allclose(np.asarray(carry.x), -1.0, atol=1e-4)
+    out = _run_unipc(lambda s, x_: jnp.full_like(x_, 2.0), sigmas, x)
+    np.testing.assert_allclose(np.asarray(out), -1.0, atol=1e-4)
 
 
 def test_unipc_beats_euler_on_curved_field():
     """dx/dσ = σ (analytic x(0) = x(1) − 1/2): order-2 UniPC error < Euler."""
-    def run(step_fn, n):
-        sigmas = np.linspace(1.0, 0.0, n + 1)
-        x = jnp.full((1, 1), 1.0)
-        carry = init_unipc_carry(x)
-        x_euler = x
-        for i in range(n):
-            sig, sig_next = jnp.float32(sigmas[i]), jnp.float32(sigmas[i + 1])
-            v_unipc = jnp.full_like(carry.x, float(sigmas[i]))
-            carry, _ = unipc_eval_step(carry, v_unipc, sig, sig_next)
-            x_euler = x_euler + jnp.full_like(x_euler, float(sigmas[i])) * (sig_next - sig)
-        return float(carry.x[0, 0]), float(x_euler[0, 0])
-
+    n = 8
+    sigmas = np.linspace(1.0, 0.0, n + 1)
+    x = jnp.full((1, 1), 1.0)
+    out = _run_unipc(lambda s, x_: jnp.full_like(x_, s), sigmas, x)
+    x_euler = x
+    for i in range(n):
+        x_euler = x_euler + jnp.full_like(x_euler, float(sigmas[i])) * float(
+            sigmas[i + 1] - sigmas[i]
+        )
     exact = 1.0 - 0.5
-    x_unipc, x_euler = run(None, 8)
-    assert abs(x_unipc - exact) < abs(x_euler - exact)
+    assert abs(float(out[0, 0]) - exact) < abs(float(x_euler[0, 0]) - exact)
+
+
+class _DiffusersUniPCOracle:
+    """Independent stateful numpy transcription of diffusers'
+    UniPCMultistepScheduler (bh2, predict_x0, flow matching: α=1−σ) — the
+    parity oracle VERDICT #9 asks for."""
+
+    def __init__(self, sigmas, solver_order=2, lower_order_final=True):
+        self.sigmas = np.asarray(sigmas, np.float64)
+        self.order = solver_order
+        self.lower_order_final = lower_order_final
+        self.model_outputs = [None] * solver_order
+        self.timestep_sigmas = [None] * solver_order
+        self.lower_order_nums = 0
+        self.step_index = 0
+        self.last_sample = None
+        self.this_order = None
+
+    @staticmethod
+    def _lam(s):
+        s = np.clip(s, 1e-6, 1 - 1e-6)
+        return np.log((1 - s) / s)
+
+    def _coeffs(self, h, order, rks):
+        hh = -h
+        h_phi_1 = np.expm1(hh)
+        B_h = h_phi_1
+        R, b = [], []
+        h_phi_k = h_phi_1 / hh - 1
+        fact = 1
+        rks = np.asarray(rks, np.float64)
+        for i in range(1, order + 1):
+            R.append(rks ** (i - 1))
+            b.append(h_phi_k * fact / B_h)
+            fact *= i + 1
+            h_phi_k = h_phi_k / hh - 1 / fact
+        return h_phi_1, B_h, np.stack(R), np.asarray(b)
+
+    def _uni_p(self, m0, x, order):
+        s0, t = self.sigmas[self.step_index], self.sigmas[self.step_index + 1]
+        lam_t, lam_s0 = self._lam(t), self._lam(s0)
+        h = lam_t - lam_s0
+        rks, D1s = [], []
+        for i in range(1, order):
+            si = self.timestep_sigmas[-(i + 1)]
+            mi = self.model_outputs[-(i + 1)]
+            rk = (self._lam(si) - lam_s0) / h
+            rks.append(rk)
+            D1s.append((mi - m0) / rk)
+        rks.append(1.0)
+        h_phi_1, B_h, R, b = self._coeffs(h, order, rks)
+        alpha_t = 1 - t
+        x_t_ = (max(t, 1e-6) / max(s0, 1e-6)) * x - alpha_t * h_phi_1 * m0
+        if D1s:
+            if order == 2:
+                rhos_p = np.asarray([0.5])
+            else:
+                rhos_p = np.linalg.solve(R[:-1, :-1], b[:-1])
+            res = sum(r * d for r, d in zip(rhos_p, D1s))
+        else:
+            res = 0
+        return x_t_ - alpha_t * B_h * res
+
+    def _uni_c(self, model_t, last_sample, this_sample, order):
+        s0, t = self.sigmas[self.step_index - 1], self.sigmas[self.step_index]
+        lam_t, lam_s0 = self._lam(t), self._lam(s0)
+        m0 = self.model_outputs[-1]
+        h = lam_t - lam_s0
+        rks, D1s = [], []
+        for i in range(1, order):
+            si = self.timestep_sigmas[-(i + 1)]
+            mi = self.model_outputs[-(i + 1)]
+            rk = (self._lam(si) - lam_s0) / h
+            rks.append(rk)
+            D1s.append((mi - m0) / rk)
+        rks.append(1.0)
+        h_phi_1, B_h, R, b = self._coeffs(h, order, rks)
+        alpha_t = 1 - t
+        x_t_ = (max(t, 1e-6) / max(s0, 1e-6)) * last_sample - alpha_t * h_phi_1 * m0
+        if order == 1:
+            rhos_c = np.asarray([0.5])
+        else:
+            rhos_c = np.linalg.solve(R, b)
+        corr = sum(r * d for r, d in zip(rhos_c[:-1], D1s)) if D1s else 0
+        D1_t = model_t - m0
+        return x_t_ - alpha_t * B_h * (corr + rhos_c[-1] * D1_t)
+
+    def step(self, v, sample):
+        sigma = self.sigmas[self.step_index]
+        m = sample - sigma * v  # x0 prediction (flow matching)
+        if self.step_index > 0 and self.last_sample is not None:
+            sample = self._uni_c(m, self.last_sample, sample, self.this_order)
+        self.model_outputs = self.model_outputs[1:] + [m]
+        self.timestep_sigmas = self.timestep_sigmas[1:] + [sigma]
+        n = len(self.sigmas) - 1
+        this_order = min(self.order, n - self.step_index) if self.lower_order_final else self.order
+        self.this_order = min(this_order, self.lower_order_nums + 1)
+        self.last_sample = sample
+        out = self._uni_p(m, sample, self.this_order)
+        self.lower_order_nums = min(self.lower_order_nums + 1, self.order)
+        self.step_index += 1
+        return out
+
+
+@pytest.mark.parametrize("solver_order", [1, 2, 3])
+def test_unipc_matches_diffusers_oracle(solver_order):
+    """Eval trajectory == independent diffusers-formula oracle at fp32
+    (VERDICT round-1 item 9) for orders 1-3, on a nonlinear field."""
+    rng = np.random.default_rng(0)
+    n = 10
+    sigmas = np.linspace(1.0, 0.0, n + 1)
+    x0 = rng.normal(size=(2, 6)).astype(np.float32)
+
+    def field(s, x):
+        # nonlinear in σ and x: exercises the multistep differences
+        return np.sin(3 * s) * np.asarray(x) + s**2
+
+    oracle = _DiffusersUniPCOracle(sigmas, solver_order=solver_order)
+    xo = np.asarray(x0, np.float64)
+    for i in range(n):
+        xo = oracle.step(field(sigmas[i], xo), xo)
+
+    from flow_factory_tpu.scheduler.unipc import compute_unipc_orders
+
+    pred, corr = compute_unipc_orders(n, solver_order)
+    carry = init_unipc_carry(jnp.asarray(x0))
+    for i in range(n):
+        v = jnp.asarray(field(sigmas[i], np.asarray(carry.x)), jnp.float32)
+        carry, _ = unipc_eval_step(
+            carry, v, jnp.float32(sigmas[i]), jnp.float32(sigmas[i + 1]),
+            jnp.int32(pred[i]), jnp.int32(corr[i]),
+        )
+    np.testing.assert_allclose(np.asarray(carry.x), xo, rtol=2e-4, atol=2e-4)
 
 
 def test_eval_rollout_uses_unipc(adapter):
