@@ -233,6 +233,7 @@ class QwenImageAdapter(Flux1Adapter):
 
     def inference(self, negative_prompt=None, negative_prompt_embeds=None, **kwargs):
         ta = self.training_args
+        kwargs.pop("pooled_prompt_embeds", None)  # Qwen has no pooled stream
         g = float(kwargs.get("guidance_scale") or ta.guidance_scale)
         extra = kwargs.pop("extra_embeds", None) or {}
         if g > 1.0 and negative_prompt_embeds is None:

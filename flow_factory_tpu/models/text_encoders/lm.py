@@ -10,11 +10,12 @@ states. Frozen, bf16, preprocessing-only.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional
+from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..layers import apply_rope, rope_frequencies
 
@@ -31,6 +32,11 @@ class LMConfig:
     rope_theta: float = 1000000.0
     #: Qwen2.x puts biases on the q/k/v projections (Llama/Mistral/Gemma don't)
     attn_bias: bool = False
+    #: Qwen2.5-VL multimodal RoPE: rotary dims per (t, h, w) section
+    #: (halved dims; sums to head_dim//2). None → standard 1-D RoPE.
+    #: For pure text with equal section positions, M-RoPE == 1-D RoPE, so
+    #: text-only encoding is unchanged.
+    mrope_sections: Optional[Tuple[int, int, int]] = None
     dtype: str = "bfloat16"
 
     @property
@@ -40,6 +46,13 @@ class LMConfig:
     @staticmethod
     def qwen25_7b(**o) -> "LMConfig":
         base = dict(attn_bias=True)
+        base.update(o)
+        return LMConfig(**base)
+
+    @staticmethod
+    def qwen25_vl_7b(**o) -> "LMConfig":
+        """Qwen2.5-VL-7B language side (M-RoPE sections 16/24/24)."""
+        base = dict(attn_bias=True, mrope_sections=(16, 24, 24))
         base.update(o)
         return LMConfig(**base)
 
@@ -129,6 +142,9 @@ class LMEncoder(nn.Module):
         input_ids: jax.Array,
         attention_mask: Optional[jax.Array] = None,
         return_logits: bool = False,
+        vision_embeds: Optional[jax.Array] = None,  # (B, Lv, D)
+        vision_mask: Optional[jax.Array] = None,    # (B, L) bool: image-pad slots
+        position_ids: Optional[jax.Array] = None,   # (3, L) M-RoPE t/h/w ids
     ):
         cfg = self.cfg
         B, L = input_ids.shape
@@ -136,8 +152,30 @@ class LMEncoder(nn.Module):
             cfg.vocab_size, cfg.hidden_dim, dtype=cfg.compute_dtype, name="token_embedding"
         )
         x = tok_emb(input_ids)
-        pos = jnp.arange(L)[:, None].astype(jnp.float32)
-        cos, sin = rope_frequencies(pos, (cfg.head_dim,), cfg.rope_theta)
+        if vision_embeds is not None and vision_mask is not None:
+            # scatter vision-tower outputs into the image-pad positions
+            # (the VLM conditioning path, reference qwen_image_edit_plus.py:186-193)
+            vm = vision_mask.astype(jnp.int32)
+            idx = jnp.clip(jnp.cumsum(vm, axis=1) - 1, 0, vision_embeds.shape[1] - 1)
+            gathered = jnp.take_along_axis(
+                vision_embeds.astype(x.dtype), idx[..., None], axis=1
+            )
+            x = jnp.where(vision_mask[..., None], gathered, x)
+        if position_ids is not None and cfg.mrope_sections is not None:
+            # M-RoPE: frequency j takes its position from section comp(j)
+            half = cfg.head_dim // 2
+            freqs = 1.0 / (
+                cfg.rope_theta ** (jnp.arange(half, dtype=jnp.float32) * 2.0 / cfg.head_dim)
+            )
+            sel = np.concatenate([
+                np.full(s, i, np.int32) for i, s in enumerate(cfg.mrope_sections)
+            ])
+            pos_per_freq = position_ids.astype(jnp.float32)[jnp.asarray(sel)]  # (half, L)
+            angles = pos_per_freq.T * freqs[None]  # (L, half)
+            cos, sin = jnp.cos(angles), jnp.sin(angles)
+        else:
+            pos = jnp.arange(L)[:, None].astype(jnp.float32)
+            cos, sin = rope_frequencies(pos, (cfg.head_dim,), cfg.rope_theta)
         causal = jnp.tril(jnp.ones((L, L), bool))[None, None]
         if attention_mask is not None:
             causal = causal & attention_mask[:, None, None, :].astype(bool)

@@ -154,6 +154,37 @@ class BaseTrainer(ABC):
     # ------------------------------------------------------------------
     # Epoch template (reference start(), grpo.py:60-91)
     # ------------------------------------------------------------------
+    #: batch keys the trainers pass explicitly (everything else in the
+    #: preprocessed batch — cond_latents/cond_ids, images, image_embeds,
+    #: cond_tokens/cond_mask, condition_video... — forwards to inference so
+    #: conditioned families actually roll out conditioned)
+    _STD_BATCH_KEYS = frozenset({
+        "prompt", "prompt_embeds", "pooled_prompt_embeds",
+        "negative_prompt_embeds", "negative_pooled_prompt_embeds",
+    })
+    #: trainer-controlled inference kwargs a dataset column must not override
+    _RESERVED_BATCH_KEYS = frozenset({
+        "seed", "keys", "key", "trainable", "compute_log_prob",
+        "trajectory_indices", "store_means", "num_inference_steps", "decode",
+    })
+
+    def condition_kwargs(self, batch: Dict[str, Any]) -> Dict[str, Any]:
+        def is_path_field(v) -> bool:
+            # raw record media columns are file paths — preprocessing already
+            # folded them into cond_latents/image_embeds etc., don't re-load
+            if isinstance(v, str):
+                return True
+            if isinstance(v, (list, tuple)):
+                inner = next((x for x in v if x is not None), None)
+                return is_path_field(inner) if inner is not None else False
+            return False
+
+        return {
+            k: v for k, v in batch.items()
+            if k not in self._STD_BATCH_KEYS and k not in self._RESERVED_BATCH_KEYS
+            and v is not None and not is_path_field(v)
+        }
+
     def start(self) -> None:
         ta = self.training_args
         max_epochs = ta.max_epochs or 1
@@ -243,6 +274,8 @@ class BaseTrainer(ABC):
                 trajectory_indices=None,
                 keys=keys,
                 trainable=self.adapter.ema_trainable,
+                **{k: v for k, v in self.condition_kwargs(batch).items()
+                   if k not in ("height", "width", "guidance_scale")},
             )
             self.eval_reward_buffer.add_samples(samples)
             all_samples.extend(samples)

@@ -49,6 +49,7 @@ class DecoupledTrainer(BaseTrainer):
                 trajectory_indices=[-1],
                 keys=keys,
                 trainable=trainable,
+                **self.condition_kwargs(batch),
             )
             self.reward_buffer.add_samples(samples)
         self.adapter.train()

@@ -62,6 +62,7 @@ class GRPOTrainer(BaseTrainer):
                 trajectory_indices=traj_indices,
                 keys=keys,
                 store_means=self.use_guard,
+                **self.condition_kwargs(batch),
             )
             # samples are host-resident numpy at this point: safe to hand to
             # async reward workers (the reference's D2H-before-add_samples rule)

@@ -1338,3 +1338,50 @@ def clip_vision_encoder_key_map(num_layers: int) -> Tuple[Dict[str, str], Dict[s
         m[f"{b}.mlp.fc1"] = f"{o}/fc1"
         m[f"{b}.mlp.fc2"] = f"{o}/fc2"
     return m, raw
+
+
+def qwen_vl_vision_key_map(depth: int) -> Tuple[Dict[str, str], Dict[str, str]]:
+    """Qwen2.5-VL ``visual`` tower → our ``VLVisionTower``.
+
+    Upstream layout (public Qwen2.5-VL): conv3d patch embed, fused-qkv
+    blocks with RMSNorms, SwiGLU MLP with biases, ``merger`` =
+    RMSNorm(ln_q) + 2-layer MLP over 2×2 merge groups. Use with
+    :func:`qwen_vl_vision_preprocess` (strips the optional ``model.``
+    prefix and flattens the conv3d patch kernel to the Dense layout).
+    """
+    m: Dict[str, str] = {
+        "visual.patch_embed.proj": "patch_embed",
+        "visual.merger.mlp.0": "merger_fc1",
+        "visual.merger.mlp.2": "merger_fc2",
+    }
+    raw: Dict[str, str] = {"visual.merger.ln_q.weight": "ln_q/weight"}
+    for i in range(depth):
+        b, o = f"visual.blocks.{i}", f"block_{i}"
+        raw[f"{b}.norm1.weight"] = f"{o}/norm1/weight"
+        raw[f"{b}.norm2.weight"] = f"{o}/norm2/weight"
+        m[f"{b}.attn.qkv"] = f"{o}/qkv"
+        m[f"{b}.attn.proj"] = f"{o}/proj"
+        m[f"{b}.mlp.gate_proj"] = f"{o}/gate"
+        m[f"{b}.mlp.up_proj"] = f"{o}/up"
+        m[f"{b}.mlp.down_proj"] = f"{o}/down"
+    return m, raw
+
+
+def qwen_vl_vision_preprocess(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Normalize a Qwen2.5-VL state dict for the vision key map:
+
+    * strip an optional ``model.`` prefix off ``visual.*`` keys (newer
+      transformers nest the tower under ``model.visual``),
+    * flatten the conv3d patch-embed kernel (out, C, T, ph, pw) to 2-D
+      (out, C·T·ph·pw) so the generic linear rule transposes it onto our
+      Dense — the host preprocessor flattens patches in the same
+      (C, T, ph, pw) row-major order (``vl_vision.preprocess_vision_image``).
+    """
+    out = {}
+    for k, v in sd.items():
+        if k.startswith("model.visual."):
+            k = k[len("model."):]
+        if k == "visual.patch_embed.proj.weight":
+            v = np.asarray(v).reshape(v.shape[0], -1)
+        out[k] = v
+    return out
