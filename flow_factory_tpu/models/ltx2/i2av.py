@@ -1,11 +1,24 @@
 """LTX-2 image→audio-video adapter.
 
 TPU-native re-design of the reference I2AV adapter
-(``src/flow_factory/models/ltx2/ltx2_i2av.py``): the condition image is
-VAE-encoded to the first video latent frame; its tokens REPLACE the noise at
-the first temporal position each step (hard conditioning on t=0 tokens),
-which is the sequence-domain analog of the reference's conditioned first
-frame. Everything else (joint scan, dual schedulers, decode) is inherited.
+(``src/flow_factory/models/ltx2/ltx2_i2av.py``), matching its conditioning
+mechanism token-for-token in the packed sequence domain:
+
+* the condition image is VAE-encoded and PLANTED in the first-latent-frame
+  tokens of the initial latents (reference ``prepare_latents(image=...)``),
+* the transformer sees a per-token video timestep — conditioned tokens
+  modulate at t=0 (reference ``video_ts = ts·(1 − conditioning_mask)``,
+  ``ltx2_i2av.py:858-866``; exact for the binary mask via t/0 embedding
+  interpolation in the transformer),
+* the video SDE step runs ONLY on generated tokens: conditioned tokens are
+  frozen by ``sde_step(token_mask=...)`` and excluded from the log-prob
+  (reference frame-slicing, ``ltx2_i2av.py:983-1032``: the scheduler steps
+  frames 1: and frame 0 is re-concatenated),
+* token replacement inside every forward keeps the conditioned tokens
+  exactly clean under storage-dtype round trips.
+
+Everything else (joint scan, dual schedulers, guidance, decode) is
+inherited from the T2AV adapter.
 """
 from __future__ import annotations
 
@@ -59,10 +72,12 @@ class LTX2I2AVAdapter(LTX2T2AVAdapter):
 
     def _joint_velocity(self, merged, v_lat, a_lat, t, embeds, guidance_scale, do_cfg):
         if "cond_tokens" in embeds:
-            # hard-condition the first-frame tokens every forward
+            # hard-condition the first-frame tokens every forward; keep
+            # cond_mask in embeds — the transformer uses it for the
+            # per-token t=0 modulation and sde_step for frame freezing
             m = embeds["cond_mask"]
             v_lat = v_lat * (1.0 - m) + embeds["cond_tokens"] * m
-            embeds = {k: v for k, v in embeds.items() if k not in ("cond_tokens", "cond_mask")}
+            embeds = {k: v for k, v in embeds.items() if k != "cond_tokens"}
         return super()._joint_velocity(merged, v_lat, a_lat, t, embeds, guidance_scale, do_cfg)
 
     def inference(self, images=None, cond_tokens=None, cond_mask=None, **kwargs):

@@ -372,10 +372,16 @@ class LTX2T2AVAdapter(BaseAdapter):
         aud_ids = embeds["audio_ids"]
         aud_ids = aud_ids[0] if aud_ids.ndim == 3 else aud_ids
 
+        cond_mask = embeds.get("cond_mask")  # (B, Lv, 1) I2AV hard conditioning
+
         def fwd(v, a, tt, ctx, skip=(), isolate=False):
+            cm = cond_mask
+            if cm is not None and v.shape[0] == 2 * cm.shape[0]:  # CFG doubling
+                cm = jnp.concatenate([cm, cm], axis=0)
             vv, va = model.apply(
                 {"params": merged}, v.astype(dt), a.astype(dt), tt, ctx,
                 vid_ids, aud_ids, skip, isolate_modalities=isolate,
+                video_cond_mask=cm,
             )
             return vv.astype(jnp.float32), va.astype(jnp.float32)
 
@@ -466,6 +472,10 @@ class LTX2T2AVAdapter(BaseAdapter):
         B = v0.shape[0]
         storage_dtype = self.training_args.storage_dtype
         sigma_max = v_sigmas[1] if v_sigmas.shape[0] > 1 else jnp.float32(0.999)
+        # I2AV: conditioned video tokens never step / never enter the log-prob
+        v_token_mask = (
+            1.0 - embeds["cond_mask"] if "cond_mask" in embeds else None
+        )
 
         v_buf = jnp.zeros((num_latent_slots + 1, *v0.shape), storage_dtype)
         v_buf = v_buf.at[latent_store_slot[0]].set(v0.astype(storage_dtype))
@@ -484,7 +494,7 @@ class LTX2T2AVAdapter(BaseAdapter):
                 vel_v, v, vs, vs_next,
                 dynamics_type=dynamics_type, noise_level=nl, key=sub,
                 compute_log_prob=compute_log_prob, storage_dtype=storage_dtype,
-                sigma_max=sigma_max,
+                sigma_max=sigma_max, token_mask=v_token_mask,
             )
             out_a = sde_step(
                 vel_a, a, as_, as_next,
@@ -533,11 +543,13 @@ class LTX2T2AVAdapter(BaseAdapter):
     ):
         merged = self.merged_params("transformer", trainable, frozen)
         vel_v, _ = self._joint_velocity(merged, v_lat, a_lat, timestep, embeds, guidance_scale, do_cfg)
+        v_token_mask = 1.0 - embeds["cond_mask"] if "cond_mask" in embeds else None
         return sde_step(
             vel_v, v_lat, sigma, sigma_next,
             dynamics_type=dynamics_type, noise_level=noise_level, key=key,
             next_latents=next_latents, compute_log_prob=compute_log_prob,
             storage_dtype=self.training_args.storage_dtype, sigma_max=sigma_max,
+            token_mask=v_token_mask,
         )
 
     # ------------------------------------------------------------------
@@ -634,6 +646,11 @@ class LTX2T2AVAdapter(BaseAdapter):
         a0 = jax.vmap(lambda k: jax.random.normal(
             jax.random.fold_in(k, 1), (La, self.audio_latent_channels), jnp.float32
         ))(keys)
+        # I2AV: plant the clean conditioning tokens in the initial latents
+        # (reference prepare_latents places the encoded image at frame 0)
+        if "cond_tokens" in embeds and "cond_mask" in embeds:
+            cm = jnp.asarray(embeds["cond_mask"], jnp.float32)
+            v0 = v0 * (1.0 - cm) + jnp.asarray(embeds["cond_tokens"], jnp.float32) * cm
         v0, a0 = self.cast_latents(v0), self.cast_latents(a0)
         scan_key = jax.random.fold_in(keys[0], 7)
         v0, a0 = self.shard_batch(v0), self.shard_batch(a0)

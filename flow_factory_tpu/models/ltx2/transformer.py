@@ -130,18 +130,26 @@ class LTX2Block(nn.Module):
         v_rope,       # (cos, sin) for video tokens
         a_rope,       # (cos, sin) for audio tokens
         isolate_modalities: bool = False,
+        v_temb6_zero=None,  # (B, 6, D) t=0 video modulation (I2AV)
+        v_cond_mask=None,   # (B, Lv, 1) 1 = hard-conditioned token
     ):
         cfg = self.cfg
         dt = cfg.compute_dtype
         D = cfg.hidden_dim
 
-        def mods(table_name, temb6):
+        def mods(table_name, temb6, temb6_zero=None, cond_mask=None):
             table = self.param(table_name, nn.initializers.normal(0.02), (1, 6, D), jnp.float32)
             m = table + temb6.astype(jnp.float32)
-            return [m[:, i, None] for i in range(6)]  # each (B, 1, D)
+            if temb6_zero is None or cond_mask is None:
+                return [m[:, i, None] for i in range(6)]  # each (B, 1, D)
+            # I2AV per-token timestep: conditioned tokens modulate at t=0
+            # (reference per-token ``ts·(1−cm)``; exact for a binary mask)
+            m0 = table + temb6_zero.astype(jnp.float32)
+            cm = cond_mask.astype(jnp.float32)  # (B, Lv, 1)
+            return [cm * m0[:, i, None] + (1.0 - cm) * m[:, i, None] for i in range(6)]
 
         v_shift_sa, v_scale_sa, v_gate_sa, v_shift_ff, v_scale_ff, v_gate_ff = mods(
-            "scale_shift_table", v_temb6)
+            "scale_shift_table", v_temb6, v_temb6_zero, v_cond_mask)
         a_shift_sa, a_scale_sa, a_gate_sa, a_shift_ff, a_scale_ff, a_gate_ff = mods(
             "audio_scale_shift_table", a_temb6)
 
@@ -218,6 +226,7 @@ class LTX2Transformer(nn.Module):
         skip_blocks: Tuple[int, ...] = (),
         audio_timestep: Optional[jax.Array] = None,
         isolate_modalities: bool = False,
+        video_cond_mask: Optional[jax.Array] = None,  # (B, Lv, 1): 1 = conditioned
     ) -> Tuple[jax.Array, jax.Array]:
         cfg = self.cfg
         dt = cfg.compute_dtype
@@ -228,10 +237,18 @@ class LTX2Transformer(nn.Module):
 
         if audio_timestep is None:
             audio_timestep = timestep
-        v_temb = TimestepEmbedder(cfg.hidden_dim, freq_dim=cfg.freq_dim,
-                                  dtype=jnp.float32, name="time_embed")(timestep)
-        v_temb6 = nn.Dense(6 * cfg.hidden_dim, dtype=jnp.float32, name="time_proj")(
-            nn.silu(v_temb)).reshape(B, 6, cfg.hidden_dim)
+        time_embed = TimestepEmbedder(cfg.hidden_dim, freq_dim=cfg.freq_dim,
+                                      dtype=jnp.float32, name="time_embed")
+        time_proj = nn.Dense(6 * cfg.hidden_dim, dtype=jnp.float32, name="time_proj")
+        v_temb = time_embed(timestep)
+        v_temb6 = time_proj(nn.silu(v_temb)).reshape(B, 6, cfg.hidden_dim)
+        # I2AV per-token timestep: conditioned video tokens see t=0
+        # (reference ltx2_i2av.py: ``video_ts = ts·(1 − conditioning_mask)``)
+        if video_cond_mask is not None:
+            v_temb0 = time_embed(jnp.zeros_like(timestep))
+            v_temb6_zero = time_proj(nn.silu(v_temb0)).reshape(B, 6, cfg.hidden_dim)
+        else:
+            v_temb0 = v_temb6_zero = None
         a_temb = TimestepEmbedder(cfg.hidden_dim, freq_dim=cfg.freq_dim,
                                   dtype=jnp.float32, name="audio_time_embed")(audio_timestep)
         a_temb6 = nn.Dense(6 * cfg.hidden_dim, dtype=jnp.float32, name="audio_time_proj")(
@@ -254,18 +271,26 @@ class LTX2Transformer(nn.Module):
                 continue
             v, a = BlockCls(cfg, name=f"block_{i}")(
                 v, a, v_ctx, a_ctx, v_temb6, a_temb6, v_rope, a_rope,
-                isolate_modalities,
+                isolate_modalities, v_temb6_zero, video_cond_mask,
             )
 
-        def head(x, temb, table_name, norm_name, head_name, out_ch):
+        def head(x, temb, table_name, norm_name, head_name, out_ch,
+                 temb_zero=None, cond_mask=None):
             table = self.param(table_name, nn.initializers.normal(0.02),
                                (1, 2, cfg.hidden_dim), jnp.float32)
             mod = table + temb[:, None, :].astype(jnp.float32)
-            shift, scale = mod[:, 0, None], mod[:, 1, None]
+            if temb_zero is not None and cond_mask is not None:
+                mod0 = table + temb_zero[:, None, :].astype(jnp.float32)
+                cm = cond_mask.astype(jnp.float32)
+                shift = cm * mod0[:, 0, None] + (1.0 - cm) * mod[:, 0, None]
+                scale = cm * mod0[:, 1, None] + (1.0 - cm) * mod[:, 1, None]
+            else:
+                shift, scale = mod[:, 0, None], mod[:, 1, None]
             x = _rms(norm_name)(x.astype(jnp.float32)) * (1 + scale) + shift
             return nn.Dense(out_ch, dtype=jnp.float32, name=head_name)(x)
 
-        v_out = head(v, v_temb, "head_table", "head_norm", "video_head", cfg.video_channels)
+        v_out = head(v, v_temb, "head_table", "head_norm", "video_head",
+                     cfg.video_channels, v_temb0, video_cond_mask)
         a_out = head(a, a_temb, "audio_head_table", "audio_head_norm", "audio_head",
                      cfg.audio_channels)
         return v_out, a_out

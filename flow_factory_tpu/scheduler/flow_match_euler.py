@@ -125,6 +125,7 @@ def sde_step(
     compute_log_prob: bool = True,
     storage_dtype: jnp.dtype = jnp.bfloat16,
     sigma_max: Union[float, jax.Array] = 0.999,
+    token_mask: Optional[jax.Array] = None,
 ) -> SDEStepOutput:
     """One (possibly stochastic) Euler step of the flow ODE/SDE with log-prob.
 
@@ -137,6 +138,12 @@ def sde_step(
 
     ``sigma``/``sigma_next``/``noise_level`` may be python floats, scalars, or
     per-sample (B,) arrays. ``dynamics_type`` is static (trace-time branch).
+
+    ``token_mask`` (broadcastable to ``latents``; 1.0 = generated, 0.0 =
+    hard-conditioned) freezes conditioned tokens — they never step (output
+    keeps the input value) and contribute nothing to the log-prob, matching
+    the reference I2AV frame-slicing (``ltx2_i2av.py``: the scheduler runs
+    on generated frames only and frame 0 is re-concatenated).
     """
     in_dtype = latents.dtype
     v = noise_pred.astype(jnp.float32)
@@ -152,6 +159,13 @@ def sde_step(
         if key is None:
             raise ValueError("`key` is required when sampling (next_latents=None)")
         return jax.random.normal(key, v.shape, dtype=jnp.float32)
+
+    def _reduce_lp(lp):
+        if token_mask is None:
+            return _mean_over_nonbatch(lp)
+        tm = jnp.broadcast_to(token_mask.astype(jnp.float32), lp.shape)
+        nb = tuple(range(1, lp.ndim))
+        return jnp.sum(lp * tm, axis=nb) / jnp.maximum(jnp.sum(tm, axis=nb), 1.0)
 
     log_prob = None
 
@@ -185,7 +199,7 @@ def sde_step(
                 - jnp.log(scale)
                 - LOG_SQRT_2PI
             )
-            log_prob = _mean_over_nonbatch(lp)
+            log_prob = _reduce_lp(lp)
 
     elif dynamics_type == "Dance-SDE":
         x0 = x - sigma * v
@@ -206,7 +220,7 @@ def sde_step(
                 - jnp.log(scale)
                 - LOG_SQRT_2PI
             )
-            log_prob = _mean_over_nonbatch(lp)
+            log_prob = _reduce_lp(lp)
 
     elif dynamics_type == "CPS":
         std_dev_t = sigma_next * jnp.sin(noise_level * jnp.pi / 2.0)
@@ -219,10 +233,16 @@ def sde_step(
         else:
             out = stored
         if compute_log_prob:
-            log_prob = _mean_over_nonbatch(-((jax.lax.stop_gradient(out) - mean) ** 2))
+            log_prob = _reduce_lp(-((jax.lax.stop_gradient(out) - mean) ** 2))
 
     else:
         raise ValueError(f"Unknown dynamics_type: {dynamics_type!r}")
+
+    if token_mask is not None:
+        # hard-conditioned tokens never step (reference I2AV frame freezing)
+        tm = token_mask.astype(jnp.float32)
+        out = tm * out + (1.0 - tm) * x
+        mean = tm * mean + (1.0 - tm) * x
 
     if not compute_log_prob:
         log_prob = None

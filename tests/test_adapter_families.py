@@ -411,3 +411,56 @@ def test_z_image_transformer_contract():
     assert out1.shape == (2, L, cfg.in_channels)
     assert not np.allclose(np.asarray(out1), np.asarray(out2))
     assert {"w1", "w2", "w3", "to_q", "to_out"} <= set(params["layer_0"].keys())
+
+
+def test_i2av_conditioned_tokens_frozen_and_excluded():
+    """Faithful I2AV mechanism (reference ltx2_i2av.py): the condition
+    tokens are planted in the initial latents, never stepped by the SDE,
+    and excluded from the log-prob."""
+    adapter = load_adapter(_cfg("ltx2-i2av", g=1.0))
+    adapter.rollout()
+    rng = np.random.default_rng(3)
+    images = [rng.random((3, 32, 32)).astype(np.float32) for _ in range(2)]
+    samples = adapter.inference(
+        prompt=["a harbor", "a forest"], images=images, compute_log_prob=True, seed=0
+    )
+    for s in samples:
+        cond = s.extra_kwargs["cond_tokens"]
+        mask = s.extra_kwargs["cond_mask"][:, 0].astype(bool)
+        assert mask.any() and (~mask).any()
+        # every stored latent slot keeps the conditioned tokens exactly
+        for slot in range(s.all_latents.shape[0]):
+            np.testing.assert_allclose(
+                s.all_latents[slot][mask], cond[mask], atol=1e-5,
+                err_msg=f"slot {slot} stepped conditioned tokens",
+            )
+        assert np.all(np.isfinite(s.log_probs))
+
+    # log-prob must ignore the conditioned region: replaying with the
+    # conditioned tokens REPLACED by garbage gives the same log-prob only
+    # for the masked components... instead check directly that the masked
+    # sde_step excludes them: compare against an unmasked replay.
+    from flow_factory_tpu.samples import stack_samples as _stack
+
+    s = samples[0]
+    b = _stack(samples)
+    sig, nl = s.extra_kwargs["sigmas"], s.extra_kwargs["noise_levels"]
+    i = int(np.nonzero(nl)[0][0])
+    li, lni, lpi = s.latent_index_map[i], s.latent_index_map[i + 1], s.log_prob_index_map[i]
+    batch = {
+        "latents": jnp.asarray(b["all_latents"][:, li]),
+        "next_latents": jnp.asarray(b["all_latents"][:, lni]),
+        "audio_latents": jnp.asarray(b["audio_all_latents"][:, li]),
+        "timestep": jnp.full((2,), float(s.timesteps[i])),
+        "sigma": jnp.full((2,), float(sig[i])),
+        "sigma_next": jnp.full((2,), float(sig[i + 1])),
+        "noise_level": jnp.full((2,), float(nl[i])),
+        "guidance_scale": jnp.float32(1.0),
+        "sigma_max": jnp.float32(sig[1]),
+    }
+    for ek in adapter.embed_keys:
+        if ek in b and b[ek] is not None:
+            batch[ek] = jnp.asarray(b[ek])
+    out = adapter.training_forward(adapter.trainable, batch)
+    ratio = np.exp(np.asarray(out.log_prob) - b["log_probs"][:, lpi])
+    np.testing.assert_allclose(ratio, 1.0, atol=1e-4)
