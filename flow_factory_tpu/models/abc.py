@@ -78,6 +78,14 @@ class BaseAdapter(ABC):
         #: host-side metadata (configs per component)
         self.component_configs: Dict[str, Any] = {}
 
+        if self.mesh is not None and self.model_args.attn_backend == "ring":
+            # sequence parallelism: the 'tensor' mesh axis becomes the ring's
+            # sequence axis (TP head-sharding rules are disabled — see
+            # param_sharding_rules)
+            from ..ops.attention import set_ring_context
+            from ..parallel.mesh import TENSOR_AXIS
+
+            set_ring_context(self.mesh, TENSOR_AXIS)
         self.load_models()
         self.import_pretrained_weights()
         self.scheduler = self.load_scheduler()
@@ -921,6 +929,10 @@ class BaseAdapter(ABC):
         from ..parallel.mesh import TENSOR_AXIS
 
         if dict(self.mesh.shape).get(TENSOR_AXIS, 1) <= 1:
+            return None
+        if self.model_args.attn_backend == "ring":
+            # the tensor axis is the ring's SEQUENCE axis; head-sharded
+            # params would conflict with the sequence-sharded shard_map
             return None
         return {
             self.tp_col_pattern: P(None, TENSOR_AXIS),

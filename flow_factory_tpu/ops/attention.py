@@ -501,6 +501,35 @@ def _on_tpu() -> bool:
     return _active_platform() == "tpu"
 
 
+# ---------------------------------------------------------------------------
+# Ring (sequence-parallel) backend context
+# ---------------------------------------------------------------------------
+#: installed by BaseAdapter when ``attn_backend: ring`` runs under a mesh —
+#: the 'tensor' mesh axis is repurposed as the SEQUENCE axis (Megatron-style
+#: SP shares the TP group); TP head-sharding rules are disabled then.
+_RING_CONTEXT: dict = {"mesh": None, "axis": None}
+
+
+def set_ring_context(mesh, axis_name: str) -> None:
+    _RING_CONTEXT["mesh"] = mesh
+    _RING_CONTEXT["axis"] = axis_name
+
+
+def _ring_dispatch(q, k, v, scale):
+    mesh, axis = _RING_CONTEXT["mesh"], _RING_CONTEXT["axis"]
+    n = 1 if mesh is None else dict(mesh.shape).get(axis, 1)
+    # self-attention with a ring-divisible sequence rides the ring; anything
+    # else (cross-attention to short text, no mesh) exactly falls back —
+    # ring attention IS full attention, just sequence-sharded
+    if n <= 1 or q.shape[2] % n != 0 or k.shape[2] % n != 0 or q.shape[2] != k.shape[2]:
+        if _on_tpu() and q.shape[-1] <= 256:
+            return flash_attention(q, k, v, scale=scale)
+        return native_attention(q, k, v, scale=scale)
+    from .ring_attention import make_ring_attention
+
+    return make_ring_attention(mesh, axis, scale=scale)(q, k, v)
+
+
 def dot_product_attention(
     q: jax.Array,
     k: jax.Array,
@@ -519,6 +548,10 @@ def dot_product_attention(
         backend = "flash" if (mask is None and _on_tpu() and q.shape[-1] <= 256) else "native"
     if backend == "splash":  # config alias (jax's experimental TPU kernel name)
         backend = "flash"
+    if backend == "ring":
+        if mask is not None:
+            raise NotImplementedError("ring backend does not take a dense mask; use 'native'")
+        return _ring_dispatch(q, k, v, scale)
     if backend == "hybrid":
         if mask is not None:
             raise NotImplementedError("hybrid backend does not take a dense mask; use 'native'")

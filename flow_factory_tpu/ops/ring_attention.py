@@ -131,7 +131,11 @@ def make_ring_attention(mesh, axis_name: str = "tensor", scale: Optional[float] 
     the axis size; inputs/outputs are sharded on the S dim.
     """
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
 
     spec = P(None, None, axis_name, None)
 

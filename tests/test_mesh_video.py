@@ -95,3 +95,32 @@ def test_ltx2_t2av_mesh_rollout_and_grad():
     g = jax.grad(lambda tr: -adapter.training_forward(tr, batch).log_prob.mean())(
         adapter.trainable)
     assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(g))
+
+
+def test_wan_ring_attention_backend_rollout():
+    """``attn_backend: ring`` — sequence parallelism over the tensor axis
+    (VERDICT round-1 item 7). The ring rollout must (a) run under the mesh
+    with TP head-sharding disabled, and (b) match the native-attention
+    rollout numerically (ring attention is exact full attention)."""
+    cfg_ring = _cfg("wan2-t2v")
+    cfg_ring.model_args.attn_backend = "ring"
+    mesh = create_mesh(MeshConfig(fsdp_size=2, tensor_size=2))
+    adapter = load_adapter(cfg_ring, mesh=mesh)
+    # tensor axis repurposed for sequence: kernels must NOT be head-sharded
+    qkv = adapter.params["transformer"]["block_0"]["sa_q"]["kernel"]
+    assert TENSOR_AXIS not in str(qkv.sharding.spec)
+
+    adapter.rollout()
+    samples = adapter.inference(prompt=["a boat"] * 4, compute_log_prob=True, seed=11)
+    assert np.all(np.isfinite(samples[0].log_probs))
+
+    # same seed, native backend, no mesh → must match (loose: bf16-free fp32
+    # rollout, ring merge reassociates the softmax)
+    cfg_native = _cfg("wan2-t2v")
+    cfg_native.model_args.attn_backend = "native"
+    ref_adapter = load_adapter(cfg_native)
+    ref_adapter.rollout()
+    ref = ref_adapter.inference(prompt=["a boat"] * 4, compute_log_prob=True, seed=11)
+    np.testing.assert_allclose(
+        samples[0].all_latents[-1], ref[0].all_latents[-1], atol=5e-3, rtol=1e-3
+    )
