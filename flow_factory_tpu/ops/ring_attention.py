@@ -134,13 +134,16 @@ def make_ring_attention(mesh, axis_name: str = "tensor", scale: Optional[float] 
 
     try:
         from jax import shard_map
+        _NEW_SHARD_MAP = True
     except ImportError:  # older jax
         from jax.experimental.shard_map import shard_map
+        _NEW_SHARD_MAP = False
 
     spec = P(None, None, axis_name, None)
 
     @functools.partial(
-        shard_map, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec, check_rep=False
+        shard_map, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        **({"check_vma": False} if _NEW_SHARD_MAP else {"check_rep": False})
     )
     def _ring(q, k, v):
         return ring_flash_attention(q, k, v, axis_name, scale=scale)
