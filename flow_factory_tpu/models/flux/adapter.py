@@ -393,10 +393,10 @@ class Flux1Adapter(BaseAdapter):
 
         images = self.decode_latents(x_final, height=height, width=width) if decode else [None] * B
 
-        lat_np = np.asarray(jax.device_get(lat_buf.astype(jnp.float32)))
+        lat_np = np.asarray(jax.device_get(lat_buf)).astype(np.float32)
         lp_np = np.asarray(jax.device_get(lp_buf))
         mean_np = (
-            np.asarray(jax.device_get(mean_buf.astype(jnp.float32))) if mean_buf is not None else None
+            np.asarray(jax.device_get(mean_buf)).astype(np.float32) if mean_buf is not None else None
         )
         ts_np = np.asarray(timesteps, np.float32)
 

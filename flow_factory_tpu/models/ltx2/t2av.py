@@ -677,8 +677,8 @@ class LTX2T2AVAdapter(BaseAdapter):
         else:
             videos = audios = [None] * B
 
-        v_np = np.asarray(jax.device_get(v_buf.astype(jnp.float32)))
-        a_np = np.asarray(jax.device_get(a_buf.astype(jnp.float32)))
+        v_np = np.asarray(jax.device_get(v_buf)).astype(np.float32)
+        a_np = np.asarray(jax.device_get(a_buf)).astype(np.float32)
         lp_np = np.asarray(jax.device_get(lp_buf))
         ts_np = np.asarray(timesteps, np.float32)
 

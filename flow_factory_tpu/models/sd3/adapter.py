@@ -428,13 +428,22 @@ class SD35Adapter(BaseAdapter):
             store_means=store_means,
         )
 
-        images = self.decode_latents(x_final) if decode else [None] * B
+        # dispatch the VAE decode asynchronously FIRST: its device compute
+        # overlaps the trajectory-buffer host fetch below (the fetch rides
+        # the tunnel/PCIe while the VAE occupies the chip)
+        images_dev = self.decode_latents(x_final, fetch=False) if decode else None
 
-        # --- host fetch + per-sample construction
-        lat_np = np.asarray(jax.device_get(lat_buf.astype(jnp.float32)))  # (S, B, h, w, c)
+        # --- host fetch + per-sample construction. Buffers transfer in
+        # their STORAGE dtype (fp16 halves the wire) and upcast on host —
+        # bit-identical to the old on-device fp32 cast.
+        lat_np = np.asarray(jax.device_get(lat_buf)).astype(np.float32)  # (S, B, h, w, c)
         lp_np = np.asarray(jax.device_get(lp_buf))  # (L, B)
         mean_np = (
-            np.asarray(jax.device_get(mean_buf.astype(jnp.float32))) if mean_buf is not None else None
+            np.asarray(jax.device_get(mean_buf)).astype(np.float32)
+            if mean_buf is not None else None
+        )
+        images = (
+            np.asarray(jax.device_get(images_dev)) if images_dev is not None else [None] * B
         )
         ts_np = np.asarray(timesteps, np.float32)
 
@@ -478,8 +487,11 @@ class SD35Adapter(BaseAdapter):
     # ------------------------------------------------------------------
     # Decoding
     # ------------------------------------------------------------------
-    def decode_latents(self, latents: jax.Array) -> np.ndarray:
-        """(B, h, w, c) latents → (B, 3, H, W) float images in [0, 1]."""
+    def decode_latents(self, latents: jax.Array, fetch: bool = True):
+        """(B, h, w, c) latents → (B, 3, H, W) float images in [0, 1].
+
+        ``fetch=False`` returns the DEVICE array from the async jit dispatch
+        (callers overlap the decode with other host fetches)."""
         if self._decode_jit is None:
             def _decode(params, z_nhwc):
                 z = jnp.transpose(z_nhwc, (0, 3, 1, 2))
@@ -488,6 +500,8 @@ class SD35Adapter(BaseAdapter):
 
             self._decode_jit = jax.jit(_decode)
         out = self._decode_jit(self.params["vae"], latents.astype(jnp.float32))
+        if not fetch:
+            return out
         return np.asarray(jax.device_get(out))
 
     def encode_image(self, images_nchw: np.ndarray, key: Optional[jax.Array] = None) -> np.ndarray:
