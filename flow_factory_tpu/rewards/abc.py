@@ -69,3 +69,12 @@ class GroupwiseRewardModel(BaseRewardModel):
     @abstractmethod
     def compute_group_reward(self, **fields) -> np.ndarray:
         """Fields of ONE complete group (K samples, same prompt) → (K,) scores."""
+
+
+class GlobalwiseRewardModel(BaseRewardModel):
+    """Rewards over ALL samples globally — a placeholder for future
+    extension, mirroring the reference's API surface
+    (``reference rewards/abc.py:182``; upstream is likewise a stub and
+    notes it may merge with the advantage-computation stage)."""
+
+    reward_type = "globalwise"

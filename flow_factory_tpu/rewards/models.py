@@ -214,3 +214,18 @@ class RemoteReward(PointwiseRewardModel):
                 last_err = e
                 logger.warning("Remote reward attempt %d failed: %s", attempt + 1, e)
         raise RuntimeError(f"Remote reward failed after retries: {last_err}")
+
+
+class RemoteGroupReward(GroupwiseRewardModel, RemoteReward):
+    """Groupwise HTTP reward client (reference
+    ``my_reward_remote.py:203-260``, ``RemoteGroupwiseRewardModel``):
+    one POST per COMPLETE group on the same wire contract — the server sees
+    all K same-prompt samples together and may rank/contrast within the
+    group. Shares transport (b64 PNG, retries, health check) with
+    :class:`RemoteReward`."""
+
+    reward_type = "groupwise"
+    required_fields = ("image", "prompt")
+
+    def compute_group_reward(self, image: Sequence[np.ndarray], prompt: Sequence[str], **_) -> np.ndarray:
+        return self.compute_reward(image=image, prompt=prompt)

@@ -12,6 +12,8 @@ _REWARD_REGISTRY = {
     "CLIPScore": "flow_factory_tpu.rewards.models:CLIPScoreReward",
     "Remote": "flow_factory_tpu.rewards.models:RemoteReward",
     "MyRewardRemote": "flow_factory_tpu.rewards.models:RemoteReward",
+    "RemoteGroup": "flow_factory_tpu.rewards.models:RemoteGroupReward",
+    "MyGroupRewardRemote": "flow_factory_tpu.rewards.models:RemoteGroupReward",
     "OCR": "flow_factory_tpu.rewards.ocr:OCRReward",
     "CLAP": "flow_factory_tpu.rewards.audio:CLAPReward",
     "ImageBind": "flow_factory_tpu.rewards.audio:ImageBindReward",

@@ -133,6 +133,12 @@ class ImageConditionSample(BaseSample):
     _id_fields: ClassVar[frozenset] = BaseSample._id_fields | {"images"}
 
     images: Optional[List[np.ndarray]] = None
+
+    @property
+    def condition_images(self) -> Optional[List[np.ndarray]]:
+        """Reference field-name alias (``required_fields`` of ported reward
+        models use ``condition_images``; reference rewards/abc.py:150)."""
+        return self.images
     image_latents: Optional[np.ndarray] = None
 
     def __post_init__(self):
@@ -154,6 +160,11 @@ class VideoConditionSample(BaseSample):
 
     condition_video: Optional[np.ndarray] = None
     condition_video_latents: Optional[np.ndarray] = None
+
+    @property
+    def condition_videos(self) -> Optional[List[np.ndarray]]:
+        """Reference field-name alias (reference rewards/abc.py:151)."""
+        return None if self.condition_video is None else [self.condition_video]
 
     def __post_init__(self):
         super().__post_init__()

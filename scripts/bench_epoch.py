@@ -72,12 +72,14 @@ def main() -> None:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "tests", "fixtures", "tiny_prompts")
 
-    trainer = load_trainer(config)
-    adapter = trainer.adapter
+    # build the adapter first and stub text encoding BEFORE the trainer's
+    # dataloader preprocessing runs (see module docstring)
+    from flow_factory_tpu.models import load_adapter
+    from flow_factory_tpu.trainers.registry import resolve_trainer_class
+
+    adapter = load_adapter(config)
     tcfg = adapter.component_configs["transformer"]
     ctx_len = 333 if on_tpu else 16
-
-    # stub text encoding with seeded random embeds (see module docstring)
     rng = np.random.default_rng(0)
 
     def fake_preprocess(batch, **_):
@@ -91,7 +93,7 @@ def main() -> None:
         }
 
     adapter.preprocess_func = fake_preprocess
-    trainer._init_dataloader()
+    trainer = resolve_trainer_class(ta.trainer_type)(config, adapter)
 
     trainer.scheduler.set_seed(ta.seed)
 
