@@ -114,6 +114,15 @@ class BaseSample:
                     h.update(hash_media(value).encode())
                 else:
                     h.update(str(value).encode())
+            # condition identity carried only as preprocessed latents/tokens
+            # (trainer rollouts forward cond_latents, not raw media): two
+            # same-prompt records with different conditions must NOT share a
+            # group (reference hashes condition media into the id)
+            for ck in ("cond_latents", "cond_tokens", "image_embeds",
+                       "condition_video_latents"):
+                cv = self.extra_kwargs.get(ck)
+                if cv is not None and isinstance(cv, np.ndarray):
+                    h.update(hash_array(cv).encode())
             object.__setattr__(self, "_unique_id", h.hexdigest())
         return self._unique_id
 

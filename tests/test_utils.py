@@ -103,3 +103,19 @@ class TestTimeSampler:
 
     def test_sigma_map(self):
         np.testing.assert_allclose(flow_match_sigma(np.array([0.0, 500.0, 1000.0])), [0, 0.5, 1.0])
+
+
+def test_unique_id_incorporates_preprocessed_conditions():
+    """Trainer rollouts carry condition identity only as preprocessed
+    latents (cond_latents et al.) — same-prompt records with different
+    conditions must not share an advantage group."""
+    from flow_factory_tpu.samples import BaseSample
+
+    a = BaseSample(prompt="edit the cat")
+    b = BaseSample(prompt="edit the cat")
+    a.extra_kwargs["cond_latents"] = np.ones((4, 8), np.float32)
+    b.extra_kwargs["cond_latents"] = np.zeros((4, 8), np.float32)
+    assert a.unique_id != b.unique_id
+    c = BaseSample(prompt="edit the cat")
+    c.extra_kwargs["cond_latents"] = np.ones((4, 8), np.float32)
+    assert a.unique_id == c.unique_id
