@@ -1,13 +1,15 @@
 """Wan2.1-1.3B T2V rollout bench (BASELINE.md workload #2 geometry).
 
-Times the jitted rollout scan ONLY — inputs pre-staged on device, chained
-trials fenced by ``device_get`` of a data-dependent scalar (the
-docs/performance.md methodology; ``block_until_ready`` alone under-
-synchronizes through the remote-chip relay).
+Default mode times the jitted rollout scan ONLY — inputs pre-staged on
+device, chained trials fenced by ``device_get`` of a data-dependent scalar
+(the docs/performance.md methodology). ``E2E=1`` times the FULL
+``adapter.inference()`` instead: scan + trajectory buffers + causal-3D-VAE
+decode + host materialization (loads the VAE component too).
 
 Usage:  B=8 ATTN=flash python scripts/bench_wan.py
-Current v5e-1 numbers (docs/performance.md): B=8 flash 4.09 samples/s/chip
-(195.6 ms/step); B=16 flash 3.68; B=8 native 3.33.
+        B=8 E2E=1 python scripts/bench_wan.py
+Current v5e-1 numbers (docs/performance.md): scan B=8 flash 4.09
+samples/s/chip (195.6 ms/step); B=16 flash 3.68; B=8 native 3.33.
 """
 import os, time, json
 import numpy as np
@@ -28,13 +30,15 @@ from flow_factory_tpu.utils.base import derive_key
 
 B = int(os.environ.get("B", "8"))
 backend = os.environ.get("ATTN", "flash")
+E2E = bool(os.environ.get("E2E"))
 steps = 10
 cfg = Arguments.from_dict({
     "data": {"dataset_dir": "tests/fixtures/tiny_prompts"},
     "model": {"model_type": "wan2-t2v", "model_name_or_path": "", "variant": "1.3b",
               "finetune_type": "lora", "lora_rank": 32, "lora_alpha": 64,
               "attn_backend": backend, "master_dtype": "float32",
-              "inference_dtype": "bfloat16", "load_components": ["transformer"],
+              "inference_dtype": "bfloat16",
+              "load_components": (["transformer", "vae"] if os.environ.get("E2E") else ["transformer"]),
               "init_on_device": True},
     "scheduler": {"dynamics_type": "Flow-SDE", "noise_level": 0.7,
                   "num_sde_steps": 1, "sde_steps": [1, 2, 3]},
@@ -79,6 +83,31 @@ def roll(x, seed_key):
         dynamics_type=adapter.scheduler.dynamics_type,
         num_latent_slots=maps.num_latent_slots,
         num_logprob_slots=maps.num_logprob_slots, store_means=False)
+
+if E2E:
+    np_embeds = {k: np.asarray(v) for k, v in embeds.items()}
+
+    def run_e2e(seed):
+        s_list = adapter.inference(
+            prompt=["bench"] * B, compute_log_prob=True, trajectory_indices=[-1],
+            seed=seed, height=256, width=256, num_frames=5,
+            num_inference_steps=steps, guidance_scale=5.0, **np_embeds)
+        float(np.sum(s_list[-1].all_latents[-1]))
+        return s_list
+
+    print("compiling e2e...", flush=True)
+    t0 = time.perf_counter()
+    run_e2e(0)
+    print(f"compile+run: {time.perf_counter()-t0:.1f}s", flush=True)
+    best = float("inf")
+    for trial in range(3):
+        t0 = time.perf_counter()
+        run_e2e(trial + 1)
+        best = min(best, time.perf_counter() - t0)
+    print(json.dumps({"wan_rollout_e2e_samples_per_sec_per_chip": round(B / best, 3),
+                      "best_rollout_s": round(best, 3), "batch": B, "attn": backend}),
+          flush=True)
+    raise SystemExit(0)
 
 print("compiling...", flush=True)
 t0 = time.perf_counter()
