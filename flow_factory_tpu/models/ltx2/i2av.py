@@ -74,8 +74,10 @@ class LTX2I2AVAdapter(LTX2T2AVAdapter):
         if "cond_tokens" in embeds:
             # hard-condition the first-frame tokens every forward; keep
             # cond_mask in embeds — the transformer uses it for the
-            # per-token t=0 modulation and sde_step for frame freezing
-            m = embeds["cond_mask"]
+            # per-token t=0 modulation and sde_step for frame freezing.
+            # Replacement is hard even for fractional modulation masks
+            # (reference frame preservation is all-or-nothing)
+            m = (embeds["cond_mask"] > 0.0).astype(jnp.float32)
             v_lat = v_lat * (1.0 - m) + embeds["cond_tokens"] * m
             embeds = {k: v for k, v in embeds.items() if k != "cond_tokens"}
         return super()._joint_velocity(merged, v_lat, a_lat, t, embeds, guidance_scale, do_cfg)
@@ -90,6 +92,13 @@ class LTX2I2AVAdapter(LTX2T2AVAdapter):
             cond_tokens, cond_mask = self.encode_first_frame(images, height, width, num_frames)
         if cond_tokens is None:
             raise ValueError("LTX2I2AVAdapter.inference needs images or cond_tokens")
+        cm_np = np.asarray(cond_mask, np.float32)
+        if not self.per_token_time and not np.all((cm_np == 0.0) | (cm_np == 1.0)):
+            logger.warning(
+                "Non-binary cond_mask with per_token_time=false: the t/0 "
+                "modulation interpolation is only exact for binary masks — "
+                "set `per_token_time: true` for fractional (noise_scale) masks."
+            )
         extra["cond_tokens"] = jnp.asarray(cond_tokens, jnp.float32)
         extra["cond_mask"] = jnp.asarray(cond_mask, jnp.float32)
         samples = super().inference(extra_embeds=extra, **kwargs)

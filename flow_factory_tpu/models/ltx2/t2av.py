@@ -362,6 +362,17 @@ class LTX2T2AVAdapter(BaseAdapter):
     def modality_scale(self) -> float:
         return float(getattr(self.training_args, "modality_scale", 1.0))
 
+    @property
+    def per_token_time(self) -> bool:
+        """Exact per-token I2AV timestep embedding (YAML ``per_token_time``).
+
+        Off by default: the adapter's own conditioning masks are binary, for
+        which the t/0 modulation-interpolation fast path is already exact and
+        avoids materializing a (B, Lv, 6, D) per-token modulation tensor.
+        Turn on when feeding fractional conditioning masks (the reference's
+        ``noise_scale`` semantics)."""
+        return bool(getattr(self.training_args, "per_token_time", False))
+
     def _joint_velocity(self, merged, v_lat, a_lat, t, embeds, guidance_scale, do_cfg):
         from ...scheduler.flow_match_euler import convert_velocity_to_x0, convert_x0_to_velocity
 
@@ -378,11 +389,23 @@ class LTX2T2AVAdapter(BaseAdapter):
             cm = cond_mask
             if cm is not None and v.shape[0] == 2 * cm.shape[0]:  # CFG doubling
                 cm = jnp.concatenate([cm, cm], axis=0)
-            vv, va = model.apply(
-                {"params": merged}, v.astype(dt), a.astype(dt), tt, ctx,
-                vid_ids, aud_ids, skip, isolate_modalities=isolate,
-                video_cond_mask=cm,
-            )
+            if cm is not None and self.per_token_time:
+                # exact per-token video timestep (reference ltx2_i2av.py:858-866
+                # ``video_ts = ts·(1 − conditioning_mask)``) — required for
+                # fractional (noise_scale-style) masks; the binary-mask default
+                # uses the cheaper t/0 modulation interpolation instead
+                tt_video = tt[:, None] * (1.0 - cm[..., 0])
+                vv, va = model.apply(
+                    {"params": merged}, v.astype(dt), a.astype(dt), tt_video, ctx,
+                    vid_ids, aud_ids, skip, audio_timestep=tt,
+                    isolate_modalities=isolate,
+                )
+            else:
+                vv, va = model.apply(
+                    {"params": merged}, v.astype(dt), a.astype(dt), tt, ctx,
+                    vid_ids, aud_ids, skip, isolate_modalities=isolate,
+                    video_cond_mask=cm,
+                )
             return vv.astype(jnp.float32), va.astype(jnp.float32)
 
         pos_ctx = embeds["prompt_embeds"]
@@ -472,9 +495,13 @@ class LTX2T2AVAdapter(BaseAdapter):
         B = v0.shape[0]
         storage_dtype = self.training_args.storage_dtype
         sigma_max = v_sigmas[1] if v_sigmas.shape[0] > 1 else jnp.float32(0.999)
-        # I2AV: conditioned video tokens never step / never enter the log-prob
+        # I2AV: conditioned video tokens never step / never enter the log-prob.
+        # Hard-binarized: the reference preserves conditioned frames entirely
+        # (frame slicing, ltx2_i2av.py:983-1032) even when the modulation mask
+        # is fractional (noise_scale semantics).
         v_token_mask = (
-            1.0 - embeds["cond_mask"] if "cond_mask" in embeds else None
+            (embeds["cond_mask"] <= 0.0).astype(jnp.float32)
+            if "cond_mask" in embeds else None
         )
 
         v_buf = jnp.zeros((num_latent_slots + 1, *v0.shape), storage_dtype)
@@ -543,7 +570,10 @@ class LTX2T2AVAdapter(BaseAdapter):
     ):
         merged = self.merged_params("transformer", trainable, frozen)
         vel_v, _ = self._joint_velocity(merged, v_lat, a_lat, timestep, embeds, guidance_scale, do_cfg)
-        v_token_mask = 1.0 - embeds["cond_mask"] if "cond_mask" in embeds else None
+        v_token_mask = (
+            (embeds["cond_mask"] <= 0.0).astype(jnp.float32)
+            if "cond_mask" in embeds else None
+        )
         return sde_step(
             vel_v, v_lat, sigma, sigma_next,
             dynamics_type=dynamics_type, noise_level=noise_level, key=key,

@@ -139,6 +139,9 @@ class LTX2Block(nn.Module):
 
         def mods(table_name, temb6, temb6_zero=None, cond_mask=None):
             table = self.param(table_name, nn.initializers.normal(0.02), (1, 6, D), jnp.float32)
+            if temb6.ndim == 4:  # per-token (B, L, 6, D) — exact I2AV timesteps
+                m = table[:, None] + temb6.astype(jnp.float32)
+                return [m[:, :, i] for i in range(6)]  # each (B, L, D)
             m = table + temb6.astype(jnp.float32)
             if temb6_zero is None or cond_mask is None:
                 return [m[:, i, None] for i in range(6)]  # each (B, 1, D)
@@ -236,19 +239,31 @@ class LTX2Transformer(nn.Module):
         a = nn.Dense(cfg.hidden_dim, dtype=dt, name="audio_embedder")(audio_latents.astype(dt))
 
         if audio_timestep is None:
-            audio_timestep = timestep
+            audio_timestep = timestep if timestep.ndim == 1 else timestep[:, 0]
         time_embed = TimestepEmbedder(cfg.hidden_dim, freq_dim=cfg.freq_dim,
                                       dtype=jnp.float32, name="time_embed")
         time_proj = nn.Dense(6 * cfg.hidden_dim, dtype=jnp.float32, name="time_proj")
-        v_temb = time_embed(timestep)
-        v_temb6 = time_proj(nn.silu(v_temb)).reshape(B, 6, cfg.hidden_dim)
-        # I2AV per-token timestep: conditioned video tokens see t=0
-        # (reference ltx2_i2av.py: ``video_ts = ts·(1 − conditioning_mask)``)
-        if video_cond_mask is not None:
-            v_temb0 = time_embed(jnp.zeros_like(timestep))
-            v_temb6_zero = time_proj(nn.silu(v_temb0)).reshape(B, 6, cfg.hidden_dim)
+        if timestep.ndim == 2:
+            # per-token video timestep (B, Lv) — the reference transformer's
+            # native I2AV form (``video_ts = ts·(1 − conditioning_mask)``,
+            # ltx2_i2av.py:858-866): embed every token's own t. Exact for
+            # fractional conditioning masks; costs a (B, Lv, 6, D) tensor.
+            Lv = timestep.shape[1]
+            v_temb = time_embed(timestep.reshape(-1)).reshape(B, Lv, cfg.hidden_dim)
+            v_temb6 = time_proj(nn.silu(v_temb)).reshape(B, Lv, 6, cfg.hidden_dim)
+            v_temb0 = v_temb6_zero = None  # exactness is inherent per token
+            video_cond_mask = None
         else:
-            v_temb0 = v_temb6_zero = None
+            v_temb = time_embed(timestep)
+            v_temb6 = time_proj(nn.silu(v_temb)).reshape(B, 6, cfg.hidden_dim)
+            # I2AV per-token timestep, binary-mask fast path: conditioned video
+            # tokens see t=0; blocks interpolate the two modulation sets by the
+            # mask (exact when the mask is 0/1 — the adapter's own masks are)
+            if video_cond_mask is not None:
+                v_temb0 = time_embed(jnp.zeros_like(timestep))
+                v_temb6_zero = time_proj(nn.silu(v_temb0)).reshape(B, 6, cfg.hidden_dim)
+            else:
+                v_temb0 = v_temb6_zero = None
         a_temb = TimestepEmbedder(cfg.hidden_dim, freq_dim=cfg.freq_dim,
                                   dtype=jnp.float32, name="audio_time_embed")(audio_timestep)
         a_temb6 = nn.Dense(6 * cfg.hidden_dim, dtype=jnp.float32, name="audio_time_proj")(
@@ -278,6 +293,11 @@ class LTX2Transformer(nn.Module):
                  temb_zero=None, cond_mask=None):
             table = self.param(table_name, nn.initializers.normal(0.02),
                                (1, 2, cfg.hidden_dim), jnp.float32)
+            if temb.ndim == 3:  # per-token (B, L, D) — exact I2AV timesteps
+                mod = table[:, None] + temb[:, :, None, :].astype(jnp.float32)
+                x = (_rms(norm_name)(x.astype(jnp.float32))
+                     * (1 + mod[:, :, 1]) + mod[:, :, 0])
+                return nn.Dense(out_ch, dtype=jnp.float32, name=head_name)(x)
             mod = table + temb[:, None, :].astype(jnp.float32)
             if temb_zero is not None and cond_mask is not None:
                 mod0 = table + temb_zero[:, None, :].astype(jnp.float32)

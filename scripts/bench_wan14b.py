@@ -60,6 +60,9 @@ def time_stack(depth: int, seq: int, ctx: int, on_tpu: bool):
     tt = jnp.full((2,), 800.0)
     context = jnp.zeros((2, ctx, cfg.context_dim), cfg.compute_dtype)
     params = model.init(jax.random.PRNGKey(0), x, tt, context)["params"]
+    if on_tpu:
+        # rollout holds weights in bf16; fp32 init copies would OOM at depth 4
+        params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
 
     fwd = jax.jit(lambda p, x: model.apply({"params": p}, x, tt, context))
     out = fwd(params, x)

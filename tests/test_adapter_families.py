@@ -464,3 +464,101 @@ def test_i2av_conditioned_tokens_frozen_and_excluded():
     out = adapter.training_forward(adapter.trainable, batch)
     ratio = np.exp(np.asarray(out.log_prob) - b["log_probs"][:, lpi])
     np.testing.assert_allclose(ratio, 1.0, atol=1e-4)
+
+
+def test_ltx2_per_token_timestep_paths_agree():
+    """(B, Lv) per-token timesteps (the reference transformer's native I2AV
+    form, ``video_ts = ts*(1-cm)``) vs the binary-mask t/0 interpolation
+    fast path: identical for binary masks, and a uniform per-token vector
+    matches the scalar forward. Fractional masks need the exact path."""
+    from flow_factory_tpu.models.ltx2.transformer import LTX2Config, LTX2Transformer
+
+    cfg = LTX2Config.tiny(attn_backend="native", dtype="float32")
+    model = LTX2Transformer(cfg)
+    rng = np.random.default_rng(7)
+    Lv, La, Lc = 8, 4, 3
+    v = jnp.asarray(rng.standard_normal((1, Lv, cfg.video_channels)), jnp.float32)
+    a = jnp.asarray(rng.standard_normal((1, La, cfg.audio_channels)), jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((1, Lc, cfg.context_dim)), jnp.float32)
+    t = jnp.full((1,), 500.0)
+    vid_ids = jnp.asarray(np.stack([np.arange(Lv) // 4, (np.arange(Lv) // 2) % 2,
+                                    np.arange(Lv) % 2], -1), jnp.float32)
+    aud_ids = jnp.asarray(np.stack([np.linspace(0, 1, La), np.zeros(La),
+                                    np.zeros(La)], -1), jnp.float32)
+    params = model.init(jax.random.key(0), v, a, t, ctx, vid_ids, aud_ids)["params"]
+
+    def fwd(tt, mask=None):
+        return model.apply({"params": params}, v, a, tt, ctx, vid_ids, aud_ids,
+                           (), audio_timestep=t, video_cond_mask=mask)
+
+    # uniform per-token vector == scalar forward
+    v_scalar, a_scalar = fwd(t)
+    v_tok, a_tok = fwd(jnp.full((1, Lv), 500.0))
+    np.testing.assert_allclose(np.asarray(v_tok), np.asarray(v_scalar), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a_tok), np.asarray(a_scalar), atol=1e-5)
+
+    # binary mask: interpolation fast path == exact per-token embedding
+    mask = jnp.asarray(np.array([1, 1, 1, 1, 0, 0, 0, 0], np.float32))[None, :, None]
+    v_interp, a_interp = fwd(t, mask=mask)
+    v_exact, a_exact = fwd(t[:, None] * (1.0 - mask[..., 0]))
+    np.testing.assert_allclose(np.asarray(v_exact), np.asarray(v_interp), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a_exact), np.asarray(a_interp), atol=1e-5)
+
+    # fractional mask: the exact per-token result is a genuinely different
+    # function from the modulation interpolation (which would be wrong)
+    frac = mask * 0.6
+    v_interp_f, _ = fwd(t, mask=frac)
+    v_exact_f, _ = fwd(t[:, None] * (1.0 - frac[..., 0]))
+    assert not np.allclose(np.asarray(v_exact_f), np.asarray(v_interp_f), atol=1e-4)
+
+
+def test_i2av_per_token_time_exact_mode():
+    """``per_token_time: true`` (exact per-token timestep embedding) keeps
+    the full I2AV contract — frozen conditioned tokens, replay ratio == 1 —
+    and, with the adapter's binary first-frame mask, reproduces the fast
+    path's rollout exactly."""
+    cfg = _cfg("ltx2-i2av", g=1.0)
+    cfg.training_args.extra_kwargs["per_token_time"] = True
+    adapter = load_adapter(cfg)
+    assert adapter.per_token_time
+    adapter.rollout()
+    rng = np.random.default_rng(3)
+    images = [rng.random((3, 32, 32)).astype(np.float32) for _ in range(2)]
+    samples = adapter.inference(prompt=["a harbor", "a forest"], images=images,
+                                compute_log_prob=True, seed=0)
+    s = samples[0]
+    mask = s.extra_kwargs["cond_mask"][:, 0].astype(bool)
+    for slot in range(s.all_latents.shape[0]):
+        np.testing.assert_allclose(
+            s.all_latents[slot][mask], s.extra_kwargs["cond_tokens"][mask], atol=1e-5)
+
+    # binary mask: exact mode reproduces the interpolation fast path
+    base = load_adapter(_cfg("ltx2-i2av", g=1.0))
+    base.rollout()
+    ref = base.inference(prompt=["a harbor", "a forest"], images=images,
+                         compute_log_prob=True, seed=0)
+    np.testing.assert_allclose(s.all_latents, ref[0].all_latents, atol=1e-4)
+    np.testing.assert_allclose(s.log_probs, ref[0].log_probs, atol=1e-3)
+
+    # replay invariant under the exact path
+    b = stack_samples(samples)
+    sig, nl = s.extra_kwargs["sigmas"], s.extra_kwargs["noise_levels"]
+    i = int(np.nonzero(nl)[0][0])
+    li, lni, lpi = s.latent_index_map[i], s.latent_index_map[i + 1], s.log_prob_index_map[i]
+    batch = {
+        "latents": jnp.asarray(b["all_latents"][:, li]),
+        "next_latents": jnp.asarray(b["all_latents"][:, lni]),
+        "audio_latents": jnp.asarray(b["audio_all_latents"][:, li]),
+        "timestep": jnp.full((2,), float(s.timesteps[i])),
+        "sigma": jnp.full((2,), float(sig[i])),
+        "sigma_next": jnp.full((2,), float(sig[i + 1])),
+        "noise_level": jnp.full((2,), float(nl[i])),
+        "guidance_scale": jnp.float32(1.0),
+        "sigma_max": jnp.float32(sig[1]),
+    }
+    for ek in adapter.embed_keys:
+        if ek in b and b[ek] is not None:
+            batch[ek] = jnp.asarray(b[ek])
+    out = adapter.training_forward(adapter.trainable, batch)
+    ratio = np.exp(np.asarray(out.log_prob) - b["log_probs"][:, lpi])
+    np.testing.assert_allclose(ratio, 1.0, atol=1e-4)
