@@ -51,6 +51,50 @@ from .lora import (
 logger = logging.getLogger(__name__)
 
 
+class PendingRollout:
+    """A dispatched-but-unfetched rollout (``adapter.inference(..., defer=True)``).
+
+    All device work — the denoise scan, trajectory buffers, and the VAE
+    decode — is already enqueued asynchronously when this object is
+    returned; :meth:`materialize` performs the host fetches and builds the
+    sample list. Trainers software-pipeline sampling with it: dispatch
+    batch ``b+1`` BEFORE materializing batch ``b`` so the device executes
+    the next scan while batch ``b``'s buffers ride the PCIe/tunnel to the
+    host (the reference overlaps rollout and D2H with CUDA streams; on
+    TPU+XLA the async dispatch queue gives the same overlap for free once
+    the fetch is deferred).
+
+    Conditioning wrappers chain host-side post-processing with
+    :meth:`then` instead of mutating the returned list inline.
+    """
+
+    def __init__(self, materialize_fn: Callable[[], List["BaseSample"]]):
+        self._fn = materialize_fn
+        self._done: Optional[List[BaseSample]] = None
+
+    def materialize(self) -> List["BaseSample"]:
+        """Fetch to host and build samples (idempotent)."""
+        if self._done is None:
+            self._done = self._fn()
+        return self._done
+
+    def then(self, post: Callable[[List["BaseSample"]], List["BaseSample"]]) -> "PendingRollout":
+        """Return a new handle applying ``post`` after materialization."""
+        return PendingRollout(lambda: post(self.materialize()))
+
+
+def finish_rollout(out, post=None):
+    """Normalize an ``inference(..., defer=...)`` result.
+
+    ``out`` is either a sample list (adapter ignored/declined ``defer``) or
+    a :class:`PendingRollout`. Applies ``post`` (host-side sample
+    decoration) in either case, preserving deferredness.
+    """
+    if isinstance(out, PendingRollout):
+        return out.then(post) if post is not None else out
+    return post(out) if post is not None else out
+
+
 class BaseAdapter(ABC):
     """Adapter = model defs + param pytrees + pure compute functions."""
 

@@ -21,7 +21,7 @@ from ...samples import T2ISample
 from ...utils.base import derive_key
 from ...utils.tokenizer import load_tokenizer
 from ...utils.trajectory import build_store_maps
-from ..abc import BaseAdapter
+from ..abc import BaseAdapter, PendingRollout
 from ..text_encoders import CLIPTextConfig, CLIPTextEncoder, T5Config, T5Encoder
 from ..vae import AutoencoderKL, VAEConfig
 from .transformer import FluxConfig, FluxTransformer
@@ -322,6 +322,7 @@ class Flux1Adapter(BaseAdapter):
         decode: bool = True,
         extra_embeds: Optional[Dict[str, jnp.ndarray]] = None,
         do_cfg_override: Optional[bool] = None,
+        defer: bool = False,
         **_,
     ) -> List[T2ISample]:
         ta = self.training_args
@@ -391,48 +392,64 @@ class Flux1Adapter(BaseAdapter):
             store_means=store_means,
         )
 
-        images = self.decode_latents(x_final, height=height, width=width) if decode else [None] * B
-
-        lat_np = np.asarray(jax.device_get(lat_buf)).astype(np.float32)
-        lp_np = np.asarray(jax.device_get(lp_buf))
-        mean_np = (
-            np.asarray(jax.device_get(mean_buf)).astype(np.float32) if mean_buf is not None else None
+        # async decode dispatch first: device compute overlaps the buffer fetch
+        images_dev = (
+            self.decode_latents(x_final, height=height, width=width, fetch=False)
+            if decode else None
         )
-        ts_np = np.asarray(timesteps, np.float32)
 
-        samples: List[T2ISample] = []
-        for i in range(B):
-            extra = {
-                "sigmas": np.asarray(sigmas, np.float32),
-                "noise_levels": np.asarray(noise_levels, np.float32),
-                "guidance_scale": g,
-                "img_ids": np.asarray(self.latent_image_ids(h, w)),
-                "txt_ids": np.zeros((np.asarray(prompt_embeds).shape[1], 3), np.float32),
-            }
-            if pooled_prompt_embeds is not None:
-                extra["pooled_prompt_embeds"] = np.asarray(pooled_prompt_embeds[i], np.float32)
-            if mean_np is not None:
-                extra["next_latents_mean"] = mean_np[:, i]
-            samples.append(
-                self.sample_class(
-                    timesteps=ts_np,
-                    all_latents=lat_np[:, i],
-                    latent_index_map=maps.latent_index_map,
-                    log_probs=lp_np[:, i] if compute_log_prob else None,
-                    log_prob_index_map=maps.logprob_index_map,
-                    height=height,
-                    width=width,
-                    image=images[i],
-                    prompt=prompt[i] if prompt is not None else None,
-                    prompt_embeds=np.asarray(prompt_embeds[i], np.float32),
-                    extra_kwargs=extra,
-                )
+        def _materialize() -> List[T2ISample]:
+            images = (
+                np.asarray(jax.device_get(images_dev)) if images_dev is not None else [None] * B
             )
-        return samples
+            lat_np = np.asarray(jax.device_get(lat_buf)).astype(np.float32)
+            lp_np = np.asarray(jax.device_get(lp_buf))
+            mean_np = (
+                np.asarray(jax.device_get(mean_buf)).astype(np.float32) if mean_buf is not None else None
+            )
+            ts_np = np.asarray(timesteps, np.float32)
+
+            samples: List[T2ISample] = []
+            for i in range(B):
+                extra = {
+                    "sigmas": np.asarray(sigmas, np.float32),
+                    "noise_levels": np.asarray(noise_levels, np.float32),
+                    "guidance_scale": g,
+                    "img_ids": np.asarray(self.latent_image_ids(h, w)),
+                    "txt_ids": np.zeros((np.asarray(prompt_embeds).shape[1], 3), np.float32),
+                }
+                if pooled_prompt_embeds is not None:
+                    extra["pooled_prompt_embeds"] = np.asarray(pooled_prompt_embeds[i], np.float32)
+                if mean_np is not None:
+                    extra["next_latents_mean"] = mean_np[:, i]
+                samples.append(
+                    self.sample_class(
+                        timesteps=ts_np,
+                        all_latents=lat_np[:, i],
+                        latent_index_map=maps.latent_index_map,
+                        log_probs=lp_np[:, i] if compute_log_prob else None,
+                        log_prob_index_map=maps.logprob_index_map,
+                        height=height,
+                        width=width,
+                        image=images[i],
+                        prompt=prompt[i] if prompt is not None else None,
+                        prompt_embeds=np.asarray(prompt_embeds[i], np.float32),
+                        extra_kwargs=extra,
+                    )
+                )
+            return samples
+
+        if defer:
+            return PendingRollout(_materialize)
+        return _materialize()
 
     # ------------------------------------------------------------------
-    def decode_latents(self, latents: jax.Array, height: int = None, width: int = None) -> np.ndarray:
-        """Packed (B, L, 4c) → images (B, 3, H, W) in [0, 1]."""
+    def decode_latents(self, latents: jax.Array, height: int = None, width: int = None,
+                       fetch: bool = True) -> np.ndarray:
+        """Packed (B, L, 4c) → images (B, 3, H, W) in [0, 1].
+
+        ``fetch=False`` returns the DEVICE array from the async jit dispatch
+        (callers overlap the decode with other host fetches)."""
         ta = self.training_args
         height = height or ta.height
         width = width or ta.width
@@ -446,4 +463,6 @@ class Flux1Adapter(BaseAdapter):
 
             self._decode_jit = jax.jit(_decode, static_argnums=(2, 3))
         out = self._decode_jit(self.params["vae"], latents, h, w)
+        if not fetch:
+            return out  # device array from the async dispatch
         return np.asarray(jax.device_get(out))

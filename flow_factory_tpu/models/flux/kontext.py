@@ -21,6 +21,7 @@ import numpy as np
 
 from ...samples import I2ISample
 from ...utils.media import standardize_image_batch
+from ..abc import finish_rollout
 from ..vae import AutoencoderKL
 from .adapter import Flux1Adapter
 
@@ -142,8 +143,11 @@ class Flux1KontextAdapter(Flux1Adapter):
             extra_embeds["cond_ids"] = jnp.asarray(
                 cond_ids if cond_ids is not None else 0.0, jnp.float32
             )
-        samples = super().inference(extra_embeds=extra_embeds, **kwargs)
-        if cond_latents is not None:
+        out = super().inference(extra_embeds=extra_embeds, **kwargs)
+        if cond_latents is None:
+            return out
+
+        def _post(samples):
             for i, s in enumerate(samples):
                 s.extra_kwargs["cond_latents"] = np.asarray(cond_latents[i], np.float32)
                 s.extra_kwargs["cond_ids"] = np.asarray(cond_ids[i], np.float32)
@@ -151,4 +155,6 @@ class Flux1KontextAdapter(Flux1Adapter):
                     per = images[i] if isinstance(images[i], list) else [images[i]]
                     s.images = [standardize_image_batch(p, output_type="np")[0] for p in per]
                     s._unique_id = None  # recompute with condition identity
-        return samples
+            return samples
+
+        return finish_rollout(out, _post)

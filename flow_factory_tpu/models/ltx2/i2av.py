@@ -31,6 +31,7 @@ import numpy as np
 
 from ...samples import I2AVSample
 from ...utils.media import standardize_image_batch
+from ..abc import finish_rollout
 from .video_vae import LTXVideoVAE
 from .t2av import LTX2T2AVAdapter
 
@@ -101,14 +102,18 @@ class LTX2I2AVAdapter(LTX2T2AVAdapter):
             )
         extra["cond_tokens"] = jnp.asarray(cond_tokens, jnp.float32)
         extra["cond_mask"] = jnp.asarray(cond_mask, jnp.float32)
-        samples = super().inference(extra_embeds=extra, **kwargs)
-        for i, s in enumerate(samples):
-            s.extra_kwargs["cond_tokens"] = np.asarray(cond_tokens[i], np.float32)
-            s.extra_kwargs["cond_mask"] = np.asarray(cond_mask[i], np.float32)
-            if images is not None:
-                s.images = [standardize_image_batch([images[i]], output_type="np")[0]]
-                s._unique_id = None
-        return samples
+        out = super().inference(extra_embeds=extra, **kwargs)
+
+        def _post(samples):
+            for i, s in enumerate(samples):
+                s.extra_kwargs["cond_tokens"] = np.asarray(cond_tokens[i], np.float32)
+                s.extra_kwargs["cond_mask"] = np.asarray(cond_mask[i], np.float32)
+                if images is not None:
+                    s.images = [standardize_image_batch([images[i]], output_type="np")[0]]
+                    s._unique_id = None
+            return samples
+
+        return finish_rollout(out, _post)
 
     def preprocess_func(self, batch: Dict[str, Any], **kwargs) -> Dict[str, Any]:
         out = super().preprocess_func(batch, **kwargs)

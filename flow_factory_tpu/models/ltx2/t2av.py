@@ -35,7 +35,7 @@ from ...scheduler.flow_match_euler import FlowMatchEulerSDE, sde_step
 from ...utils.base import derive_key
 from ...utils.tokenizer import load_tokenizer
 from ...utils.trajectory import build_store_maps
-from ..abc import BaseAdapter
+from ..abc import BaseAdapter, PendingRollout
 from ..text_encoders.lm import LMConfig, LMEncoder
 from .audio import AudioVAE, AudioVAEConfig
 from .video_vae import LTXVideoVAE, LTXVideoVAEConfig
@@ -627,6 +627,7 @@ class LTX2T2AVAdapter(BaseAdapter):
         trainable: Optional[Dict[str, Any]] = None,
         decode: bool = True,
         extra_embeds: Optional[Dict[str, jnp.ndarray]] = None,
+        defer: bool = False,
         **_,
     ) -> List[T2AVSample]:
         ta = self.training_args
@@ -701,59 +702,74 @@ class LTX2T2AVAdapter(BaseAdapter):
             num_latent_slots=maps.num_latent_slots, num_logprob_slots=maps.num_logprob_slots,
         )
 
+        # async decode dispatches first: device compute overlaps buffer fetch
         if decode:
-            videos = self.decode_latents(v_fin, tl=tl, h=h, w=w, num_frames=num_frames)
-            audios = self.decode_audio(a_fin)
+            videos_dev = self.decode_latents(v_fin, tl=tl, h=h, w=w,
+                                             num_frames=num_frames, fetch=False)
+            audios_dev = self.decode_audio(a_fin, fetch=False)
         else:
-            videos = audios = [None] * B
+            videos_dev = audios_dev = None
 
-        v_np = np.asarray(jax.device_get(v_buf)).astype(np.float32)
-        a_np = np.asarray(jax.device_get(a_buf)).astype(np.float32)
-        lp_np = np.asarray(jax.device_get(lp_buf))
-        ts_np = np.asarray(timesteps, np.float32)
-
-        samples: List[T2AVSample] = []
-        for i in range(B):
-            samples.append(
-                self.sample_class(
-                    timesteps=ts_np,
-                    all_latents=v_np[:, i],
-                    latent_index_map=maps.latent_index_map,
-                    log_probs=lp_np[:, i] if compute_log_prob else None,
-                    log_prob_index_map=maps.logprob_index_map,
-                    height=height,
-                    width=width,
-                    video=videos[i],
-                    audio=audios[i],
-                    audio_sample_rate=self.audio_cfg.sample_rate,
-                    prompt=prompt[i] if prompt is not None else None,
-                    prompt_embeds=np.asarray(prompt_embeds[i], np.float32),
-                    negative_prompt_embeds=(
-                        np.asarray(negative_prompt_embeds[i], np.float32) if do_cfg else None
-                    ),
-                    extra_kwargs={
-                        "sigmas": np.asarray(v_sigmas, np.float32),
-                        "audio_sigmas": np.asarray(a_sigmas, np.float32),
-                        "noise_levels": np.asarray(noise_levels, np.float32),
-                        "guidance_scale": g,
-                        "audio_all_latents": a_np[:, i],
-                        "video_ids": video_ids,
-                        "audio_ids": audio_ids,
-                        "num_frames": num_frames,
-                    },
-                )
+        def _materialize() -> List[T2AVSample]:
+            videos = (
+                np.asarray(jax.device_get(videos_dev)) if videos_dev is not None else [None] * B
             )
-        return samples
+            audios = (
+                np.asarray(jax.device_get(audios_dev), np.float32)
+                if audios_dev is not None else [None] * B
+            )
+            v_np = np.asarray(jax.device_get(v_buf)).astype(np.float32)
+            a_np = np.asarray(jax.device_get(a_buf)).astype(np.float32)
+            lp_np = np.asarray(jax.device_get(lp_buf))
+            ts_np = np.asarray(timesteps, np.float32)
+
+            samples: List[T2AVSample] = []
+            for i in range(B):
+                samples.append(
+                    self.sample_class(
+                        timesteps=ts_np,
+                        all_latents=v_np[:, i],
+                        latent_index_map=maps.latent_index_map,
+                        log_probs=lp_np[:, i] if compute_log_prob else None,
+                        log_prob_index_map=maps.logprob_index_map,
+                        height=height,
+                        width=width,
+                        video=videos[i],
+                        audio=audios[i],
+                        audio_sample_rate=self.audio_cfg.sample_rate,
+                        prompt=prompt[i] if prompt is not None else None,
+                        prompt_embeds=np.asarray(prompt_embeds[i], np.float32),
+                        negative_prompt_embeds=(
+                            np.asarray(negative_prompt_embeds[i], np.float32) if do_cfg else None
+                        ),
+                        extra_kwargs={
+                            "sigmas": np.asarray(v_sigmas, np.float32),
+                            "audio_sigmas": np.asarray(a_sigmas, np.float32),
+                            "noise_levels": np.asarray(noise_levels, np.float32),
+                            "guidance_scale": g,
+                            "audio_all_latents": a_np[:, i],
+                            "video_ids": video_ids,
+                            "audio_ids": audio_ids,
+                            "num_frames": num_frames,
+                        },
+                    )
+                )
+            return samples
+
+        if defer:
+            return PendingRollout(_materialize)
+        return _materialize()
 
     # ------------------------------------------------------------------
     def decode_latents(self, latents: jax.Array, tl: int, h: int, w: int,
-                       num_frames: int) -> np.ndarray:
+                       num_frames: int, fetch: bool = True) -> np.ndarray:
         """Video tokens (B, Lv, Cv) → (B, T, C, H, W) in [0, 1].
 
         When the VAE decoder is timestep-conditioned, ``decode_timestep`` /
         ``decode_noise_scale`` (model config knobs, both 0.0 by default as in
         the reference, ``ltx2_t2av.py:536-559``) mix fresh noise into the
-        latents and condition the decoder on the chosen timestep."""
+        latents and condition the decoder on the chosen timestep.
+        ``fetch=False`` returns the DEVICE array from the async dispatch."""
         dt = float(getattr(self.model_args, "decode_timestep", None) or 0.0)
         dns = getattr(self.model_args, "decode_noise_scale", None)
         dns = dt if dns is None else float(dns)
@@ -774,10 +790,14 @@ class LTX2T2AVAdapter(BaseAdapter):
 
         key = derive_key("ltx2_decode", self.training_args.seed)
         out = jax.jit(_decode)(self.params["vae"], latents, key)
+        if not fetch:
+            return out  # device array from the async dispatch
         return np.asarray(jax.device_get(out))
 
-    def decode_audio(self, latents: jax.Array) -> np.ndarray:
-        """Audio tokens (B, La, Ca) → waveforms (B, 1, T) in [-1, 1]."""
+    def decode_audio(self, latents: jax.Array, fetch: bool = True) -> np.ndarray:
+        """Audio tokens (B, La, Ca) → waveforms (B, 1, T) in [-1, 1].
+
+        ``fetch=False`` returns the DEVICE array from the async dispatch."""
         if self._audio_decode_jit is None:
             def _decode(params, z):
                 return self.modules["audio_vae"].apply(
@@ -786,6 +806,8 @@ class LTX2T2AVAdapter(BaseAdapter):
 
             self._audio_decode_jit = jax.jit(_decode)
         out = self._audio_decode_jit(self.params["audio_vae"], latents)
+        if not fetch:
+            return out
         return np.asarray(jax.device_get(out), np.float32)
 
     def frozen_velocity_params(self) -> Dict[str, Any]:

@@ -23,6 +23,7 @@ import numpy as np
 from ...samples import T2ISample
 from ...utils.base import derive_key
 from ...utils.tokenizer import load_tokenizer
+from ..abc import finish_rollout
 from ..flux.adapter import Flux1Adapter
 from ..flux.transformer import FluxConfig, FluxTransformer
 from ..text_encoders.lm import LMConfig, LMEncoder
@@ -243,10 +244,15 @@ class QwenImageAdapter(Flux1Adapter):
             negative_prompt_embeds = self.encode_prompt(neg)["prompt_embeds"]
         if negative_prompt_embeds is not None and g > 1.0:
             extra["negative_prompt_embeds"] = jnp.asarray(negative_prompt_embeds)
-        samples = super().inference(
+        out = super().inference(
             pooled_prompt_embeds=None, extra_embeds=extra, do_cfg_override=(g > 1.0), **kwargs
         )
-        if negative_prompt_embeds is not None:
+        if negative_prompt_embeds is None:
+            return out
+
+        def _post(samples):
             for i, s in enumerate(samples):
                 s.negative_prompt_embeds = np.asarray(negative_prompt_embeds[i], np.float32)
-        return samples
+            return samples
+
+        return finish_rollout(out, _post)

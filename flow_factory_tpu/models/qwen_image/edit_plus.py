@@ -41,6 +41,7 @@ from ..text_encoders.vl_vision import (
     rot_pos_ids,
     window_layout,
 )
+from ..abc import finish_rollout
 from ..vae import AutoencoderKL
 from .adapter import QwenImageAdapter
 
@@ -317,8 +318,11 @@ class QwenImageEditPlusAdapter(QwenImageAdapter):
         if cond_latents is not None:
             extra["cond_latents"] = jnp.asarray(cond_latents, jnp.float32)
             extra["cond_ids"] = jnp.asarray(cond_ids, jnp.float32)
-        samples = super().inference(extra_embeds=extra, **kwargs)
-        if cond_latents is not None:
+        out = super().inference(extra_embeds=extra, **kwargs)
+        if cond_latents is None:
+            return out
+
+        def _post(samples):
             for i, s in enumerate(samples):
                 s.extra_kwargs["cond_latents"] = np.asarray(cond_latents[i], np.float32)
                 s.extra_kwargs["cond_ids"] = np.asarray(cond_ids[i], np.float32)
@@ -326,4 +330,6 @@ class QwenImageEditPlusAdapter(QwenImageAdapter):
                     per = images[i] if isinstance(images[i], list) else [images[i]]
                     s.images = [standardize_image_batch(p, output_type="np")[0] for p in per]
                     s._unique_id = None
-        return samples
+            return samples
+
+        return finish_rollout(out, _post)

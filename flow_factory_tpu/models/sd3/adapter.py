@@ -33,7 +33,7 @@ from ...scheduler.flow_match_euler import sde_step
 from ...utils.base import derive_key, key_for_prompt
 from ...utils.trajectory import build_store_maps
 from ...utils.tokenizer import load_tokenizer
-from ..abc import BaseAdapter
+from ..abc import BaseAdapter, PendingRollout
 from ..text_encoders import CLIPTextConfig, CLIPTextEncoder, T5Config, T5Encoder
 from ..vae import AutoencoderKL, VAEConfig
 from .transformer import MMDiTConfig, SD3Transformer
@@ -356,6 +356,7 @@ class SD35Adapter(BaseAdapter):
         trainable: Optional[Dict[str, Any]] = None,
         store_means: bool = False,
         decode: bool = True,
+        defer: bool = False,
         **_,
     ) -> List[T2ISample]:
         ta = self.training_args
@@ -433,56 +434,63 @@ class SD35Adapter(BaseAdapter):
         # the tunnel/PCIe while the VAE occupies the chip)
         images_dev = self.decode_latents(x_final, fetch=False) if decode else None
 
-        # --- host fetch + per-sample construction. Buffers transfer in
-        # their STORAGE dtype (fp16 halves the wire) and upcast on host —
-        # bit-identical to the old on-device fp32 cast.
-        lat_np = np.asarray(jax.device_get(lat_buf)).astype(np.float32)  # (S, B, h, w, c)
-        lp_np = np.asarray(jax.device_get(lp_buf))  # (L, B)
-        mean_np = (
-            np.asarray(jax.device_get(mean_buf)).astype(np.float32)
-            if mean_buf is not None else None
-        )
-        images = (
-            np.asarray(jax.device_get(images_dev)) if images_dev is not None else [None] * B
-        )
-        ts_np = np.asarray(timesteps, np.float32)
-
-        samples: List[T2ISample] = []
-        for i in range(B):
-            extra = {
-                "sigmas": np.asarray(sigmas, np.float32),
-                "noise_levels": np.asarray(noise_levels, np.float32),
-                "guidance_scale": g,
-            }
-            if mean_np is not None:
-                extra["next_latents_mean"] = mean_np[:, i]
-            samples.append(
-                self.sample_class(
-                    timesteps=ts_np,
-                    all_latents=lat_np[:, i],
-                    latent_index_map=maps.latent_index_map,
-                    log_probs=lp_np[:, i] if compute_log_prob else None,
-                    log_prob_index_map=maps.logprob_index_map,
-                    height=height,
-                    width=width,
-                    image=images[i],
-                    prompt=prompt[i] if prompt is not None else None,
-                    prompt_embeds=np.asarray(prompt_embeds[i], np.float32),
-                    negative_prompt_embeds=(
-                        np.asarray(negative_prompt_embeds[i], np.float32) if do_cfg else None
-                    ),
-                    extra_kwargs=extra,
-                )
+        def _materialize() -> List[T2ISample]:
+            # --- host fetch + per-sample construction. Buffers transfer in
+            # their STORAGE dtype (fp16 halves the wire) and upcast on host —
+            # bit-identical to the old on-device fp32 cast.
+            lat_np = np.asarray(jax.device_get(lat_buf)).astype(np.float32)  # (S, B, h, w, c)
+            lp_np = np.asarray(jax.device_get(lp_buf))  # (L, B)
+            mean_np = (
+                np.asarray(jax.device_get(mean_buf)).astype(np.float32)
+                if mean_buf is not None else None
             )
-            if pooled_prompt_embeds is not None:
-                samples[-1].extra_kwargs["pooled_prompt_embeds"] = np.asarray(
-                    pooled_prompt_embeds[i], np.float32
-                )
-                if do_cfg:
-                    samples[-1].extra_kwargs["negative_pooled_prompt_embeds"] = np.asarray(
-                        negative_pooled_prompt_embeds[i], np.float32
+            images = (
+                np.asarray(jax.device_get(images_dev)) if images_dev is not None else [None] * B
+            )
+            ts_np = np.asarray(timesteps, np.float32)
+
+            samples: List[T2ISample] = []
+            for i in range(B):
+                extra = {
+                    "sigmas": np.asarray(sigmas, np.float32),
+                    "noise_levels": np.asarray(noise_levels, np.float32),
+                    "guidance_scale": g,
+                }
+                if mean_np is not None:
+                    extra["next_latents_mean"] = mean_np[:, i]
+                samples.append(
+                    self.sample_class(
+                        timesteps=ts_np,
+                        all_latents=lat_np[:, i],
+                        latent_index_map=maps.latent_index_map,
+                        log_probs=lp_np[:, i] if compute_log_prob else None,
+                        log_prob_index_map=maps.logprob_index_map,
+                        height=height,
+                        width=width,
+                        image=images[i],
+                        prompt=prompt[i] if prompt is not None else None,
+                        prompt_embeds=np.asarray(prompt_embeds[i], np.float32),
+                        negative_prompt_embeds=(
+                            np.asarray(negative_prompt_embeds[i], np.float32) if do_cfg else None
+                        ),
+                        extra_kwargs=extra,
                     )
-        return samples
+                )
+                if pooled_prompt_embeds is not None:
+                    samples[-1].extra_kwargs["pooled_prompt_embeds"] = np.asarray(
+                        pooled_prompt_embeds[i], np.float32
+                    )
+                    if do_cfg:
+                        samples[-1].extra_kwargs["negative_pooled_prompt_embeds"] = np.asarray(
+                            negative_pooled_prompt_embeds[i], np.float32
+                        )
+            return samples
+
+        if defer:
+            # everything device-side is dispatched; let the caller overlap
+            # the host fetch with the next batch's compute
+            return PendingRollout(_materialize)
+        return _materialize()
 
     # ------------------------------------------------------------------
     # Decoding

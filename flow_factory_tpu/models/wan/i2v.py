@@ -20,6 +20,7 @@ import numpy as np
 
 from ...samples import I2VSample, V2VSample
 from ...utils.media import standardize_image_batch, standardize_video_batch
+from ..abc import finish_rollout
 from .t2v import WanT2VAdapter, _preset
 from .transformer import WanConfig, WanTransformer
 
@@ -201,14 +202,14 @@ class WanI2VAdapter(WanT2VAdapter):
         x = jnp.concatenate([latents, cond], axis=-1)
         return super()._velocity(merged, x, t, sub, guidance_scale, do_cfg)[..., : self.latent_channels]
 
-    def decode_latents(self, latents, num_frames=None):
+    def decode_latents(self, latents, num_frames=None, fetch=True):
         # TI2V: composite the clean conditioned frame back before decoding
         # (reference wan2_i2v.py:605-606)
         if self.expand_timesteps and self._ti2v_cond is not None:
             lat = jnp.asarray(latents)
             cond = jnp.asarray(self._ti2v_cond).astype(lat.dtype)
             latents = lat.at[:, 0].set(cond[:, 0])
-        return super().decode_latents(latents, num_frames=num_frames)
+        return super().decode_latents(latents, num_frames=num_frames, fetch=fetch)
 
     def inference(self, images=None, cond_latents=None, last_images=None, **kwargs):
         ta = self.training_args
@@ -232,17 +233,23 @@ class WanI2VAdapter(WanT2VAdapter):
         if self.expand_timesteps:
             self._ti2v_cond = np.asarray(cond_latents, np.float32)
         try:
-            samples = super().inference(extra_embeds=extra, **kwargs)
+            # NB with defer=True the decode is already DISPATCHED (using
+            # _ti2v_cond) before super() returns, so the reset below is safe
+            out = super().inference(extra_embeds=extra, **kwargs)
         finally:
             self._ti2v_cond = None
-        for i, s in enumerate(samples):
-            s.extra_kwargs["cond_latents"] = np.asarray(cond_latents[i], np.float32)
-            if image_embeds is not None:
-                s.extra_kwargs["image_embeds"] = np.asarray(image_embeds[i], np.float32)
-            if images is not None:
-                s.images = [standardize_image_batch([images[i]], output_type="np")[0]]
-                s._unique_id = None
-        return samples
+
+        def _post(samples):
+            for i, s in enumerate(samples):
+                s.extra_kwargs["cond_latents"] = np.asarray(cond_latents[i], np.float32)
+                if image_embeds is not None:
+                    s.extra_kwargs["image_embeds"] = np.asarray(image_embeds[i], np.float32)
+                if images is not None:
+                    s.images = [standardize_image_batch([images[i]], output_type="np")[0]]
+                    s._unique_id = None
+            return samples
+
+        return finish_rollout(out, _post)
 
     def preprocess_func(self, batch: Dict[str, Any], **kwargs) -> Dict[str, Any]:
         out = super().preprocess_func(batch, **kwargs)
@@ -286,15 +293,19 @@ class WanV2VAdapter(WanI2VAdapter):
             cond_latents = self.build_condition(condition_video, num_frames, height, width)
         if cond_latents is None:
             raise ValueError("WanV2VAdapter.inference needs condition_video or cond_latents")
-        samples = WanT2VAdapter.inference(
+        out = WanT2VAdapter.inference(
             self, extra_embeds={"cond_latents": jnp.asarray(cond_latents, jnp.float32)}, **kwargs
         )
-        for i, s in enumerate(samples):
-            s.extra_kwargs["cond_latents"] = np.asarray(cond_latents[i], np.float32)
-            if condition_video is not None:
-                s.condition_video = standardize_video_batch([condition_video[i]], output_type="np")[0]
-                s._unique_id = None
-        return samples
+
+        def _post(samples):
+            for i, s in enumerate(samples):
+                s.extra_kwargs["cond_latents"] = np.asarray(cond_latents[i], np.float32)
+                if condition_video is not None:
+                    s.condition_video = standardize_video_batch([condition_video[i]], output_type="np")[0]
+                    s._unique_id = None
+            return samples
+
+        return finish_rollout(out, _post)
 
     def preprocess_func(self, batch: Dict[str, Any], **kwargs) -> Dict[str, Any]:
         out = WanT2VAdapter.preprocess_func(self, batch, **kwargs)

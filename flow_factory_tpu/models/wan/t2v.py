@@ -22,7 +22,7 @@ from ...samples import T2VSample
 from ...utils.base import derive_key
 from ...utils.tokenizer import load_tokenizer
 from ...utils.trajectory import build_store_maps
-from ..abc import BaseAdapter
+from ..abc import BaseAdapter, PendingRollout
 from ..text_encoders import T5Config, T5Encoder
 from .transformer import WanConfig, WanTransformer
 from .video_vae import VideoVAE, VideoVAEConfig
@@ -348,6 +348,7 @@ class WanT2VAdapter(BaseAdapter):
         store_means: bool = False,
         decode: bool = True,
         extra_embeds: Optional[Dict[str, jnp.ndarray]] = None,
+        defer: bool = False,
         **_,
     ) -> List[T2VSample]:
         ta = self.training_args
@@ -407,53 +408,68 @@ class WanT2VAdapter(BaseAdapter):
             store_means=store_means,
         )
 
-        videos = self.decode_latents(x_final, num_frames=num_frames) if decode else [None] * B
-
-        lat_np = np.asarray(jax.device_get(lat_buf)).astype(np.float32)
-        lp_np = np.asarray(jax.device_get(lp_buf))
-        mean_np = (
-            np.asarray(jax.device_get(mean_buf)).astype(np.float32) if mean_buf is not None else None
+        # async decode dispatch first: device compute overlaps the buffer fetch
+        videos_dev = (
+            self.decode_latents(x_final, num_frames=num_frames, fetch=False)
+            if decode else None
         )
-        ts_np = np.asarray(timesteps, np.float32)
 
-        samples: List[T2VSample] = []
-        for i in range(B):
-            extra = {
-                "sigmas": np.asarray(sigmas, np.float32),
-                "noise_levels": np.asarray(noise_levels, np.float32),
-                "guidance_scale": g,
-                "num_frames": num_frames,
-            }
-            if mean_np is not None:
-                extra["next_latents_mean"] = mean_np[:, i]
-            samples.append(
-                self.sample_class(
-                    timesteps=ts_np,
-                    all_latents=lat_np[:, i],
-                    latent_index_map=maps.latent_index_map,
-                    log_probs=lp_np[:, i] if compute_log_prob else None,
-                    log_prob_index_map=maps.logprob_index_map,
-                    height=height,
-                    width=width,
-                    video=videos[i],
-                    prompt=prompt[i] if prompt is not None else None,
-                    prompt_embeds=np.asarray(prompt_embeds[i], np.float32),
-                    negative_prompt_embeds=(
-                        np.asarray(negative_prompt_embeds[i], np.float32) if do_cfg else None
-                    ),
-                    extra_kwargs=extra,
-                )
+        def _materialize() -> List[T2VSample]:
+            videos = (
+                np.asarray(jax.device_get(videos_dev)) if videos_dev is not None else [None] * B
             )
-        return samples
+            lat_np = np.asarray(jax.device_get(lat_buf)).astype(np.float32)
+            lp_np = np.asarray(jax.device_get(lp_buf))
+            mean_np = (
+                np.asarray(jax.device_get(mean_buf)).astype(np.float32) if mean_buf is not None else None
+            )
+            ts_np = np.asarray(timesteps, np.float32)
+
+            samples: List[T2VSample] = []
+            for i in range(B):
+                extra = {
+                    "sigmas": np.asarray(sigmas, np.float32),
+                    "noise_levels": np.asarray(noise_levels, np.float32),
+                    "guidance_scale": g,
+                    "num_frames": num_frames,
+                }
+                if mean_np is not None:
+                    extra["next_latents_mean"] = mean_np[:, i]
+                samples.append(
+                    self.sample_class(
+                        timesteps=ts_np,
+                        all_latents=lat_np[:, i],
+                        latent_index_map=maps.latent_index_map,
+                        log_probs=lp_np[:, i] if compute_log_prob else None,
+                        log_prob_index_map=maps.logprob_index_map,
+                        height=height,
+                        width=width,
+                        video=videos[i],
+                        prompt=prompt[i] if prompt is not None else None,
+                        prompt_embeds=np.asarray(prompt_embeds[i], np.float32),
+                        negative_prompt_embeds=(
+                            np.asarray(negative_prompt_embeds[i], np.float32) if do_cfg else None
+                        ),
+                        extra_kwargs=extra,
+                    )
+                )
+            return samples
+
+        if defer:
+            return PendingRollout(_materialize)
+        return _materialize()
 
     # ------------------------------------------------------------------
-    def decode_latents(self, latents: jax.Array, num_frames: Optional[int] = None) -> np.ndarray:
+    def decode_latents(self, latents: jax.Array, num_frames: Optional[int] = None,
+                       fetch: bool = True) -> np.ndarray:
         """(B, Tl, h, w, c) latents → (B, T, C, H, W) videos in [0, 1].
 
         Long clips stream through the causal VAE in chunks (exact — see
         ``VideoVAE.decode_chunked``) when ``model.vae_decode_chunk`` is set
         or the clip exceeds 16 latent frames, bounding decode activation
         memory (the reference's feat-cache streaming analog).
+        ``fetch=False`` returns the DEVICE array from the async jit dispatch
+        (callers overlap the decode with other host fetches).
         """
         chunk = int(getattr(self.model_args, "vae_decode_chunk", 0) or 0)
         if not chunk and latents.shape[1] > 16:
@@ -474,6 +490,8 @@ class WanT2VAdapter(BaseAdapter):
 
             self._decode_jit = jax.jit(_decode, static_argnums=(2, 3))
         out = self._decode_jit(self.params["vae"], latents.astype(jnp.float32), num_frames, chunk)
+        if not fetch:
+            return out  # device array from the async dispatch
         return np.asarray(jax.device_get(out))
 
     def encode_video(self, videos: np.ndarray, key: Optional[jax.Array] = None) -> np.ndarray:

@@ -20,6 +20,7 @@ import numpy as np
 from ...samples import T2ISample
 from ...utils.base import derive_key
 from ...utils.tokenizer import load_tokenizer
+from ..abc import finish_rollout
 from ..flux.adapter import Flux1Adapter
 from ..text_encoders.lm import LMConfig, LMEncoder
 from ..vae import AutoencoderKL, VAEConfig
@@ -213,13 +214,18 @@ class ZImageAdapter(Flux1Adapter):
         if "negative_prompt_embeds" in extra:
             neg_np = np.asarray(extra["negative_prompt_embeds"], np.float32)
             kwargs.setdefault("do_cfg_override", True)
-        samples = super().inference(
+        out = super().inference(
             guidance_scale=g, extra_embeds=extra or None, **kwargs)
-        if neg_np is not None:
+        if neg_np is None:
+            return out
+
+        def _post(samples):
             for i, s in enumerate(samples):
                 s.negative_prompt_embeds = neg_np[i]
                 s._unique_id = None
-        return samples
+            return samples
+
+        return finish_rollout(out, _post)
 
     def _velocity(self, merged, latents, t, embeds, guidance_scale, do_cfg):
         model = self.modules["transformer"]

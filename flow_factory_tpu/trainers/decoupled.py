@@ -13,6 +13,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..models.abc import PendingRollout
 from ..samples import BaseSample, stack_samples
 from ..utils.base import derive_key, derive_seed
 from ..utils.noise_schedule import TimeSampler, flow_match_sigma
@@ -34,12 +35,13 @@ class DecoupledTrainer(BaseTrainer):
         self.reward_buffer.clear()
         self.train_loader.set_epoch(epoch)
         rank = jax.process_index()
+        pending: Optional[PendingRollout] = None
         for b, batch in enumerate(self.train_loader):
             B = len(batch["prompt"])
             keys = jnp.stack([
                 derive_key("rollout", ta.seed, epoch, rank, b, i) for i in range(B)
             ])
-            samples = self.adapter.inference(
+            out = self.adapter.inference(
                 prompt=batch["prompt"],
                 prompt_embeds=batch.get("prompt_embeds"),
                 pooled_prompt_embeds=batch.get("pooled_prompt_embeds"),
@@ -49,9 +51,19 @@ class DecoupledTrainer(BaseTrainer):
                 trajectory_indices=[-1],
                 keys=keys,
                 trainable=trainable,
+                defer=True,
                 **self.condition_kwargs(batch),
             )
-            self.reward_buffer.add_samples(samples)
+            # software-pipelined: materialize batch b-1 while batch b's
+            # dispatched compute runs (see GRPOTrainer.sample)
+            if isinstance(out, PendingRollout):
+                if pending is not None:
+                    self.reward_buffer.add_samples(pending.materialize())
+                pending = out
+            else:
+                self.reward_buffer.add_samples(out)
+        if pending is not None:
+            self.reward_buffer.add_samples(pending.materialize())
         self.adapter.train()
         return self.reward_buffer.samples
 

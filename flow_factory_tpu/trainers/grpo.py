@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..models.abc import PendingRollout
 from ..samples import BaseSample, stack_samples
 from ..utils.base import derive_key, derive_seed
 from ..utils.trajectory import compute_trajectory_indices
@@ -47,12 +48,13 @@ class GRPOTrainer(BaseTrainer):
         traj_indices = compute_trajectory_indices(self.scheduler.train_timesteps, T)
         self.train_loader.set_epoch(epoch)
         rank = jax.process_index()
+        pending: Optional[PendingRollout] = None
         for b, batch in enumerate(self.train_loader):
             B = len(batch["prompt"])
             keys = jnp.stack([
                 derive_key("rollout", ta.seed, epoch, rank, b, i) for i in range(B)
             ])
-            samples = self.adapter.inference(
+            out = self.adapter.inference(
                 prompt=batch["prompt"],
                 prompt_embeds=batch.get("prompt_embeds"),
                 pooled_prompt_embeds=batch.get("pooled_prompt_embeds"),
@@ -62,11 +64,23 @@ class GRPOTrainer(BaseTrainer):
                 trajectory_indices=traj_indices,
                 keys=keys,
                 store_means=self.use_guard,
+                defer=True,
                 **self.condition_kwargs(batch),
             )
-            # samples are host-resident numpy at this point: safe to hand to
-            # async reward workers (the reference's D2H-before-add_samples rule)
-            self.reward_buffer.add_samples(samples)
+            # software-pipelined sampling: batch b is fully DISPATCHED above;
+            # materialize batch b-1 now so its host fetch overlaps batch b's
+            # device compute. Adapters without defer support return the list
+            # directly (sequential fallback). Samples handed to the reward
+            # buffer are host-resident numpy either way (the reference's
+            # D2H-before-add_samples rule).
+            if isinstance(out, PendingRollout):
+                if pending is not None:
+                    self.reward_buffer.add_samples(pending.materialize())
+                pending = out
+            else:
+                self.reward_buffer.add_samples(out)
+        if pending is not None:
+            self.reward_buffer.add_samples(pending.materialize())
         self.adapter.train()
         return self.reward_buffer.samples
 

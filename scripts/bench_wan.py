@@ -87,25 +87,36 @@ def roll(x, seed_key):
 if E2E:
     np_embeds = {k: np.asarray(v) for k, v in embeds.items()}
 
-    def run_e2e(seed):
-        s_list = adapter.inference(
+    def run_e2e(seed, defer=False):
+        return adapter.inference(
             prompt=["bench"] * B, compute_log_prob=True, trajectory_indices=[-1],
             seed=seed, height=256, width=256, num_frames=5,
-            num_inference_steps=steps, guidance_scale=5.0, **np_embeds)
-        float(np.sum(s_list[-1].all_latents[-1]))
-        return s_list
+            num_inference_steps=steps, guidance_scale=5.0, defer=defer, **np_embeds)
 
     print("compiling e2e...", flush=True)
     t0 = time.perf_counter()
-    run_e2e(0)
+    s_list = run_e2e(0)
+    float(np.sum(s_list[-1].all_latents[-1]))
     print(f"compile+run: {time.perf_counter()-t0:.1f}s", flush=True)
-    best = float("inf")
-    for trial in range(3):
-        t0 = time.perf_counter()
-        run_e2e(trial + 1)
-        best = min(best, time.perf_counter() - t0)
-    print(json.dumps({"wan_rollout_e2e_samples_per_sec_per_chip": round(B / best, 3),
-                      "best_rollout_s": round(best, 3), "batch": B, "attn": backend}),
+    # pipelined stream, as the trainer sample loop runs it: dispatch batch
+    # b+1 before materializing batch b (models/abc.py:PendingRollout)
+    n_stream = 4
+    t0 = time.perf_counter()
+    pending, n_done = None, 0
+    for trial in range(n_stream):
+        nxt = run_e2e(trial + 1, defer=True)
+        if pending is not None:
+            out = pending.materialize()
+            float(np.sum(out[-1].all_latents[-1]))
+            n_done += len(out)
+        pending = nxt
+    out = pending.materialize()
+    float(np.sum(out[-1].all_latents[-1]))
+    n_done += len(out)
+    dt = time.perf_counter() - t0
+    print(json.dumps({"wan_rollout_e2e_samples_per_sec_per_chip": round(n_done / dt, 3),
+                      "stream_s": round(dt, 3), "stream_batches": n_stream,
+                      "batch": B, "attn": backend}),
           flush=True)
     raise SystemExit(0)
 
