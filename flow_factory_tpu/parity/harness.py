@@ -36,10 +36,17 @@ Probe-input convention (shared with the torch dump script):
   * latents/t:   ``np.random.default_rng(PROBE_SEED)`` draws in the order
                  produced by :meth:`ParityHarness.record` (documented per
                  probe in the code below).
+  * condition media (conditioned families only — Kontext, Edit-Plus,
+    Wan-I2V, Wan-V2V, LTX-2 I2AV): ``np.random.default_rng(PROBE_COND_SEED)``
+    uniform [0,1) draws — one ``(3, res, res)`` image per prompt when the
+    adapter's ``inference`` takes ``images``, one ``(num_frames, 3, res,
+    res)`` clip per prompt when it takes ``condition_video``. Drawn in
+    prompt order, image before video if an adapter ever takes both.
 """
 from __future__ import annotations
 
 import dataclasses
+import inspect
 import json
 import logging
 from typing import Any, Dict, List, Optional, Tuple
@@ -49,6 +56,7 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 PROBE_SEED = 20260817
+PROBE_COND_SEED = PROBE_SEED + 1
 PROBE_PROMPTS = ["a red cube on a blue table"]
 
 #: default per-level absolute tolerances (fp32). Golden-regression runs use
@@ -117,6 +125,32 @@ class ParityHarness:
         return out
 
     # ------------------------------------------------------------------
+    # Probe condition media (conditioned families)
+    # ------------------------------------------------------------------
+    def probe_condition_kwargs(self) -> Dict[str, Any]:
+        """Deterministic condition media for families whose ``inference``
+        REQUIRES it, keyed off the explicit signature (``images`` /
+        ``condition_video``). Base T2I/T2V families take neither and get
+        an unconditioned probe. See the probe-input convention above."""
+        ta = self.adapter.training_args
+        try:
+            params = inspect.signature(self.adapter.inference).parameters
+        except (TypeError, ValueError):  # pragma: no cover - builtins only
+            return {}
+        rng = np.random.default_rng(PROBE_COND_SEED)
+        h, w = int(ta.height), int(ta.width)
+        kwargs: Dict[str, Any] = {}
+        if "images" in params:
+            kwargs["images"] = [rng.random((3, h, w)).astype(np.float32)
+                                for _ in PROBE_PROMPTS]
+        if "condition_video" in params:
+            frames = int(getattr(ta, "num_frames", None) or 5)
+            kwargs["condition_video"] = [
+                rng.random((frames, 3, h, w)).astype(np.float32)
+                for _ in PROBE_PROMPTS]
+        return kwargs
+
+    # ------------------------------------------------------------------
     # Probe runner
     # ------------------------------------------------------------------
     def record(self) -> Tuple[Dict[str, np.ndarray], Dict[str, Any]]:
@@ -144,11 +178,14 @@ class ParityHarness:
         samples = None
         if self.levels & {2, 3, 4}:
             adapter.rollout()
+            cond_kwargs = self.probe_condition_kwargs()
+            manifest["condition_probes"] = sorted(cond_kwargs)
             samples = adapter.inference(
                 prompt=list(PROBE_PROMPTS),
                 compute_log_prob=True,
                 trajectory_indices="all",
                 seed=PROBE_SEED,
+                **cond_kwargs,
             )
             adapter.train()
         if 4 in self.levels and samples is not None:
@@ -191,21 +228,25 @@ class ParityHarness:
             rec["L2/scheduler/sde_next_latents"] = np.asarray(out.next_latents, np.float32)
             rec["L2/scheduler/sde_log_prob"] = np.asarray(out.log_prob, np.float32)
 
-            # (c) transformer: velocity at the rollout's first stored latents
+            # (c) transformer: velocity at the rollout's first stored latents.
+            # Batch assembly mirrors the trainers' replay path exactly
+            # (stack_samples → embed_keys / trajectory_batch_keys), so
+            # conditioned families (cond_latents/cond_mask/...) batch
+            # correctly too.
             if samples is not None:
+                from ..samples import stack_samples as _stack
+
                 s = samples[0]
+                sb = _stack([s])
                 lat0 = jnp.asarray(s.all_latents[:1], jnp.float32)  # first slot as batch of 1
                 batch = {"timestep": jnp.asarray([float(sched.timesteps[0])]),
                          "guidance_scale": jnp.float32(1.0)}
                 for ek in adapter.embed_keys:
-                    v = embeds.get(ek)
+                    v = sb.get(ek)
                     if v is None:
-                        v = s.extra_kwargs.get(ek)
+                        v = embeds.get(ek)
                     if v is not None:
-                        arr = jnp.asarray(v)
-                        if ek in ("prompt_embeds", "pooled_prompt_embeds") and arr.ndim >= 2:
-                            arr = arr[:1]
-                        batch[ek] = arr
+                        batch[ek] = jnp.asarray(v)
                 lat_tree = {"latents": lat0}
                 for bk, sk in adapter.trajectory_batch_keys.items():
                     extra = s.extra_kwargs.get(sk)

@@ -27,6 +27,10 @@ FAMILIES = [
     ("sd3-5", "sd35.npz"),
     ("wan2-t2v", "wan2_t2v.npz"),
     ("ltx2-t2av", "ltx2_t2av.npz"),
+    # conditioned families (probe condition media — harness.py
+    # probe_condition_kwargs): one image-conditioned, one video-conditioned
+    ("flux1-kontext", "flux1_kontext.npz"),
+    ("wan2-v2v", "wan2_v2v.npz"),
 ]
 
 
