@@ -104,11 +104,21 @@ class MultiReplicaLoader:
 
 
 class SequentialLoader:
-    """Plain strided loader for evaluation (rank-sharded, no K-repeat)."""
+    """Plain strided loader for evaluation (PROCESS-sharded, no K-repeat).
 
-    def __init__(self, dataset: PreprocessedDataset, batch_size: int, rank: int = 0, world: int = 1):
+    ``rank``/``world`` are process coordinates — each process reads the
+    slice for ALL of its local replicas and `shard_batch` splits it across
+    local devices (get_world_size()=devices vs get_num_processes()=hosts;
+    mixing these up starves single-host multi-device eval). Tail batches
+    are padded by repeating the last row up to a multiple of ``pad_to``
+    (the local replica count) so batch sharding always divides; the pad
+    count rides in ``_num_pad`` for the caller to drop after inference."""
+
+    def __init__(self, dataset: PreprocessedDataset, batch_size: int, rank: int = 0,
+                 world: int = 1, pad_to: int = 1):
         self.dataset = dataset
         self.batch_size = batch_size
+        self.pad_to = max(1, pad_to)
         self.indices = list(range(rank, len(dataset), world))
 
     def __len__(self) -> int:
@@ -117,11 +127,14 @@ class SequentialLoader:
     def __iter__(self) -> Iterator[Dict[str, Any]]:
         for b in range(len(self)):
             idxs = self.indices[b * self.batch_size : (b + 1) * self.batch_size]
+            pad = (-len(idxs)) % self.pad_to
+            idxs = idxs + [idxs[-1]] * pad
             if hasattr(self.dataset, "get_batch"):
                 batch = self.dataset.get_batch(idxs)
             else:
                 batch = collate([self.dataset[i] for i in idxs])
             batch["_indices"] = idxs
+            batch["_num_pad"] = pad
             yield batch
 
 
@@ -190,5 +203,8 @@ def get_dataloader(
             batch_size=da.preprocessing_batch_size,
         )
         eval_bs = getattr(config.eval_args, "per_device_batch_size", None) or ta.per_device_batch_size
-        test_loader = SequentialLoader(test_ds, eval_bs, rank=rank, world=world)
+        # process-level batch = per-device batch × local replicas; strided
+        # over PROCESSES (each process feeds all its local devices)
+        test_loader = SequentialLoader(
+            test_ds, eval_bs * local, rank=rank, world=procs, pad_to=local)
     return train_loader, test_loader

@@ -1029,6 +1029,25 @@ class BaseAdapter(ABC):
         dt = self.training_args.storage_dtype
         return latents.astype(dt).astype(jnp.float32)
 
+    def stage_context(self, arr) -> jnp.ndarray:
+        """Host-cast a sequence-context embed to the inference dtype BEFORE
+        the H2D transfer — halves the wire bytes through PCIe/the relay
+        tunnel (UMT5 embeds are 67 MB fp32 per Wan batch).
+
+        ONLY valid for tensors whose first device-side use is
+        ``.astype(compute_dtype)`` in BOTH rollout and replay (Wan's text /
+        image context is — ``wan/transformer.py:204,141``): a single
+        round-to-nearest cast from the same fp32 values lands on identical
+        bits whether it runs on host or device, so the replay-ratio==1
+        invariant is untouched. NOT valid for anything consumed in fp32
+        (e.g. SD3/FLUX pooled projections feed fp32 timestep modulation;
+        FLUX context may pass an fp32 RMSNorm first)."""
+        a = np.asarray(arr)
+        dt = self.inference_dtype
+        if np.issubdtype(a.dtype, np.floating) and jnp.dtype(dt).itemsize < a.dtype.itemsize:
+            return jnp.asarray(a, dtype=dt)
+        return jnp.asarray(a)
+
     def param_count(self, component: str) -> int:
         return sum(int(np.prod(l.shape)) for l in jax.tree.leaves(self.params[component]))
 

@@ -229,7 +229,9 @@ class WanI2VAdapter(WanT2VAdapter):
                 image_embeds = self.encode_image_clip(images)
             if image_embeds is None:
                 raise ValueError("use_image_encoder needs images or image_embeds")
-            extra["image_embeds"] = jnp.asarray(image_embeds, jnp.float32)
+            # CLIP image context is cast to compute dtype at first use
+            # (transformer.py:141) — stage narrow like the text context
+            extra["image_embeds"] = self.stage_context(image_embeds)
         if self.expand_timesteps:
             self._ti2v_cond = np.asarray(cond_latents, np.float32)
         try:

@@ -365,9 +365,12 @@ class WanT2VAdapter(BaseAdapter):
             neg = list(negative_prompt) if negative_prompt is not None else [""] * len(prompt_embeds)
             negative_prompt_embeds = self.encode_prompt(neg)["prompt_embeds"]
         B = len(prompt_embeds)
-        embeds = {"prompt_embeds": jnp.asarray(prompt_embeds)}
+        # UMT5 context is cast to the compute dtype at first use in the
+        # transformer, so stage it over the wire in that dtype (67 MB→34 MB
+        # per fp32 embed batch; bit-identical, see stage_context)
+        embeds = {"prompt_embeds": self.stage_context(prompt_embeds)}
         if do_cfg:
-            embeds["negative_prompt_embeds"] = jnp.asarray(negative_prompt_embeds)
+            embeds["negative_prompt_embeds"] = self.stage_context(negative_prompt_embeds)
         if extra_embeds:
             embeds.update(extra_embeds)
 

@@ -253,14 +253,17 @@ class BaseTrainer(ABC):
     def evaluate(self, epoch: int) -> Dict[str, float]:
         if self.test_loader is None:
             return {}
+        from ..models.abc import PendingRollout
+
         self.adapter.eval()
         ea = self.eval_args
         all_samples: List[BaseSample] = []
+        pending: Optional[PendingRollout] = None
         for batch in self.test_loader:
             from ..utils.base import keys_for_prompts
 
             keys = keys_for_prompts(batch["prompt"], ea.seed or 0)
-            samples = self.adapter.inference(
+            out = self.adapter.inference(
                 prompt=batch["prompt"],
                 prompt_embeds=batch.get("prompt_embeds"),
                 pooled_prompt_embeds=batch.get("pooled_prompt_embeds"),
@@ -274,9 +277,30 @@ class BaseTrainer(ABC):
                 trajectory_indices=None,
                 keys=keys,
                 trainable=self.adapter.ema_trainable,
+                defer=True,
                 **{k: v for k, v in self.condition_kwargs(batch).items()
                    if k not in ("height", "width", "guidance_scale")},
             )
+            # drop tail-batch padding rows (SequentialLoader pads to the
+            # local-replica multiple so batch sharding divides)
+            pad = int(batch.get("_num_pad") or 0)
+            if pad:
+                from ..models.abc import finish_rollout
+
+                out = finish_rollout(out, lambda s, p=pad: s[: len(s) - p])
+            # software-pipelined like the sample loops: materialize batch
+            # b-1 while batch b's dispatched compute runs
+            if isinstance(out, PendingRollout):
+                if pending is not None:
+                    samples = pending.materialize()
+                    self.eval_reward_buffer.add_samples(samples)
+                    all_samples.extend(samples)
+                pending = out
+            else:
+                self.eval_reward_buffer.add_samples(out)
+                all_samples.extend(out)
+        if pending is not None:
+            samples = pending.materialize()
             self.eval_reward_buffer.add_samples(samples)
             all_samples.extend(samples)
         # eval generates 1 sample/prompt — groups never complete, so score

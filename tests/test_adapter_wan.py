@@ -60,6 +60,53 @@ def test_video_rollout_and_replay(adapter):
     np.testing.assert_allclose(ratio, 1.0, atol=1e-4)
 
 
+def test_bf16_host_staged_context_keeps_replay_ratio():
+    """`stage_context` ships UMT5 embeds over the wire in the compute dtype
+    (bf16). Host-side rne cast == device-side rne cast, so the rollout
+    (bf16-staged) and replay (fp32-staged, cast at first use) must still
+    land on IDENTICAL log-probs: ratio == 1."""
+    cfg = Arguments.from_dict({
+        "data": {"dataset_dir": "tests/fixtures/tiny_prompts"},
+        "model": {"model_type": "wan2-t2v", "model_name_or_path": "tiny", "finetune_type": "lora",
+                  "lora_rank": 4, "lora_alpha": 8, "attn_backend": "native",
+                  "master_dtype": "float32", "inference_dtype": "bfloat16"},
+        "scheduler": {"dynamics_type": "Flow-SDE", "noise_level": 0.7,
+                      "num_sde_steps": 2, "sde_steps": [0, 1, 2]},
+        "train": {"trainer_type": "grpo", "resolution": 32, "num_inference_steps": 4,
+                  "guidance_scale": 5.0, "per_device_batch_size": 2, "group_size": 2,
+                  "unique_sample_num_per_epoch": 2, "latent_storage_dtype": "fp32",
+                  "num_frames": 5},
+        "eval": {}, "log": {}, "rewards": [],
+    })
+    bf16_adapter = load_adapter(cfg)
+    bf16_adapter.rollout()
+    emb = bf16_adapter.stage_context(np.ones((2, 8, 16), np.float32) * 1.00390625)
+    assert emb.dtype == jnp.bfloat16  # narrow staging actually happened
+    samples = bf16_adapter.inference(
+        prompt=["a cat runs", "a dog jumps"], compute_log_prob=True, seed=0)
+    s = samples[0]
+    b = stack_samples(samples)
+    sig, nl = s.extra_kwargs["sigmas"], s.extra_kwargs["noise_levels"]
+    i = int(np.nonzero(nl)[0][0])
+    li, lni, lpi = s.latent_index_map[i], s.latent_index_map[i + 1], s.log_prob_index_map[i]
+    batch = {
+        "latents": jnp.asarray(b["all_latents"][:, li]),
+        "next_latents": jnp.asarray(b["all_latents"][:, lni]),
+        "timestep": jnp.full((2,), float(s.timesteps[i])),
+        "sigma": jnp.full((2,), float(sig[i])),
+        "sigma_next": jnp.full((2,), float(sig[i + 1])),
+        "noise_level": jnp.full((2,), float(nl[i])),
+        "guidance_scale": jnp.float32(5.0),
+        "sigma_max": jnp.float32(sig[1]),
+        # replay stages fp32, exactly as the trainers do
+        "prompt_embeds": jnp.asarray(b["prompt_embeds"], jnp.float32),
+        "negative_prompt_embeds": jnp.asarray(b["negative_prompt_embeds"], jnp.float32),
+    }
+    out = bf16_adapter.training_forward(bf16_adapter.trainable, batch)
+    ratio = np.exp(np.asarray(out.log_prob) - b["log_probs"][:, lpi])
+    np.testing.assert_allclose(ratio, 1.0, atol=1e-4)
+
+
 def test_video_vae_roundtrip_shapes(adapter):
     v = np.random.rand(1, 5, 3, 32, 32).astype(np.float32)
     z = adapter.encode_video(v)

@@ -122,3 +122,31 @@ def test_media_loading_from_jsonl(tmp_path):
     img = np.asarray(seen["images"][0][0])  # first record, first reference
     assert img.ndim == 3 and img.shape[0] == 3  # (3, H, W) canonical
     assert 0.0 <= float(img.min()) and float(img.max()) <= 1.0
+
+
+def test_sequential_loader_pads_to_replica_multiple():
+    """Eval loader: PROCESS-strided slices, tail batch padded by repeating
+    the last row up to the local-replica multiple (so `shard_batch` always
+    divides on a multi-device mesh); `_num_pad` tells the caller how many
+    trailing duplicates to drop."""
+    from flow_factory_tpu.data import SequentialLoader
+
+    class _DS(list):
+        pass
+
+    ds = _DS({"prompt": f"p{i}"} for i in range(5))
+    # 1 process feeding 4 local replicas, per-device batch 1 → batch 4
+    loader = SequentialLoader(ds, batch_size=4, rank=0, world=1, pad_to=4)
+    batches = list(loader)
+    assert len(batches) == 2
+    assert batches[0]["_num_pad"] == 0 and len(batches[0]["_indices"]) == 4
+    # tail: 1 real row + 3 pad duplicates of it
+    assert batches[1]["_num_pad"] == 3
+    assert batches[1]["_indices"] == [4, 4, 4, 4]
+    assert batches[1]["prompt"] == ["p4"] * 4
+    # 2-process stride: disjoint coverage of the dataset
+    got = []
+    for r in (0, 1):
+        for b in SequentialLoader(ds, batch_size=4, rank=r, world=2, pad_to=4):
+            got += [i for i in b["_indices"][: len(b["_indices"]) - b["_num_pad"]]]
+    assert sorted(got) == [0, 1, 2, 3, 4]

@@ -55,3 +55,13 @@ def test_group_members_share_unique_id(trainer):
     # "unique" merges two groups when M exceeds the tiny fixture dataset)
     K = trainer.training_args.group_size
     assert all(n % K == 0 for n in uids.values())
+
+
+def test_evaluate_pipelined(trainer):
+    """Eval pass rides the same deferred-dispatch pipeline as sampling:
+    every test batch materializes, rewards score pointwise-only, metrics
+    are finite (reference grpo.py:94-138)."""
+    assert trainer.test_loader is not None
+    metrics = trainer.evaluate(epoch=0)
+    assert np.isfinite(metrics["eval/reward_mean"])
+    assert np.isfinite(metrics["eval/reward_std"])
