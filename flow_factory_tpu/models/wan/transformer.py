@@ -77,6 +77,52 @@ class WanConfig:
         return WanConfig(**base)
 
 
+class HeadProj(nn.Module):
+    """QKV projection emitting (B, H, S, E) DIRECTLY.
+
+    Folds the head split into the projection einsum instead of
+    Dense → reshape → transpose, so XLA's layout assignment can write the
+    attention-kernel layout straight out of the matmul epilogue (the
+    materialized head transposes showed up as ~12% of the Wan rollout
+    timeline — docs/performance.md). Param names, shapes, init, and
+    dtype promotion match ``nn.Dense`` exactly ('kernel' (D_in, H·E),
+    'bias' (H·E,), lecun-normal/zeros, fp32 params): checkpoint key maps,
+    RNG draws, and numerics are bit-identical to the Dense formulation.
+    """
+
+    heads: int
+    head_dim: int
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:  # (B, S, D_in) → (B, H, S, E)
+        H, E = self.heads, self.head_dim
+        kernel = self.param("kernel", nn.initializers.lecun_normal(), (x.shape[-1], H * E))
+        bias = self.param("bias", nn.initializers.zeros_init(), (H * E,))
+        x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias, dtype=self.dtype)
+        y = jnp.einsum("bsd,dhe->bhse", x, kernel.reshape(x.shape[-1], H, E))
+        return y + bias.reshape(1, H, 1, E)
+
+
+class MergeProj(nn.Module):
+    """Output projection consuming (B, H, S, E) directly → (B, S, D_out).
+
+    The head merge contracts inside the einsum (no transpose+reshape
+    before the Dense). Same param layout as ``nn.Dense`` on the merged
+    (B, S, H·E) input — 'kernel' (H·E, D_out) — so key maps hold."""
+
+    out_dim: int
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, attn: jax.Array) -> jax.Array:
+        B, H, S, E = attn.shape
+        kernel = self.param("kernel", nn.initializers.lecun_normal(), (H * E, self.out_dim))
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.out_dim,))
+        attn, kernel, bias = nn.dtypes.promote_dtype(attn, kernel, bias, dtype=self.dtype)
+        return jnp.einsum("bhse,hed->bsd", attn, kernel.reshape(H, E, self.out_dim)) + bias
+
+
 class WanBlock(nn.Module):
     cfg: WanConfig
 
@@ -108,45 +154,44 @@ class WanBlock(nn.Module):
             tok = lambda m: m[:, None]  # broadcast over tokens
 
         ln = lambda name: nn.LayerNorm(use_bias=False, use_scale=False, dtype=jnp.float32, name=name)
-        split = lambda t: t.reshape(t.shape[0], t.shape[1], H, D // H).transpose(0, 2, 1, 3)
-        merge = lambda t: t.transpose(0, 2, 1, 3).reshape(t.shape[0], -1, D)
+        E = D // H
+        hp = lambda name: HeadProj(heads=H, head_dim=E, dtype=dt, name=name)
+        mp = lambda name: MergeProj(out_dim=D, dtype=dt, name=name)
 
         # --- self attention (RoPE over video tokens)
         h = (ln("norm1")(x.astype(jnp.float32)) * (1 + tok(scale_sa)) + tok(shift_sa)).astype(dt)
-        q = split(nn.Dense(D, dtype=dt, name="sa_q")(h))
-        k = split(nn.Dense(D, dtype=dt, name="sa_k")(h))
-        v = split(nn.Dense(D, dtype=dt, name="sa_v")(h))
+        q = hp("sa_q")(h)
+        k = hp("sa_k")(h)
+        v = hp("sa_v")(h)
         if cfg.qk_norm:
-            q, k = QKNorm(D // H, name="sa_qk_norm")(q, k)
+            q, k = QKNorm(E, name="sa_qk_norm")(q, k)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
         attn = dot_product_attention(q, k, v, backend=cfg.attn_backend)
-        x = x + tok(gate_sa).astype(x.dtype) * nn.Dense(D, dtype=dt, name="sa_out")(merge(attn))
+        x = x + tok(gate_sa).astype(x.dtype) * mp("sa_out")(attn)
 
         # --- cross attention (no RoPE, plain LN)
         h = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x.astype(jnp.float32)).astype(dt)
         ctx = context.astype(dt)
-        q = split(nn.Dense(D, dtype=dt, name="ca_q")(h))
-        ck = nn.Dense(D, dtype=dt, name="ca_k")(ctx)
-        cv = nn.Dense(D, dtype=dt, name="ca_v")(ctx)
-        ck = ck.reshape(ck.shape[0], ck.shape[1], H, D // H).transpose(0, 2, 1, 3)
-        cv = cv.reshape(cv.shape[0], cv.shape[1], H, D // H).transpose(0, 2, 1, 3)
+        q = hp("ca_q")(h)
+        ck = hp("ca_k")(ctx)
+        cv = hp("ca_v")(ctx)
         if cfg.qk_norm:
-            q, ck = QKNorm(D // H, name="ca_qk_norm")(q, ck)
+            q, ck = QKNorm(E, name="ca_qk_norm")(q, ck)
         attn = dot_product_attention(q, ck, cv, backend=cfg.attn_backend)
         if cfg.image_context_tokens and context_img is not None:
             # Wan2.1 I2V second cross-attention stream: shared (normed) query
             # over CLIP image tokens, k-only RMS norm, outputs summed before
             # the shared output projection.
             ci = context_img.astype(dt)
-            ik = split(nn.Dense(D, dtype=dt, name="ca_k_img")(ci))
-            iv = split(nn.Dense(D, dtype=dt, name="ca_v_img")(ci))
+            ik = hp("ca_k_img")(ci)
+            iv = hp("ca_v_img")(ci)
             if cfg.qk_norm:
                 ik = nn.RMSNorm(epsilon=1e-6, dtype=jnp.float32, name="ca_k_img_norm")(
                     ik.astype(jnp.float32)
                 ).astype(ik.dtype)
             attn = attn + dot_product_attention(q, ik, iv, backend=cfg.attn_backend)
-        x = x + nn.Dense(D, dtype=dt, name="ca_out")(merge(attn))
+        x = x + mp("ca_out")(attn)
 
         # --- feed forward
         h = (ln("norm3")(x.astype(jnp.float32)) * (1 + tok(scale_ff)) + tok(shift_ff)).astype(dt)
