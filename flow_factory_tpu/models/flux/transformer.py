@@ -28,6 +28,8 @@ import jax.numpy as jnp
 from ..layers import (
     AdaLayerNormContinuous,
     FeedForward,
+    HeadProj,
+    MergeProj,
     PooledTextEmbedder,
     QKNorm,
     TimestepEmbedder,
@@ -109,15 +111,16 @@ class FluxDoubleBlock(nn.Module):
         img_mod = modulate(ln("img_norm1")(img.astype(jnp.float32)), i_shift, i_scale).astype(dt)
         txt_mod = modulate(ln("txt_norm1")(txt.astype(jnp.float32)), t_shift, t_scale).astype(dt)
 
-        split = lambda t: t.reshape(t.shape[0], t.shape[1], H, D // H).transpose(0, 2, 1, 3)
-        iq = split(nn.Dense(D, dtype=dt, name="img_q")(img_mod))
-        ik = split(nn.Dense(D, dtype=dt, name="img_k")(img_mod))
-        iv = split(nn.Dense(D, dtype=dt, name="img_v")(img_mod))
-        tq = split(nn.Dense(D, dtype=dt, name="txt_q")(txt_mod))
-        tk = split(nn.Dense(D, dtype=dt, name="txt_k")(txt_mod))
-        tv = split(nn.Dense(D, dtype=dt, name="txt_v")(txt_mod))
-        iq, ik = QKNorm(D // H, name="img_qk_norm")(iq, ik)
-        tq, tk = QKNorm(D // H, name="txt_qk_norm")(tq, tk)
+        E = D // H
+        hp = lambda name: HeadProj(heads=H, head_dim=E, dtype=dt, name=name)
+        iq = hp("img_q")(img_mod)
+        ik = hp("img_k")(img_mod)
+        iv = hp("img_v")(img_mod)
+        tq = hp("txt_q")(txt_mod)
+        tk = hp("txt_k")(txt_mod)
+        tv = hp("txt_v")(txt_mod)
+        iq, ik = QKNorm(E, name="img_qk_norm")(iq, ik)
+        tq, tk = QKNorm(E, name="txt_qk_norm")(tq, tk)
 
         q = jnp.concatenate([tq, iq], axis=2)
         k = jnp.concatenate([tk, ik], axis=2)
@@ -125,11 +128,12 @@ class FluxDoubleBlock(nn.Module):
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
         out = dot_product_attention(q, k, v, backend=cfg.attn_backend)
-        out = out.transpose(0, 2, 1, 3).reshape(img.shape[0], -1, D)
-        txt_attn, img_attn = out[:, :txt_len], out[:, txt_len:]
+        txt_attn, img_attn = out[:, :, :txt_len], out[:, :, txt_len:]
 
-        img = img + i_gate[:, None].astype(img.dtype) * nn.Dense(D, dtype=dt, name="img_attn_out")(img_attn)
-        txt = txt + t_gate[:, None].astype(txt.dtype) * nn.Dense(D, dtype=dt, name="txt_attn_out")(txt_attn)
+        img = img + i_gate[:, None].astype(img.dtype) * MergeProj(
+            out_dim=D, dtype=dt, name="img_attn_out")(img_attn)
+        txt = txt + t_gate[:, None].astype(txt.dtype) * MergeProj(
+            out_dim=D, dtype=dt, name="txt_attn_out")(txt_attn)
 
         img_ff = modulate(ln("img_norm2")(img.astype(jnp.float32)), i_shift2, i_scale2).astype(dt)
         img = img + i_gate2[:, None].astype(img.dtype) * FeedForward(

@@ -192,14 +192,51 @@ class QKNorm(nn.Module):
         return qn.astype(q.dtype), kn.astype(k.dtype)
 
 
-def _split_heads(x: jax.Array, num_heads: int) -> jax.Array:
-    B, S, D = x.shape
-    return x.reshape(B, S, num_heads, D // num_heads).transpose(0, 2, 1, 3)
+class HeadProj(nn.Module):
+    """QKV projection emitting the attention layout (B, H, S, E) DIRECTLY.
+
+    Folds the head split into the projection einsum instead of
+    Dense → reshape → transpose, so XLA's layout assignment writes the
+    attention-kernel layout straight out of the matmul epilogue instead of
+    materializing head-split transposes (measured ~12% of the Wan rollout
+    timeline — docs/performance.md; 195.6 → 167.1 ms/step). Param names,
+    shapes, init, and dtype promotion match ``nn.Dense`` exactly
+    ('kernel' (D_in, H·E), 'bias' (H·E,), lecun-normal/zeros, fp32 params):
+    checkpoint key maps, TP sharding rules, RNG draws, and numerics are
+    identical to the Dense formulation (up to fp32 contraction order).
+    """
+
+    heads: int
+    head_dim: int
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:  # (B, S, D_in) → (B, H, S, E)
+        H, E = self.heads, self.head_dim
+        kernel = self.param("kernel", nn.initializers.lecun_normal(), (x.shape[-1], H * E))
+        bias = self.param("bias", nn.initializers.zeros_init(), (H * E,))
+        x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias, dtype=self.dtype)
+        y = jnp.einsum("bsd,dhe->bhse", x, kernel.reshape(x.shape[-1], H, E))
+        return y + bias.reshape(1, H, 1, E)
 
 
-def _merge_heads(x: jax.Array) -> jax.Array:
-    B, H, S, Dh = x.shape
-    return x.transpose(0, 2, 1, 3).reshape(B, S, H * Dh)
+class MergeProj(nn.Module):
+    """Output projection consuming (B, H, S, E) directly → (B, S, D_out).
+
+    The head merge contracts inside the einsum (no transpose+reshape before
+    the Dense). Same param layout as ``nn.Dense`` on the merged (B, S, H·E)
+    input — 'kernel' (H·E, D_out) — so key maps and TP rules hold."""
+
+    out_dim: int
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, attn: jax.Array) -> jax.Array:
+        B, H, S, E = attn.shape
+        kernel = self.param("kernel", nn.initializers.lecun_normal(), (H * E, self.out_dim))
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.out_dim,))
+        attn, kernel, bias = nn.dtypes.promote_dtype(attn, kernel, bias, dtype=self.dtype)
+        return jnp.einsum("bhse,hed->bsd", attn, kernel.reshape(H, E, self.out_dim)) + bias
 
 
 class JointAttention(nn.Module):
@@ -224,20 +261,20 @@ class JointAttention(nn.Module):
     ) -> Tuple[jax.Array, Optional[jax.Array]]:
         D = self.hidden_dim
         head_dim = D // self.num_heads
+        hp = lambda name: HeadProj(
+            heads=self.num_heads, head_dim=head_dim, dtype=self.dtype, name=name)
 
-        q = nn.Dense(D, dtype=self.dtype, name="to_q")(x)
-        k = nn.Dense(D, dtype=self.dtype, name="to_k")(x)
-        v = nn.Dense(D, dtype=self.dtype, name="to_v")(x)
-        q, k, v = (_split_heads(t, self.num_heads) for t in (q, k, v))
+        q = hp("to_q")(x)
+        k = hp("to_k")(x)
+        v = hp("to_v")(x)
         if self.qk_norm:
             q, k = QKNorm(head_dim, name="qk_norm")(q, k)
 
         ctx_len = 0
         if context is not None:
-            cq = nn.Dense(D, dtype=self.dtype, name="add_q_proj")(context)
-            ck = nn.Dense(D, dtype=self.dtype, name="add_k_proj")(context)
-            cv = nn.Dense(D, dtype=self.dtype, name="add_v_proj")(context)
-            cq, ck, cv = (_split_heads(t, self.num_heads) for t in (cq, ck, cv))
+            cq = hp("add_q_proj")(context)
+            ck = hp("add_k_proj")(context)
+            cv = hp("add_v_proj")(context)
             if self.qk_norm:
                 cq, ck = QKNorm(head_dim, name="added_qk_norm")(cq, ck)
             ctx_len = context.shape[1]
@@ -247,16 +284,15 @@ class JointAttention(nn.Module):
             v = jnp.concatenate([cv, v], axis=2)
 
         out = dot_product_attention(q, k, v, backend=self.attn_backend)
-        out = _merge_heads(out)
 
         ctx_out = None
         if context is not None:
-            ctx_part, x_part = out[:, :ctx_len], out[:, ctx_len:]
+            ctx_part, x_part = out[:, :, :ctx_len], out[:, :, ctx_len:]
             if not self.context_pre_only:
-                ctx_out = nn.Dense(D, dtype=self.dtype, name="to_add_out")(ctx_part)
+                ctx_out = MergeProj(out_dim=D, dtype=self.dtype, name="to_add_out")(ctx_part)
         else:
             x_part = out
-        x_out = nn.Dense(D, dtype=self.dtype, name="to_out")(x_part)
+        x_out = MergeProj(out_dim=D, dtype=self.dtype, name="to_out")(x_part)
         return x_out, ctx_out
 
 
@@ -272,14 +308,15 @@ class SelfAttention(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         D = self.hidden_dim
-        q = nn.Dense(D, dtype=self.dtype, name="to_q")(x)
-        k = nn.Dense(D, dtype=self.dtype, name="to_k")(x)
-        v = nn.Dense(D, dtype=self.dtype, name="to_v")(x)
-        q, k, v = (_split_heads(t, self.num_heads) for t in (q, k, v))
+        E = D // self.num_heads
+        hp = lambda name: HeadProj(heads=self.num_heads, head_dim=E, dtype=self.dtype, name=name)
+        q = hp("to_q")(x)
+        k = hp("to_k")(x)
+        v = hp("to_v")(x)
         if self.qk_norm:
-            q, k = QKNorm(D // self.num_heads, name="qk_norm")(q, k)
+            q, k = QKNorm(E, name="qk_norm")(q, k)
         out = dot_product_attention(q, k, v, backend=self.attn_backend)
-        return nn.Dense(D, dtype=self.dtype, name="to_out")(_merge_heads(out))
+        return MergeProj(out_dim=D, dtype=self.dtype, name="to_out")(out)
 
 
 # ---------------------------------------------------------------------------

@@ -43,7 +43,7 @@ import jax
 import jax.numpy as jnp
 
 from ...ops.attention import dot_product_attention
-from ..layers import QKNorm, TimestepEmbedder, apply_rope, rope_frequencies
+from ..layers import HeadProj, MergeProj, QKNorm, TimestepEmbedder, apply_rope, rope_frequencies
 
 
 @dataclass(frozen=True)
@@ -99,18 +99,17 @@ class _CrossAttention(nn.Module):
         cfg = self.cfg
         dt = cfg.compute_dtype
         D, H = cfg.hidden_dim, cfg.num_heads
-        split = lambda t: t.reshape(t.shape[0], t.shape[1], H, D // H).transpose(0, 2, 1, 3)
-        q = split(nn.Dense(D, dtype=dt, name="q")(x))
-        k = split(nn.Dense(D, dtype=dt, name="k")(y.astype(dt)))
-        v = split(nn.Dense(D, dtype=dt, name="v")(y.astype(dt)))
+        hp = lambda name: HeadProj(heads=H, head_dim=D // H, dtype=dt, name=name)
+        q = hp("q")(x)
+        k = hp("k")(y.astype(dt))
+        v = hp("v")(y.astype(dt))
         q, k = QKNorm(D // H, name="qk_norm")(q, k)
         if q_rope is not None:
             q = apply_rope(q, *q_rope)
         if k_rope is not None:
             k = apply_rope(k, *k_rope)
         attn = dot_product_attention(q, k, v, backend=cfg.attn_backend)
-        attn = attn.transpose(0, 2, 1, 3).reshape(x.shape[0], -1, D)
-        return nn.Dense(D, dtype=dt, name="out")(attn)
+        return MergeProj(out_dim=D, dtype=dt, name="out")(attn)
 
 
 class LTX2Block(nn.Module):
@@ -157,17 +156,16 @@ class LTX2Block(nn.Module):
             "audio_scale_shift_table", a_temb6)
 
         def self_attn(x, rope, prefix):
-            split = lambda t: t.reshape(t.shape[0], t.shape[1], cfg.num_heads,
-                                        D // cfg.num_heads).transpose(0, 2, 1, 3)
-            q = split(nn.Dense(D, dtype=dt, name=f"{prefix}_q")(x))
-            k = split(nn.Dense(D, dtype=dt, name=f"{prefix}_k")(x))
-            val = split(nn.Dense(D, dtype=dt, name=f"{prefix}_v")(x))
-            q, k = QKNorm(D // cfg.num_heads, name=f"{prefix}_qk_norm")(q, k)
+            E = D // cfg.num_heads
+            hp = lambda name: HeadProj(heads=cfg.num_heads, head_dim=E, dtype=dt, name=name)
+            q = hp(f"{prefix}_q")(x)
+            k = hp(f"{prefix}_k")(x)
+            val = hp(f"{prefix}_v")(x)
+            q, k = QKNorm(E, name=f"{prefix}_qk_norm")(q, k)
             q = apply_rope(q, *rope)
             k = apply_rope(k, *rope)
             attn = dot_product_attention(q, k, val, backend=cfg.attn_backend)
-            attn = attn.transpose(0, 2, 1, 3).reshape(x.shape[0], -1, D)
-            return nn.Dense(D, dtype=dt, name=f"{prefix}_out")(attn)
+            return MergeProj(out_dim=D, dtype=dt, name=f"{prefix}_out")(attn)
 
         # 1. modulated self-attention per modality
         h = (_rms("norm1")(v.astype(jnp.float32)) * (1 + v_scale_sa) + v_shift_sa).astype(dt)

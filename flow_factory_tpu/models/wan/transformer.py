@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ...ops.attention import dot_product_attention
-from ..layers import QKNorm, TimestepEmbedder, apply_rope, rope_frequencies
+from ..layers import HeadProj, MergeProj, QKNorm, TimestepEmbedder, apply_rope, rope_frequencies
 
 
 @dataclass(frozen=True)
@@ -75,52 +75,6 @@ class WanConfig:
         )
         base.update(o)
         return WanConfig(**base)
-
-
-class HeadProj(nn.Module):
-    """QKV projection emitting (B, H, S, E) DIRECTLY.
-
-    Folds the head split into the projection einsum instead of
-    Dense → reshape → transpose, so XLA's layout assignment can write the
-    attention-kernel layout straight out of the matmul epilogue (the
-    materialized head transposes showed up as ~12% of the Wan rollout
-    timeline — docs/performance.md). Param names, shapes, init, and
-    dtype promotion match ``nn.Dense`` exactly ('kernel' (D_in, H·E),
-    'bias' (H·E,), lecun-normal/zeros, fp32 params): checkpoint key maps,
-    RNG draws, and numerics are bit-identical to the Dense formulation.
-    """
-
-    heads: int
-    head_dim: int
-    dtype: jnp.dtype
-
-    @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:  # (B, S, D_in) → (B, H, S, E)
-        H, E = self.heads, self.head_dim
-        kernel = self.param("kernel", nn.initializers.lecun_normal(), (x.shape[-1], H * E))
-        bias = self.param("bias", nn.initializers.zeros_init(), (H * E,))
-        x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias, dtype=self.dtype)
-        y = jnp.einsum("bsd,dhe->bhse", x, kernel.reshape(x.shape[-1], H, E))
-        return y + bias.reshape(1, H, 1, E)
-
-
-class MergeProj(nn.Module):
-    """Output projection consuming (B, H, S, E) directly → (B, S, D_out).
-
-    The head merge contracts inside the einsum (no transpose+reshape
-    before the Dense). Same param layout as ``nn.Dense`` on the merged
-    (B, S, H·E) input — 'kernel' (H·E, D_out) — so key maps hold."""
-
-    out_dim: int
-    dtype: jnp.dtype
-
-    @nn.compact
-    def __call__(self, attn: jax.Array) -> jax.Array:
-        B, H, S, E = attn.shape
-        kernel = self.param("kernel", nn.initializers.lecun_normal(), (H * E, self.out_dim))
-        bias = self.param("bias", nn.initializers.zeros_init(), (self.out_dim,))
-        attn, kernel, bias = nn.dtypes.promote_dtype(attn, kernel, bias, dtype=self.dtype)
-        return jnp.einsum("bhse,hed->bsd", attn, kernel.reshape(H, E, self.out_dim)) + bias
 
 
 class WanBlock(nn.Module):

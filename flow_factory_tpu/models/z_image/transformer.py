@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from ...ops.attention import dot_product_attention
-from ..layers import QKNorm, TimestepEmbedder, apply_rope, rope_frequencies
+from ..layers import HeadProj, MergeProj, QKNorm, TimestepEmbedder, apply_rope, rope_frequencies
 
 
 @dataclass(frozen=True)
@@ -89,17 +89,17 @@ class ZImageBlock(nn.Module):
         gate_msa = jnp.tanh(gate_msa)[:, None]
         gate_mlp = jnp.tanh(gate_mlp)[:, None]
 
-        split = lambda t: t.reshape(t.shape[0], t.shape[1], H, D // H).transpose(0, 2, 1, 3)
+        E = D // H
+        hp = lambda name: HeadProj(heads=H, head_dim=E, dtype=dt, name=name)
         h = (_rms("attention_norm1")(x.astype(jnp.float32)) * (1 + scale_msa[:, None])).astype(dt)
-        q = split(nn.Dense(D, dtype=dt, name="to_q")(h))
-        k = split(nn.Dense(D, dtype=dt, name="to_k")(h))
-        v = split(nn.Dense(D, dtype=dt, name="to_v")(h))
-        q, k = QKNorm(D // H, name="qk_norm")(q, k)
+        q = hp("to_q")(h)
+        k = hp("to_k")(h)
+        v = hp("to_v")(h)
+        q, k = QKNorm(E, name="qk_norm")(q, k)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
         attn = dot_product_attention(q, k, v, backend=cfg.attn_backend)
-        attn = attn.transpose(0, 2, 1, 3).reshape(x.shape[0], -1, D)
-        attn = nn.Dense(D, dtype=dt, name="to_out")(attn)
+        attn = MergeProj(out_dim=D, dtype=dt, name="to_out")(attn)
         x = x + gate_msa.astype(x.dtype) * _rms("attention_norm2")(
             attn.astype(jnp.float32)).astype(x.dtype)
 
