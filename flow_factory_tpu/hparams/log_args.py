@@ -15,5 +15,10 @@ class LogArguments(ArgABC):
     save_dir: str = field(default="saves/")
     save_freq: int = field(default=0)
     save_model_only: bool = field(default=True)
+    # TPU pods receive SIGTERM on maintenance/preemption events; when set the
+    # trainer checkpoints full training state at the next safe step boundary
+    # and exits cleanly (resume re-runs the interrupted epoch from its start —
+    # samplers are seed-deterministic per epoch).
+    save_on_preempt: bool = field(default=True)
     log_train_samples: int = field(default=30)
     verbose: bool = field(default=True)

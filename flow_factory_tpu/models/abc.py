@@ -560,12 +560,15 @@ class BaseAdapter(ABC):
 
     def load_checkpoint(self, path: str, resume_type: Optional[str] = None) -> None:
         """Auto-detect checkpoint format by directory contents
-        (reference abc.py:1635-1656)."""
+        (reference abc.py:1635-1656). A ``train_state`` dir wins over the
+        LoRA layout: state saves also contain the model safetensors, and
+        state is the full-fidelity resume (weights + optimizer + epoch);
+        pass ``resume_type='lora'``/``'full'`` to load weights only."""
         if resume_type is None:
-            if os.path.exists(os.path.join(path, "adapter_config.json")):
-                resume_type = "lora"
-            elif os.path.exists(os.path.join(path, "train_state")):
+            if os.path.exists(os.path.join(path, "train_state")):
                 resume_type = "state"
+            elif os.path.exists(os.path.join(path, "adapter_config.json")):
+                resume_type = "lora"
             else:
                 resume_type = "full"
         if resume_type == "lora":

@@ -38,6 +38,10 @@ from ..samples import BaseSample
 logger = logging.getLogger(__name__)
 
 
+class PreemptionRequested(Exception):
+    """Raised at a safe step boundary after a preemption signal arrived."""
+
+
 class BaseTrainer(ABC):
     def __init__(self, config, adapter: BaseAdapter):
         self.config = config
@@ -63,6 +67,10 @@ class BaseTrainer(ABC):
         )
         self.adapter.post_init()
         self._restore_state_if_any()
+
+        self._preempt_requested = False
+        if getattr(self.log_args, "save_on_preempt", True):
+            self._install_preempt_handler()
 
     # ------------------------------------------------------------------
     # Init stages (reference _initialization, trainers/abc.py:235-273)
@@ -185,6 +193,47 @@ class BaseTrainer(ABC):
             and v is not None and not is_path_field(v)
         }
 
+    # ------------------------------------------------------------------
+    # Preemption-safe checkpointing (beyond the reference — TPU pods get
+    # SIGTERM on maintenance/preemption events). The handler only sets a
+    # flag; trainers poll ``check_preempt()`` at rollout-batch and
+    # micro-batch boundaries so the in-flight jitted step always completes
+    # and the saved state is a consistent step boundary.
+    # ------------------------------------------------------------------
+    def _install_preempt_handler(self) -> None:
+        import signal
+
+        def _handler(signum, frame):
+            self._preempt_requested = True
+            logger.warning(
+                "Signal %d received — will checkpoint and exit at the next "
+                "step boundary", signum)
+
+        try:
+            signal.signal(signal.SIGTERM, _handler)
+        except ValueError:  # not the main thread (e.g. under a test runner)
+            pass
+
+    def request_preempt(self) -> None:
+        """Programmatic equivalent of the SIGTERM handler (also useful for
+        host-agent integrations that learn of preemption via other channels)."""
+        self._preempt_requested = True
+
+    def check_preempt(self) -> None:
+        if self._preempt_requested:
+            raise PreemptionRequested()
+
+    def _preempt_save(self, save_dir: str) -> str:
+        """Full-state save with 'redo the interrupted epoch' semantics: the
+        recorded epoch is ``self.epoch - 1`` (= last COMPLETED epoch), so a
+        resume re-runs the interrupted epoch from its start — valid because
+        samplers/schedulers are seed-deterministic per epoch and rollout
+        samples are regenerated, not replayed."""
+        path = os.path.join(save_dir, "preempt")
+        self.save_checkpoint(path, model_only=False, completed_epoch=self.epoch - 1)
+        logger.warning("Preemption checkpoint written to %s — exiting", path)
+        return path
+
     def start(self) -> None:
         ta = self.training_args
         max_epochs = ta.max_epochs or 1
@@ -196,22 +245,28 @@ class BaseTrainer(ABC):
 
             if self.log_args.save_freq and epoch > 0 and epoch % self.log_args.save_freq == 0:
                 self.save_checkpoint(os.path.join(save_dir, f"epoch_{epoch}"))
-            if self.eval_args.eval_freq and epoch % self.eval_args.eval_freq == 0 and self.test_loader:
-                self.evaluate(epoch)
+            try:
+                self.check_preempt()
+                if self.eval_args.eval_freq and epoch % self.eval_args.eval_freq == 0 and self.test_loader:
+                    self.evaluate(epoch)
 
-            profile_dir = getattr(self.log_args, "profile_dir", None)
-            if profile_dir and epoch == 1:
-                # profile the second epoch (first is compile-dominated)
-                from ..utils.memory_tracker import trace
+                profile_dir = getattr(self.log_args, "profile_dir", None)
+                if profile_dir and epoch == 1:
+                    # profile the second epoch (first is compile-dominated)
+                    from ..utils.memory_tracker import trace
 
-                with trace(profile_dir, annotate=f"epoch_{epoch}"):
+                    with trace(profile_dir, annotate=f"epoch_{epoch}"):
+                        samples = self.sample(epoch)
+                        metrics = self.prepare_feedback(samples)
+                        loss_info = self.optimize(samples, epoch)
+                else:
                     samples = self.sample(epoch)
                     metrics = self.prepare_feedback(samples)
                     loss_info = self.optimize(samples, epoch)
-            else:
-                samples = self.sample(epoch)
-                metrics = self.prepare_feedback(samples)
-                loss_info = self.optimize(samples, epoch)
+            except PreemptionRequested:
+                self._preempt_save(save_dir)
+                self.cleanup()
+                return
             self.adapter.ema_step(epoch)
 
             payload = {**metrics, **loss_info, "time/epoch_s": time.time() - t0}
@@ -348,11 +403,17 @@ class BaseTrainer(ABC):
     # ------------------------------------------------------------------
     # Checkpointing
     # ------------------------------------------------------------------
-    def save_checkpoint(self, save_dir: str) -> None:
+    def save_checkpoint(
+        self,
+        save_dir: str,
+        model_only: Optional[bool] = None,
+        completed_epoch: Optional[int] = None,
+    ) -> None:
         self.adapter.save_checkpoint(
             save_dir,
-            model_only=self.log_args.save_model_only,
-            extra_state={"opt_state": self.opt_state, "epoch": self.epoch,
+            model_only=self.log_args.save_model_only if model_only is None else model_only,
+            extra_state={"opt_state": self.opt_state,
+                         "epoch": self.epoch if completed_epoch is None else completed_epoch,
                          "global_step": self.global_step},
         )
         logger.info("Saved checkpoint to %s", save_dir)
@@ -361,10 +422,32 @@ class BaseTrainer(ABC):
         state = getattr(self.adapter, "_restored_state", None)
         if state:
             if "opt_state" in state:
-                self.opt_state = jax.tree.map(
-                    lambda t, s: jnp.asarray(s, t.dtype) if hasattr(t, "dtype") else s,
-                    self.opt_state, state["opt_state"],
-                )
+                # orbax round-trips optax's namedtuple states as generic
+                # containers; restore by leaf order into the live treedef
+                leaves_t, treedef = jax.tree_util.tree_flatten(self.opt_state)
+                leaves_s = jax.tree_util.tree_leaves(state["opt_state"])
+                if len(leaves_s) == len(leaves_t):
+                    def _like(t, s):
+                        if not hasattr(t, "dtype"):
+                            return s
+                        # detour via numpy: orbax hands back arrays committed
+                        # to one device, and jnp.asarray preserves commitment
+                        arr = jnp.asarray(np.asarray(s), t.dtype)
+                        # mesh-placed template leaves get their sharding back;
+                        # uncommitted leaves (e.g. optax's scalar counts) stay
+                        # uncommitted so jit may co-locate them freely
+                        if getattr(t, "committed", False):
+                            arr = jax.device_put(arr, t.sharding)
+                        return arr
+
+                    self.opt_state = jax.tree_util.tree_unflatten(
+                        treedef, [_like(t, s) for t, s in zip(leaves_t, leaves_s)]
+                    )
+                else:
+                    logger.warning(
+                        "Checkpoint optimizer state has %d leaves but the live "
+                        "optimizer has %d — optimizer state NOT restored "
+                        "(weights/epoch still are)", len(leaves_s), len(leaves_t))
             self.epoch = int(state.get("epoch", 0)) + 1
             self.global_step = int(state.get("global_step", 0))
             logger.info("Resumed at epoch %d (global step %d)", self.epoch, self.global_step)

@@ -37,6 +37,7 @@ class DecoupledTrainer(BaseTrainer):
         rank = jax.process_index()
         pending: Optional[PendingRollout] = None
         for b, batch in enumerate(self.train_loader):
+            self.check_preempt()
             B = len(batch["prompt"])
             keys = jnp.stack([
                 derive_key("rollout", ta.seed, epoch, rank, b, i) for i in range(B)
@@ -122,6 +123,7 @@ class DecoupledTrainer(BaseTrainer):
         if len(perm) % B:
             perm = np.concatenate([perm, perm[: B - len(perm) % B]])
         for start in range(0, len(perm) - B + 1, B):
+            self.check_preempt()
             mb = [samples[i] for i in perm[start : start + B]]
             yield mb, stack_samples(mb)
 

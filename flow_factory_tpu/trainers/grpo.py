@@ -50,6 +50,7 @@ class GRPOTrainer(BaseTrainer):
         rank = jax.process_index()
         pending: Optional[PendingRollout] = None
         for b, batch in enumerate(self.train_loader):
+            self.check_preempt()
             B = len(batch["prompt"])
             keys = jnp.stack([
                 derive_key("rollout", ta.seed, epoch, rank, b, i) for i in range(B)
@@ -109,6 +110,7 @@ class GRPOTrainer(BaseTrainer):
             if len(perm) % B:
                 perm = np.concatenate([perm, perm[: B - len(perm) % B]])
             for mb_start in range(0, len(perm) - B + 1, B):
+                self.check_preempt()
                 mb = [samples[i] for i in perm[mb_start : mb_start + B]]
                 batch_np = stack_samples(mb)
                 lat_index_map = mb[0].latent_index_map
