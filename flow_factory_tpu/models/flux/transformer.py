@@ -146,6 +146,57 @@ class FluxDoubleBlock(nn.Module):
         return img, txt
 
 
+class _SingleQKVMLP(nn.Module):
+    """The single-block fused linear1 computed head-major.
+
+    Upstream FLUX single blocks project QKV and the MLP branch with ONE
+    fused Linear (kernel (D, 3D+mlp)); keeping that parameter layout (key
+    maps unchanged) but slicing the kernel into a (d,(t,h,e)) einsum for the
+    QKV columns lets XLA write the attention layout (B, H, S, E) straight
+    out of the matmul epilogue — no head split/transpose on a (B, S, 3D)
+    tensor (same trick as ``layers.HeadProj``; ~1e-6 contraction-order
+    shift, goldens re-recorded)."""
+
+    hidden_dim: int
+    heads: int
+    mlp_dim: int
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x):
+        D, H, M = self.hidden_dim, self.heads, self.mlp_dim
+        E = D // H
+        kernel = self.param("kernel", nn.initializers.lecun_normal(), (x.shape[-1], 3 * D + M))
+        bias = self.param("bias", nn.initializers.zeros_init(), (3 * D + M,))
+        x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias, dtype=self.dtype)
+        qkv = jnp.einsum("bsd,dthe->tbhse", x, kernel[:, : 3 * D].reshape(x.shape[-1], 3, H, E))
+        qkv = qkv + bias[: 3 * D].reshape(3, 1, H, 1, E)
+        mlp = x @ kernel[:, 3 * D :] + bias[3 * D :]
+        return qkv[0], qkv[1], qkv[2], mlp
+
+
+class _SingleOutProj(nn.Module):
+    """The single-block fused linear2 consuming (B, H, S, E) attention
+    directly: upstream kernel ((D+mlp), D) is sliced so the attention rows
+    contract head-major (no merge transpose) and the MLP rows contract as a
+    plain matmul; the two partial products sum exactly like the original
+    concat([attn, mlp]) @ kernel."""
+
+    hidden_dim: int
+    mlp_dim: int
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, attn, mlp):
+        B, H, S, E = attn.shape
+        D, M = self.hidden_dim, self.mlp_dim
+        kernel = self.param("kernel", nn.initializers.lecun_normal(), (D + M, D))
+        bias = self.param("bias", nn.initializers.zeros_init(), (D,))
+        attn, mlp, kernel, bias = nn.dtypes.promote_dtype(attn, mlp, kernel, bias, dtype=self.dtype)
+        out = jnp.einsum("bhse,hed->bsd", attn, kernel[:D].reshape(H, E, D))
+        return out + mlp @ kernel[D:] + bias
+
+
 class FluxSingleBlock(nn.Module):
     """Fused parallel attention + MLP over the concatenated stream."""
 
@@ -168,17 +219,14 @@ class FluxSingleBlock(nn.Module):
             scale,
         ).astype(dt)
 
-        qkv_mlp = nn.Dense(3 * D + mlp_dim, dtype=dt, name="linear1")(x_mod)
-        q, k, v, mlp = jnp.split(qkv_mlp, [D, 2 * D, 3 * D], axis=-1)
-        split = lambda t: t.reshape(t.shape[0], t.shape[1], H, D // H).transpose(0, 2, 1, 3)
-        q, k, v = split(q), split(k), split(v)
+        q, k, v, mlp = _SingleQKVMLP(
+            hidden_dim=D, heads=H, mlp_dim=mlp_dim, dtype=dt, name="linear1")(x_mod)
         q, k = QKNorm(D // H, name="qk_norm")(q, k)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
         attn = dot_product_attention(q, k, v, backend=cfg.attn_backend)
-        attn = attn.transpose(0, 2, 1, 3).reshape(x.shape[0], -1, D)
-        out = nn.Dense(D, dtype=dt, name="linear2")(
-            jnp.concatenate([attn, nn.gelu(mlp, approximate=True)], axis=-1)
+        out = _SingleOutProj(hidden_dim=D, mlp_dim=mlp_dim, dtype=dt, name="linear2")(
+            attn, nn.gelu(mlp, approximate=True)
         )
         return x + gate[:, None].astype(x.dtype) * out
 
