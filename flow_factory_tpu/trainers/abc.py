@@ -210,9 +210,20 @@ class BaseTrainer(ABC):
                 "step boundary", signum)
 
         try:
-            signal.signal(signal.SIGTERM, _handler)
+            self._prev_sigterm = signal.signal(signal.SIGTERM, _handler)
         except ValueError:  # not the main thread (e.g. under a test runner)
-            pass
+            self._prev_sigterm = None
+
+    def _uninstall_preempt_handler(self) -> None:
+        import signal
+
+        prev = getattr(self, "_prev_sigterm", None)
+        if prev is not None:
+            try:
+                signal.signal(signal.SIGTERM, prev)
+            except ValueError:
+                pass
+            self._prev_sigterm = None
 
     def request_preempt(self) -> None:
         """Programmatic equivalent of the SIGTERM handler (also useful for
@@ -266,6 +277,7 @@ class BaseTrainer(ABC):
             except PreemptionRequested:
                 self._preempt_save(save_dir)
                 self.cleanup()
+                self._uninstall_preempt_handler()
                 return
             self.adapter.ema_step(epoch)
 
@@ -290,6 +302,7 @@ class BaseTrainer(ABC):
             self.save_checkpoint(os.path.join(save_dir, "final"))
         if self.logger_backend:
             self.logger_backend.finish()
+        self._uninstall_preempt_handler()
 
     @abstractmethod
     def sample(self, epoch: int) -> List[BaseSample]: ...

@@ -34,6 +34,15 @@ def workdir(tmp_path_factory):
     return tmp_path_factory.mktemp("preempt")
 
 
+@pytest.fixture(autouse=True)
+def _restore_sigterm():
+    """Never leak a trainer's SIGTERM handler into the rest of the pytest
+    process (an absorbed TERM would defeat the CI runner's own timeout)."""
+    prev = signal.getsignal(signal.SIGTERM)
+    yield
+    signal.signal(signal.SIGTERM, prev)
+
+
 def test_sigterm_sets_flag_not_kill(workdir):
     trainer = load_trainer(_make_config(workdir, "sig"))
     assert not trainer._preempt_requested
@@ -41,8 +50,6 @@ def test_sigterm_sets_flag_not_kill(workdir):
     assert trainer._preempt_requested
     with pytest.raises(PreemptionRequested):
         trainer.check_preempt()
-    # restore default so later tests/teardown aren't affected
-    signal.signal(signal.SIGTERM, signal.SIG_DFL)
 
 
 def test_mid_epoch_preempt_saves_and_resumes(workdir):
