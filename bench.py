@@ -104,9 +104,10 @@ def main() -> None:
     # Software-pipelined stream, exactly as GRPOTrainer.sample runs it:
     # dispatch batch b+1 BEFORE materializing batch b, so batch b's host
     # fetch overlaps batch b+1's device compute (models/abc.py:PendingRollout).
-    # 6 batches: the reference epoch geometry streams 144 batches, so the
-    # unoverlapped first/last fetch must be amortized, not dominant.
-    n_stream = 6
+    # 12 batches (BENCH_STREAM to override): the reference epoch geometry
+    # streams 144 batches, so the unoverlapped first/last fetch must be
+    # amortized, not dominant.
+    n_stream = int(os.environ.get("BENCH_STREAM", "12" if on_tpu else "6"))
     t0 = time.perf_counter()
     pending = None
     n_done = 0

@@ -376,12 +376,18 @@ class SD35Adapter(BaseAdapter):
             negative_prompt_embeds = enc["prompt_embeds"]
             negative_pooled_prompt_embeds = enc["pooled_prompt_embeds"]
         B = len(prompt_embeds)
+        # Sequence context ships over the wire in the compute dtype: the
+        # transformer's first use is `.astype(dt)` into context_embedder
+        # (sd3/transformer.py:218) in BOTH rollout and replay, so the host
+        # cast is bit-identical (see BaseAdapter.stage_context; 43.6 MB fp32
+        # per CFG side at the bench geometry → halved H2D). Pooled stays
+        # fp32 — it feeds the fp32 timestep-modulation MLP.
         embeds = {
-            "prompt_embeds": jnp.asarray(prompt_embeds),
+            "prompt_embeds": self.stage_context(prompt_embeds),
             "pooled_prompt_embeds": jnp.asarray(pooled_prompt_embeds),
         }
         if do_cfg:
-            embeds["negative_prompt_embeds"] = jnp.asarray(negative_prompt_embeds)
+            embeds["negative_prompt_embeds"] = self.stage_context(negative_prompt_embeds)
             embeds["negative_pooled_prompt_embeds"] = jnp.asarray(negative_pooled_prompt_embeds)
 
         # --- schedule (mu from seq len: dynamic shifting)

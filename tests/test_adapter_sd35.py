@@ -71,6 +71,42 @@ def test_rollout_and_replay_ratio(adapter):
         np.testing.assert_allclose(ratio, 1.0, atol=1e-4)
 
 
+def test_bf16_host_staged_context_keeps_replay_ratio():
+    """SD3 sequence context ships over the wire in the compute dtype
+    (stage_context in inference): the transformer's first use is
+    `.astype(dt)` into context_embedder, so host rne cast == device rne
+    cast and the bf16-staged rollout must replay (fp32-staged, as the
+    trainers stage) to IDENTICAL log-probs: ratio == 1."""
+    cfg = Arguments.from_dict({
+        "data": {"dataset_dir": "tests/fixtures/tiny_prompts"},
+        "model": {"model_type": "sd3-5", "model_name_or_path": "tiny", "finetune_type": "lora",
+                  "lora_rank": 4, "lora_alpha": 8, "attn_backend": "native",
+                  "master_dtype": "float32", "inference_dtype": "bfloat16"},
+        "scheduler": {"dynamics_type": "Flow-SDE", "noise_level": 0.7,
+                      "num_sde_steps": 2, "sde_steps": [0, 1, 2]},
+        "train": {"trainer_type": "grpo", "resolution": 32, "num_inference_steps": 4,
+                  "guidance_scale": 2.0, "per_device_batch_size": 2, "group_size": 2,
+                  "unique_sample_num_per_epoch": 2, "latent_storage_dtype": "fp32"},
+        "eval": {}, "log": {}, "rewards": [],
+    })
+    bf16_adapter = load_adapter(cfg)
+    bf16_adapter.rollout()
+    emb = bf16_adapter.stage_context(np.ones((2, 8, 16), np.float32) * 1.00390625)
+    assert emb.dtype == jnp.bfloat16  # narrow staging actually happened
+    samples = bf16_adapter.inference(prompt=["a cat", "a dog"], compute_log_prob=True, seed=0)
+    s = samples[0]
+    nl = s.extra_kwargs["noise_levels"]
+    i = int(np.nonzero(nl)[0][0])
+    batch, old_lp = _replay_batch(samples, i)
+    # replay stages fp32, exactly as the trainers do
+    batch["prompt_embeds"] = jnp.asarray(np.asarray(batch["prompt_embeds"]), jnp.float32)
+    batch["negative_prompt_embeds"] = jnp.asarray(
+        np.asarray(batch["negative_prompt_embeds"]), jnp.float32)
+    out = bf16_adapter.training_forward(bf16_adapter.trainable, batch)
+    ratio = np.exp(np.asarray(out.log_prob) - old_lp)
+    np.testing.assert_allclose(ratio, 1.0, atol=1e-4)
+
+
 def test_eval_mode_is_deterministic_ode(adapter):
     adapter.eval()
     s1 = adapter.inference(prompt=["same prompt"], compute_log_prob=False,
