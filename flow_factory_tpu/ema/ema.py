@@ -129,7 +129,7 @@ class EMA:
 
     def _place(self, tree: Any) -> Any:
         if self.offload:
-            cpu = jax.devices("cpu")[0]
+            cpu = jax.local_devices(backend="cpu")[0]
             return jax.device_put(tree, cpu)
         return tree
 
@@ -139,7 +139,7 @@ class EMA:
             return
         decay = jnp.asarray(self.decay_fn(self.step), jnp.float32)
         if self.offload:
-            params = jax.device_put(params, jax.devices("cpu")[0])
+            params = jax.device_put(params, jax.local_devices(backend="cpu")[0])
         self.params = _ema_update(self.params, params, decay)
 
     def copy_from(self, params: Any) -> None:

@@ -37,3 +37,8 @@ class ModelArguments(ArgABC):
     tensor_size: int = field(default=1)
 
     enable_gradient_checkpointing_override: Optional[bool] = field(default=None)
+
+    # real-weight loads: fail loudly (with the full unmatched-key list) if a
+    # key map does not cover the checkpoint, instead of silently keeping
+    # random init for the uncovered leaves. Parity runs force this on.
+    strict_import: bool = field(default=False)

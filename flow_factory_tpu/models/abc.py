@@ -172,7 +172,8 @@ class BaseAdapter(ABC):
         from ..utils.checkpoint import import_diffusers_params, load_safetensors_dir
 
         for comp, spec in self.pretrained_component_maps().items():
-            subfolder, key_map, raw_map, preprocess = spec
+            subfolder, key_map, raw_map, preprocess, *rest = spec
+            scope = rest[0] if rest else None
             d = os.path.join(path, subfolder)
             if comp not in self.params or not os.path.isdir(d):
                 continue
@@ -181,14 +182,18 @@ class BaseAdapter(ABC):
                 continue
             if preprocess is not None:
                 sd = preprocess(sd)
+            reports: list = []
             imported = import_diffusers_params(
-                sd, key_map, self.params[comp], raw_map=raw_map
+                sd, key_map, self.params[comp], raw_map=raw_map,
+                strict=bool(getattr(self.model_args, "strict_import", False)),
+                component=comp, report_out=reports, unmatched_scope=scope,
             )
             self.params[comp] = jax.tree.map(
                 lambda tmpl, new: jnp.asarray(new, jnp.asarray(tmpl).dtype),
                 self.params[comp], imported,
             )
-            logger.info("Imported pretrained %s weights from %s", comp, d)
+            logger.info("Imported pretrained %s weights from %s (%s)",
+                        comp, d, reports[0].summary() if reports else "no report")
 
     #: extra per-timestep trajectory keys trainers must feed training_forward:
     #: {batch_key: stacked_sample_key} indexed by the stored-latent slot
@@ -245,7 +250,7 @@ class BaseAdapter(ABC):
 
         if getattr(self.model_args, "init_on_device", False):
             return contextlib.nullcontext()
-        return jax.default_device(jax.devices("cpu")[0])
+        return jax.default_device(jax.local_devices(backend="cpu")[0])
 
     @abstractmethod
     def encode_prompt(self, prompts: Sequence[str], **kwargs) -> Dict[str, np.ndarray]:
@@ -334,10 +339,15 @@ class BaseAdapter(ABC):
         trainable: Dict[str, Any] = {}
         for comp in self.trainable_components:
             if self.is_lora:
+                # NOTE: never fold with builtin hash() — it is salted per
+                # process, so multi-host workers would train from DIVERGENT
+                # LoRA inits (caught by tests/test_multiprocess.py).
+                from ..utils.base import derive_seed
+
                 trainable[comp] = init_lora(
                     self.params[comp],
                     self.model_args.lora_rank,
-                    jax.random.fold_in(key, hash(comp) % (2**31)),
+                    jax.random.fold_in(key, derive_seed(comp) % (2**31)),
                     self._lora_patterns(),
                     dtype=self.master_dtype,
                 )
@@ -925,7 +935,7 @@ class BaseAdapter(ABC):
     # ------------------------------------------------------------------
     def offload_component(self, name: str) -> None:
         """Move a frozen component's params to host RAM (frees HBM)."""
-        cpu = jax.devices("cpu")[0]
+        cpu = jax.local_devices(backend="cpu")[0]
         self.params[name] = jax.device_put(self.params[name], cpu)
 
     def onload_component(self, name: str) -> None:
@@ -935,7 +945,7 @@ class BaseAdapter(ABC):
 
             self.params[name] = shard_params(self.params[name], self.mesh, self.param_sharding_rules())
         else:
-            self.params[name] = jax.device_put(self.params[name], jax.devices()[0])
+            self.params[name] = jax.device_put(self.params[name], jax.local_devices()[0])
 
     # ------------------------------------------------------------------
     # Mesh placement
@@ -987,18 +997,32 @@ class BaseAdapter(ABC):
             self.tp_col_bias_pattern: P(TENSOR_AXIS),
         }
 
+    #: components used ONLY during host-side stage-1 preprocessing (prompt/
+    #: condition encoding). In MULTI-PROCESS runs these stay process-local:
+    #: each process preprocesses its own record shard with different inputs,
+    #: which is incompatible with globally-mesh-sharded params (SPMD would
+    #: require identical inputs on every process).
+    preprocess_only_components: Tuple[str, ...] = (
+        "text_encoder", "text_encoder_2", "text_encoder_3", "vision_tower",
+    )
+
     def place_on_mesh(self) -> None:
         """Place frozen + trainable pytrees on the mesh.
 
         With ``fsdp_size == 1`` everything is replicated (pure DP); with
         ``fsdp_size > 1`` the default rules shard the largest divisible dim
         of each kernel over the 'fsdp' axis (ZeRO-3/FSDP equivalent,
-        SURVEY.md §2.2).
+        SURVEY.md §2.2). Preprocessing-only encoders stay process-local when
+        multiple host processes participate (see
+        ``preprocess_only_components``).
         """
         from ..parallel.mesh import shard_params
 
         rules = self.param_sharding_rules()
+        multiproc = jax.process_count() > 1
         for comp in list(self.params):
+            if multiproc and comp in self.preprocess_only_components:
+                continue
             self.params[comp] = shard_params(self.params[comp], self.mesh, rules)
         self.trainable = shard_params(self.trainable, self.mesh, rules)
 
@@ -1010,17 +1034,34 @@ class BaseAdapter(ABC):
 
         return _shard(tree, self.mesh)
 
+    @staticmethod
+    def fetch_batch(arr, batch_axis: int = 0) -> np.ndarray:
+        """Multi-process-safe device→host fetch of a batch-sharded output:
+        returns THIS process's rows (all rows in single-process runs). Use
+        this — never bare ``jax.device_get`` — in ``_materialize`` paths."""
+        from ..parallel.mesh import fetch_local_batch
+
+        return fetch_local_batch(arr, batch_axis)
+
     def encoder_input_place(self, enc_params: Any):
-        """Placement for tokenizer outputs feeding a jitted encoder call:
-        replicated over the mesh when params are mesh-sharded (a
-        single-device put would raise incompatible-devices), else wherever
-        the encoder params live (host until onloaded)."""
-        if self.mesh is not None:
+        """Placement for tokenizer outputs feeding a jitted encoder call.
+
+        Decided from where the encoder params ACTUALLY live: replicated
+        over the mesh when they are mesh-sharded (a single-device put would
+        raise incompatible-devices), else on the params' own (process-local)
+        device. The mesh path must never be taken for per-process
+        preprocessing inputs — a multi-host ``device_put`` asserts identical
+        values on every process, and each process encodes its own record
+        shard (``place_on_mesh`` keeps preprocessing encoders local in
+        multi-process runs for exactly this reason)."""
+        leaf = jax.tree.leaves(enc_params)[0]
+        devs = leaf.devices() if hasattr(leaf, "devices") else set()
+        if self.mesh is not None and len(devs) > 1:
             from jax.sharding import NamedSharding, PartitionSpec
 
             sharding = NamedSharding(self.mesh, PartitionSpec())
             return lambda x: jax.device_put(jnp.asarray(x), sharding)
-        dev = list(jax.tree.leaves(enc_params)[0].devices())[0]
+        dev = next(iter(devs)) if devs else jax.local_devices()[0]
         return lambda x: jax.device_put(jnp.asarray(x), dev)
 
     # ------------------------------------------------------------------

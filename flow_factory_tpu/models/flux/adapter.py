@@ -181,10 +181,10 @@ class Flux1Adapter(BaseAdapter):
                 if not (ma.finetune_type == "full" and comp == "transformer"):
                     p = cast(p)
                 self.params[comp] = p
-        if jax.devices()[0].platform != "cpu" and self.mesh is None:
+        if jax.local_devices()[0].platform != "cpu" and self.mesh is None:
             for comp in ("transformer", "vae"):
                 if comp in self.params:
-                    self.params[comp] = jax.device_put(self.params[comp], jax.devices()[0])
+                    self.params[comp] = jax.device_put(self.params[comp], jax.local_devices()[0])
 
         clip_bos = 1 if variant == "tiny" else 49406
         self.tokenizer = load_tokenizer(
@@ -400,12 +400,12 @@ class Flux1Adapter(BaseAdapter):
 
         def _materialize() -> List[T2ISample]:
             images = (
-                np.asarray(jax.device_get(images_dev)) if images_dev is not None else [None] * B
+                self.fetch_batch(images_dev, 0) if images_dev is not None else [None] * B
             )
-            lat_np = np.asarray(jax.device_get(lat_buf)).astype(np.float32)
-            lp_np = np.asarray(jax.device_get(lp_buf))
+            lat_np = self.fetch_batch(lat_buf, 1).astype(np.float32)
+            lp_np = self.fetch_batch(lp_buf, 1)
             mean_np = (
-                np.asarray(jax.device_get(mean_buf)).astype(np.float32) if mean_buf is not None else None
+                self.fetch_batch(mean_buf, 1).astype(np.float32) if mean_buf is not None else None
             )
             ts_np = np.asarray(timesteps, np.float32)
 

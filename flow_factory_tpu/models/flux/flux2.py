@@ -175,10 +175,10 @@ class Flux2Adapter(Flux1KontextAdapter):
                 if not (ma.finetune_type == "full" and comp == "transformer"):
                     p = cast(p)
                 self.params[comp] = p
-        if jax.devices()[0].platform != "cpu" and self.mesh is None:
+        if jax.local_devices()[0].platform != "cpu" and self.mesh is None:
             for comp in ("transformer", "vae"):
                 if comp in self.params:
-                    self.params[comp] = jax.device_put(self.params[comp], jax.devices()[0])
+                    self.params[comp] = jax.device_put(self.params[comp], jax.local_devices()[0])
 
         self.tokenizer = load_tokenizer(
             ma.model_name_or_path, "tokenizer", preset["lm"].vocab_size,

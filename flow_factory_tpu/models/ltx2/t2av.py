@@ -242,10 +242,10 @@ class LTX2T2AVAdapter(BaseAdapter):
                 if not (ma.finetune_type == "full" and comp == "transformer"):
                     p = cast(p)
                 self.params[comp] = p
-        if jax.devices()[0].platform != "cpu" and self.mesh is None:
+        if jax.local_devices()[0].platform != "cpu" and self.mesh is None:
             for comp in ("transformer", "vae", "audio_vae"):
                 if comp in self.params:
-                    self.params[comp] = jax.device_put(self.params[comp], jax.devices()[0])
+                    self.params[comp] = jax.device_put(self.params[comp], jax.local_devices()[0])
 
         self.tokenizer = load_tokenizer(
             ma.model_name_or_path, "tokenizer", preset["lm"].vocab_size,
@@ -712,15 +712,15 @@ class LTX2T2AVAdapter(BaseAdapter):
 
         def _materialize() -> List[T2AVSample]:
             videos = (
-                np.asarray(jax.device_get(videos_dev)) if videos_dev is not None else [None] * B
+                self.fetch_batch(videos_dev, 0) if videos_dev is not None else [None] * B
             )
             audios = (
-                np.asarray(jax.device_get(audios_dev), np.float32)
+                np.asarray(self.fetch_batch(audios_dev, 0), np.float32)
                 if audios_dev is not None else [None] * B
             )
-            v_np = np.asarray(jax.device_get(v_buf)).astype(np.float32)
-            a_np = np.asarray(jax.device_get(a_buf)).astype(np.float32)
-            lp_np = np.asarray(jax.device_get(lp_buf))
+            v_np = self.fetch_batch(v_buf, 1).astype(np.float32)
+            a_np = self.fetch_batch(a_buf, 1).astype(np.float32)
+            lp_np = self.fetch_batch(lp_buf, 1)
             ts_np = np.asarray(timesteps, np.float32)
 
             samples: List[T2AVSample] = []

@@ -85,7 +85,10 @@ class QwenImageAdapter(Flux1Adapter):
         lcfg = self.component_configs.get("text_encoder")
         if lcfg is not None and "text_encoder" in self.params:
             km, rm = lm_decoder_key_map(lcfg.num_layers)
-            maps["text_encoder"] = ("text_encoder", km, rm, None)
+            # Qwen2.5-VL checkpoints ship the vision tower in the same dir;
+            # the LM map only claims the language-side keys
+            maps["text_encoder"] = ("text_encoder", km, rm, None,
+                                    r"^(model\.|lm_head)")
         vcfg = self.component_configs.get("vae")
         if vcfg is not None and "vae" in self.params:
             from ...utils.checkpoint import vae_key_map
@@ -162,10 +165,10 @@ class QwenImageAdapter(Flux1Adapter):
                 if not (ma.finetune_type == "full" and comp == "transformer"):
                     p = cast(p)
                 self.params[comp] = p
-        if jax.devices()[0].platform != "cpu" and self.mesh is None:
+        if jax.local_devices()[0].platform != "cpu" and self.mesh is None:
             for comp in ("transformer", "vae"):
                 if comp in self.params:
-                    self.params[comp] = jax.device_put(self.params[comp], jax.devices()[0])
+                    self.params[comp] = jax.device_put(self.params[comp], jax.local_devices()[0])
 
         self.tokenizer = load_tokenizer(
             ma.model_name_or_path, "tokenizer", preset["lm"].vocab_size,

@@ -96,7 +96,7 @@ class QwenImageEditPlusAdapter(QwenImageAdapter):
                 p = tower.init(
                     key,
                     jnp.zeros((g[1] * g[2], vcfg.patch_dim)),
-                    jnp.asarray(rot_pos_ids(g)),
+                    jnp.asarray(rot_pos_ids(g, vcfg.merge_size)),
                     jnp.asarray(perm), jnp.asarray(mask), jnp.asarray(inv),
                 )["params"]
             self.modules["vision_tower"] = tower
@@ -126,8 +126,11 @@ class QwenImageEditPlusAdapter(QwenImageAdapter):
             )
 
             km, rm = qwen_vl_vision_key_map(vcfg.depth)
-            # the tower ships inside the text_encoder checkpoint directory
-            maps["vision_tower"] = ("text_encoder", km, rm, qwen_vl_vision_preprocess)
+            # the tower ships inside the text_encoder checkpoint directory;
+            # it only claims the visual.* keys (LM keys belong to the
+            # text_encoder component's own import)
+            maps["vision_tower"] = ("text_encoder", km, rm,
+                                    qwen_vl_vision_preprocess, r"^visual\.")
         return maps
 
     # ------------------------------------------------------------------
@@ -138,7 +141,7 @@ class QwenImageEditPlusAdapter(QwenImageAdapter):
         if grid not in self._vision_jit:
             vcfg: VLVisionConfig = self.component_configs["vision_tower"]
             perm, inv, mask = window_layout(grid, vcfg)
-            pos = rot_pos_ids(grid)
+            pos = rot_pos_ids(grid, vcfg.merge_size)
             tower = self.modules["vision_tower"]
 
             def fwd(params, patches):

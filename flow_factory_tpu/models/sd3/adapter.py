@@ -205,14 +205,14 @@ class SD35Adapter(BaseAdapter):
                 if not (self.model_args.finetune_type == "full" and comp == "transformer"):
                     p = cast(p)
                 self.params[comp] = p
-        if jax.devices()[0].platform != "cpu" and self.mesh is None:
+        if jax.local_devices()[0].platform != "cpu" and self.mesh is None:
             # hot path on-device; encoders onload lazily at preprocessing
             if "transformer" in self.params:
                 self.params["transformer"] = jax.device_put(
-                    self.params["transformer"], jax.devices()[0]
+                    self.params["transformer"], jax.local_devices()[0]
                 )
             if "vae" in self.params:
-                self.params["vae"] = jax.device_put(self.params["vae"], jax.devices()[0])
+                self.params["vae"] = jax.device_put(self.params["vae"], jax.local_devices()[0])
 
         clip_bos = 1 if variant == "tiny" else 49406
         self.tokenizer = load_tokenizer(
@@ -444,14 +444,14 @@ class SD35Adapter(BaseAdapter):
             # --- host fetch + per-sample construction. Buffers transfer in
             # their STORAGE dtype (fp16 halves the wire) and upcast on host —
             # bit-identical to the old on-device fp32 cast.
-            lat_np = np.asarray(jax.device_get(lat_buf)).astype(np.float32)  # (S, B, h, w, c)
-            lp_np = np.asarray(jax.device_get(lp_buf))  # (L, B)
+            lat_np = self.fetch_batch(lat_buf, 1).astype(np.float32)  # (S, B, h, w, c)
+            lp_np = self.fetch_batch(lp_buf, 1)  # (L, B)
             mean_np = (
-                np.asarray(jax.device_get(mean_buf)).astype(np.float32)
+                self.fetch_batch(mean_buf, 1).astype(np.float32)
                 if mean_buf is not None else None
             )
             images = (
-                np.asarray(jax.device_get(images_dev)) if images_dev is not None else [None] * B
+                self.fetch_batch(images_dev, 0) if images_dev is not None else [None] * B
             )
             ts_np = np.asarray(timesteps, np.float32)
 

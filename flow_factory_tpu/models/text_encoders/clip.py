@@ -32,6 +32,8 @@ class CLIPTextConfig:
     projection_dim: int = 768
     hidden_act: str = "quick_gelu"
     eos_token_id: int = 49407
+    #: transformers CLIP default (flax LayerNorm defaults to 1e-6)
+    layer_norm_eps: float = 1e-5
     dtype: str = "bfloat16"
 
     @property
@@ -86,7 +88,7 @@ class CLIPBlock(nn.Module):
         cfg = self.cfg
         dt = cfg.compute_dtype
         D, H = cfg.hidden_dim, cfg.num_heads
-        h = nn.LayerNorm(dtype=jnp.float32, name="ln1")(x.astype(jnp.float32)).astype(dt)
+        h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="ln1")(x.astype(jnp.float32)).astype(dt)
         q = nn.Dense(D, dtype=dt, name="q_proj")(h)
         k = nn.Dense(D, dtype=dt, name="k_proj")(h)
         v = nn.Dense(D, dtype=dt, name="v_proj")(h)
@@ -98,7 +100,7 @@ class CLIPBlock(nn.Module):
         p = jax.nn.softmax(s, axis=-1).astype(dt)
         o = jnp.einsum("bhqk,bhkd->bhqd", p, v).transpose(0, 2, 1, 3).reshape(B, L, D)
         x = x + nn.Dense(D, dtype=dt, name="out_proj")(o)
-        h = nn.LayerNorm(dtype=jnp.float32, name="ln2")(x.astype(jnp.float32)).astype(dt)
+        h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="ln2")(x.astype(jnp.float32)).astype(dt)
         h = nn.Dense(4 * D, dtype=dt, name="fc1")(h)
         h = _act(cfg.hidden_act)(h)
         h = nn.Dense(D, dtype=dt, name="fc2")(h)
@@ -126,7 +128,7 @@ class CLIPTextEncoder(nn.Module):
         for i in range(cfg.num_layers):
             penultimate = x
             x = CLIPBlock(cfg, name=f"layer_{i}")(x, causal)
-        final = nn.LayerNorm(dtype=jnp.float32, name="final_ln")(x.astype(jnp.float32))
+        final = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="final_ln")(x.astype(jnp.float32))
         # EOS pooling: first position equal to eos_token_id (HF convention).
         is_eos = (input_ids == cfg.eos_token_id).astype(jnp.int32)
         eos_idx = jnp.argmax(is_eos, axis=-1)
@@ -162,6 +164,7 @@ class CLIPVisionConfig:
     #: apply the transformer post-layernorm (CLIP contrastive pooling wants
     #: it; Wan's conditioning consumes penultimate-style states without it)
     use_post_ln: bool = False
+    layer_norm_eps: float = 1e-5
     dtype: str = "bfloat16"
 
     @property
@@ -206,10 +209,10 @@ class CLIPVisionEncoder(nn.Module):
         L = x.shape[1]
         pos = self.param("position_embedding", nn.initializers.normal(0.02), (1, L, D), jnp.float32)
         x = x + pos.astype(dt)
-        x = nn.LayerNorm(dtype=jnp.float32, name="pre_ln")(x.astype(jnp.float32)).astype(dt)
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="pre_ln")(x.astype(jnp.float32)).astype(dt)
         keep_all = jnp.ones((1, 1, L, L), bool)
         for i in range(cfg.num_layers):
             x = CLIPBlock(cfg, name=f"layer_{i}")(x, keep_all)
         if cfg.use_post_ln:
-            x = nn.LayerNorm(dtype=jnp.float32, name="post_ln")(x.astype(jnp.float32))
+            x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="post_ln")(x.astype(jnp.float32))
         return x.astype(jnp.float32)  # (B, L, D) token states

@@ -17,7 +17,26 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..layers import apply_rope, rope_frequencies
+from ..layers import rope_frequencies
+
+
+def _apply_rope_half(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """NeoX/Llama-style rotation: pairs are (i, i + d/2), NOT interleaved.
+
+    HF Llama/Mistral/Qwen2 ``rotate_half`` pairs dimension i with i + d/2
+    (``modeling_llama.apply_rotary_pos_emb``); the diffusers DiTs pair
+    (2i, 2i+1) instead (``models/layers.apply_rope``). Real upstream LM
+    weights only reproduce under this convention — verified by
+    ``tests/test_upstream_parity.py`` against torch ``Qwen2ForCausalLM``.
+
+    x: (B, H, L, D); cos/sin: (L, D/2).
+    """
+    xf = x.astype(jnp.float32)
+    x1, x2 = jnp.split(xf, 2, axis=-1)
+    c = jnp.concatenate([cos, cos], axis=-1)
+    s = jnp.concatenate([sin, sin], axis=-1)
+    rot = jnp.concatenate([-x2, x1], axis=-1)
+    return (xf * c + rot * s).astype(x.dtype)
 
 
 @dataclass(frozen=True)
@@ -32,6 +51,8 @@ class LMConfig:
     rope_theta: float = 1000000.0
     #: Qwen2.x puts biases on the q/k/v projections (Llama/Mistral/Gemma don't)
     attn_bias: bool = False
+    #: HF rms_norm_eps (Qwen2 ships 1e-6; released Mistral weights use 1e-5)
+    rms_eps: float = 1e-6
     #: Qwen2.5-VL multimodal RoPE: rotary dims per (t, h, w) section
     #: (halved dims; sums to head_dim//2). None → standard 1-D RoPE.
     #: For pure text with equal section positions, M-RoPE == 1-D RoPE, so
@@ -80,13 +101,14 @@ class LMConfig:
 
 class RMSNorm(nn.Module):
     dim: int
+    eps: float = 1e-6
 
     @nn.compact
     def __call__(self, x):
         scale = self.param("weight", nn.initializers.ones, (self.dim,), jnp.float32)
         xf = x.astype(jnp.float32)
         var = jnp.mean(xf * xf, axis=-1, keepdims=True)
-        return (xf * jax.lax.rsqrt(var + 1e-6) * scale).astype(x.dtype)
+        return (xf * jax.lax.rsqrt(var + self.eps) * scale).astype(x.dtype)
 
 
 class LMBlock(nn.Module):
@@ -99,7 +121,7 @@ class LMBlock(nn.Module):
         D = cfg.hidden_dim
         Hq, Hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
-        h = RMSNorm(D, name="ln1")(x)
+        h = RMSNorm(D, cfg.rms_eps, name="ln1")(x)
         q = nn.Dense(Hq * hd, use_bias=cfg.attn_bias, dtype=dt, name="q")(h)
         k = nn.Dense(Hkv * hd, use_bias=cfg.attn_bias, dtype=dt, name="k")(h)
         v = nn.Dense(Hkv * hd, use_bias=cfg.attn_bias, dtype=dt, name="v")(h)
@@ -107,8 +129,8 @@ class LMBlock(nn.Module):
         q = q.reshape(B, L, Hq, hd).transpose(0, 2, 1, 3)
         k = k.reshape(B, L, Hkv, hd).transpose(0, 2, 1, 3)
         v = v.reshape(B, L, Hkv, hd).transpose(0, 2, 1, 3)
-        q = apply_rope(q, cos, sin)
-        k = apply_rope(k, cos, sin)
+        q = _apply_rope_half(q, cos, sin)
+        k = _apply_rope_half(k, cos, sin)
         # GQA: repeat kv heads
         rep = Hq // Hkv
         k = jnp.repeat(k, rep, axis=1)
@@ -119,7 +141,7 @@ class LMBlock(nn.Module):
         o = jnp.einsum("bhqk,bhkd->bhqd", p, v).transpose(0, 2, 1, 3).reshape(B, L, Hq * hd)
         x = x + nn.Dense(D, use_bias=False, dtype=dt, name="o")(o)
 
-        h = RMSNorm(D, name="ln2")(x)
+        h = RMSNorm(D, cfg.rms_eps, name="ln2")(x)
         gate = nn.Dense(cfg.mlp_dim, use_bias=False, dtype=dt, name="gate")(h)
         up = nn.Dense(cfg.mlp_dim, use_bias=False, dtype=dt, name="up")(h)
         x = x + nn.Dense(D, use_bias=False, dtype=dt, name="down")(nn.silu(gate) * up)
@@ -181,7 +203,7 @@ class LMEncoder(nn.Module):
             causal = causal & attention_mask[:, None, None, :].astype(bool)
         for i in range(cfg.num_layers):
             x = LMBlock(cfg, name=f"layer_{i}")(x, cos, sin, causal)
-        x = RMSNorm(cfg.hidden_dim, name="final_ln")(x)
+        x = RMSNorm(cfg.hidden_dim, cfg.rms_eps, name="final_ln")(x)
         if return_logits:
             return x, tok_emb.attend(x.astype(tok_emb.dtype)).astype(jnp.float32)
         return x

@@ -30,6 +30,9 @@ class T5Config:
     head_dim: int = 64
     rel_pos_buckets: int = 32
     rel_pos_max_distance: int = 128
+    #: UMT5 (Wan's text encoder): every layer owns its relative-attention
+    #: bias table instead of sharing block 0's (HF ``UMT5EncoderModel``).
+    per_layer_rel_bias: bool = False
     dtype: str = "bfloat16"
 
     @property
@@ -39,6 +42,13 @@ class T5Config:
     @staticmethod
     def xxl(**o) -> "T5Config":
         return T5Config(**o)
+
+    @staticmethod
+    def umt5_xxl(**o) -> "T5Config":
+        """Wan2.x text encoder (UMT5-XXL: per-layer rel bias, vocab 256384)."""
+        base = dict(vocab_size=256384, per_layer_rel_bias=True)
+        base.update(o)
+        return T5Config(**base)
 
     @staticmethod
     def tiny(**o) -> "T5Config":
@@ -141,5 +151,9 @@ class T5Encoder(nn.Module):
         )
         bias = None
         for i in range(cfg.num_layers):
-            x, bias = T5Block(cfg, has_rel_bias=(i == 0), name=f"block_{i}")(x, bias)
+            x, bias = T5Block(
+                cfg,
+                has_rel_bias=(i == 0 or cfg.per_layer_rel_bias),
+                name=f"block_{i}",
+            )(x, bias)
         return T5LayerNorm(cfg.hidden_dim, name="final_ln")(x)

@@ -152,8 +152,12 @@ def window_layout(grid_thw: Tuple[int, int, int], cfg: VLVisionConfig):
     Returns (patch_perm, inv_perm, window_mask):
       * ``patch_perm`` (L,) — token order such that each 2×2 merge group is
         contiguous and groups are grouped into (win×win)-merged-position
-        windows,
-      * ``inv_perm`` — undo permutation for the merged sequence,
+        windows. Indexes into the MERGE-GROUP-MAJOR patch sequence the
+        upstream image processor emits (``preprocess_vision_image``) —
+        group (y, x) row-major over the merged grid, then (m, m) patches
+        row-major within the group (upstream ``get_window_index``),
+      * ``inv_perm`` — undo permutation for the merged sequence (upstream
+        ``reverse_indices``): output lands in merged row-major order,
       * ``window_mask`` (L, L) bool — block-diagonal attention for windowed
         layers (True = may attend).
     """
@@ -173,16 +177,14 @@ def window_layout(grid_thw: Tuple[int, int, int], cfg: VLVisionConfig):
                     n += 1
             win_sizes.append(n)
     order = np.asarray(order, np.int64)
-    # expand merged positions to their m×m patch indices (row-major in the
-    # original patch grid)
+    # expand merged positions to their m×m patch indices in the
+    # group-major input sequence: group ``mi``'s patches are contiguous
     patch_perm = np.empty(h * w, np.int64)
     k = 0
     for mi in order:
-        y, x = divmod(int(mi), wm)
-        for dy in range(m):
-            for dx in range(m):
-                patch_perm[k] = (y * m + dy) * w + (x * m + dx)
-                k += 1
+        for d in range(m * m):
+            patch_perm[k] = int(mi) * m * m + d
+            k += 1
     inv_perm = np.argsort(order)  # merged-sequence undo
     # block-diagonal window mask at PATCH granularity
     L = h * w
@@ -195,12 +197,20 @@ def window_layout(grid_thw: Tuple[int, int, int], cfg: VLVisionConfig):
     return patch_perm, inv_perm, mask
 
 
-def rot_pos_ids(grid_thw: Tuple[int, int, int]) -> np.ndarray:
-    """(L, 2) (h, w) coordinates per patch in original row-major order."""
+def rot_pos_ids(grid_thw: Tuple[int, int, int], merge_size: int = 2) -> np.ndarray:
+    """(L, 2) (h, w) coordinates per patch in the MERGE-GROUP-MAJOR order the
+    upstream processor emits patches in (upstream ``rot_pos_emb``:
+    ``reshape(h//m, m, w//m, m).permute(0, 2, 1, 3)``)."""
     t, h, w = grid_thw
-    hh = np.repeat(np.arange(h), w)
-    ww = np.tile(np.arange(w), h)
-    return np.stack([hh, ww], axis=1).astype(np.float32)
+    m = merge_size
+    hh = np.broadcast_to(
+        np.arange(h).reshape(h // m, m, 1, 1), (h // m, m, w // m, m))
+    ww = np.broadcast_to(
+        np.arange(w).reshape(1, 1, w // m, m), (h // m, m, w // m, m))
+    hh = hh.transpose(0, 2, 1, 3).reshape(-1)
+    ww = ww.transpose(0, 2, 1, 3).reshape(-1)
+    out = np.stack([hh, ww], axis=1).astype(np.float32)
+    return np.tile(out, (t, 1))
 
 
 # ---------------------------------------------------------------------------
@@ -259,12 +269,13 @@ class VLVisionTower(nn.Module):
     """One image per call: flattened patches → merged vision embeds.
 
     Inputs (host-precomputed for the static grid):
-      patches:    (L, patch_dim) in ORIGINAL row-major patch order
-      pos_hw:     (L, 2) patch (h, w) coordinates (original order)
+      patches:    (L, patch_dim) in the upstream processor's merge-group-
+                  major order (``preprocess_vision_image``)
+      pos_hw:     (L, 2) patch (h, w) coordinates (same group-major order)
       patch_perm: (L,) window re-ordering
       window_mask:(L, L) block-diagonal mask for windowed layers
       inv_perm:   (L/merge²,) undo permutation for merged tokens
-    Output: (L/merge², out_dim) in original merged row-major order.
+    Output: (L/merge², out_dim) in merged row-major order.
     """
 
     cfg: VLVisionConfig

@@ -127,10 +127,10 @@ class WanI2VAdapter(WanT2VAdapter):
                     jnp.zeros((1, 3, vis_cfg.image_size, vis_cfg.image_size)),
                 )["params"]
                 self.params["image_encoder"] = cast(p)
-        if jax.devices()[0].platform != "cpu" and self.mesh is None:
+        if jax.local_devices()[0].platform != "cpu" and self.mesh is None:
             for comp in ("transformer", "transformer_2", "image_encoder"):
                 if comp in self.params:
-                    self.params[comp] = jax.device_put(self.params[comp], jax.devices()[0])
+                    self.params[comp] = jax.device_put(self.params[comp], jax.local_devices()[0])
 
     # ------------------------------------------------------------------
     def encode_image_clip(self, images: Sequence[Any]) -> np.ndarray:

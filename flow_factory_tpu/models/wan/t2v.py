@@ -48,7 +48,7 @@ def _preset(name: str, attn_backend: str, dtype: str) -> Dict[str, Any]:
         return dict(
             transformer=WanConfig.wan21_1_3b(attn_backend=attn_backend, dtype=dtype),
             vae=VideoVAEConfig.wan(dtype=dtype),
-            t5=T5Config.xxl(dtype=dtype),
+            t5=T5Config.umt5_xxl(dtype=dtype),
             t5_max_length=512,
             boundary_ratio=None,
         )
@@ -56,7 +56,7 @@ def _preset(name: str, attn_backend: str, dtype: str) -> Dict[str, Any]:
         return dict(
             transformer=WanConfig.wan21_14b(attn_backend=attn_backend, dtype=dtype),
             vae=VideoVAEConfig.wan(dtype=dtype),
-            t5=T5Config.xxl(dtype=dtype),
+            t5=T5Config.umt5_xxl(dtype=dtype),
             t5_max_length=512,
             boundary_ratio=None,
         )
@@ -64,7 +64,7 @@ def _preset(name: str, attn_backend: str, dtype: str) -> Dict[str, Any]:
         return dict(
             transformer=WanConfig.wan21_14b(attn_backend=attn_backend, dtype=dtype),
             vae=VideoVAEConfig.wan(dtype=dtype),
-            t5=T5Config.xxl(dtype=dtype),
+            t5=T5Config.umt5_xxl(dtype=dtype),
             t5_max_length=512,
             boundary_ratio=0.875,  # high-noise expert above t = 875
         )
@@ -78,7 +78,7 @@ def _preset(name: str, attn_backend: str, dtype: str) -> Dict[str, Any]:
                 attn_backend=attn_backend, dtype=dtype,
             ),
             vae=VideoVAEConfig.wan22_5b(dtype=dtype),
-            t5=T5Config.xxl(dtype=dtype),
+            t5=T5Config.umt5_xxl(dtype=dtype),
             t5_max_length=512,
             boundary_ratio=None,
         )
@@ -106,7 +106,8 @@ class WanT2VAdapter(BaseAdapter):
 
         tcfg = self.component_configs.get("text_encoder")
         if tcfg is not None and "text_encoder" in self.params:
-            tkm, trm = t5_encoder_key_map(tcfg.num_layers)
+            tkm, trm = t5_encoder_key_map(
+                tcfg.num_layers, per_layer_rel_bias=tcfg.per_layer_rel_bias)
             maps["text_encoder"] = ("text_encoder", tkm, trm, None)
         vcfg = self.component_configs.get("vae")
         if vcfg is not None and "vae" in self.params:
@@ -203,10 +204,10 @@ class WanT2VAdapter(BaseAdapter):
                 if not (ma.finetune_type == "full" and comp.startswith("transformer")):
                     p = cast(p)
                 self.params[comp] = p
-        if jax.devices()[0].platform != "cpu" and self.mesh is None:
+        if jax.local_devices()[0].platform != "cpu" and self.mesh is None:
             for comp in ("transformer", "transformer_2", "vae"):
                 if comp in self.params:
-                    self.params[comp] = jax.device_put(self.params[comp], jax.devices()[0])
+                    self.params[comp] = jax.device_put(self.params[comp], jax.local_devices()[0])
 
         self.tokenizer = load_tokenizer(
             ma.model_name_or_path, "tokenizer", preset["t5"].vocab_size,
@@ -419,12 +420,12 @@ class WanT2VAdapter(BaseAdapter):
 
         def _materialize() -> List[T2VSample]:
             videos = (
-                np.asarray(jax.device_get(videos_dev)) if videos_dev is not None else [None] * B
+                self.fetch_batch(videos_dev, 0) if videos_dev is not None else [None] * B
             )
-            lat_np = np.asarray(jax.device_get(lat_buf)).astype(np.float32)
-            lp_np = np.asarray(jax.device_get(lp_buf))
+            lat_np = self.fetch_batch(lat_buf, 1).astype(np.float32)
+            lp_np = self.fetch_batch(lp_buf, 1)
             mean_np = (
-                np.asarray(jax.device_get(mean_buf)).astype(np.float32) if mean_buf is not None else None
+                self.fetch_batch(mean_buf, 1).astype(np.float32) if mean_buf is not None else None
             )
             ts_np = np.asarray(timesteps, np.float32)
 

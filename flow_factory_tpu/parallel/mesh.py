@@ -107,6 +107,37 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
     return jax.tree_util.tree_map(_put, batch)
 
 
+def fetch_local_batch(arr: Any, batch_axis: int = 0) -> np.ndarray:
+    """Device→host fetch that works in MULTI-PROCESS runs.
+
+    A rollout output is a globally batch-sharded ``jax.Array``;
+    ``jax.device_get`` on it raises (non-addressable shards live on other
+    hosts). Each process only needs ITS OWN rows — the ones its loader fed
+    into ``shard_batch`` — so this gathers the addressable shards, dedups
+    replicas (tensor/fsdp axes replicate batch rows), and concatenates them
+    in global order along ``batch_axis``. Fully-addressable arrays (single
+    process) take the plain ``device_get`` path unchanged.
+    """
+    if not isinstance(arr, jax.Array) or arr.is_fully_addressable:
+        return np.asarray(jax.device_get(arr))
+    parts: Dict[int, np.ndarray] = {}
+    for s in arr.addressable_shards:
+        idx = s.index[batch_axis]
+        start = idx.start or 0
+        if start in parts:
+            continue
+        # only the batch axis may be sharded for rollout outputs
+        for ax, sl in enumerate(s.index):
+            if ax != batch_axis and (sl.start not in (None, 0) or sl.stop is not None
+                                     and sl.stop != arr.shape[ax]):
+                raise ValueError(
+                    f"fetch_local_batch: axis {ax} is sharded too "
+                    f"(index {s.index}); only batch_axis={batch_axis} is supported"
+                )
+        parts[start] = np.asarray(s.data)
+    return np.concatenate([parts[k] for k in sorted(parts)], axis=batch_axis)
+
+
 # ---------------------------------------------------------------------------
 # Parameter sharding
 # ---------------------------------------------------------------------------

@@ -155,11 +155,48 @@ def sd3_transformer_key_map(depth: int, dual_attention_layers=()) -> Dict[str, s
     return m
 
 
+class ImportReport:
+    """What an :func:`import_diffusers_params` call actually did.
+
+    ``missing`` — template leaves left at random init;
+    ``unmatched`` — checkpoint keys no map rule consumed;
+    ``matched`` — leaves filled from the checkpoint.
+    A silent mismatch here is how a misspelled key map "loads" a real
+    checkpoint into garbage (VERDICT r2 Missing #1) — strict mode turns
+    both lists into a hard error with the actionable names.
+    """
+
+    def __init__(self):
+        self.matched: int = 0
+        self.missing: list = []
+        self.unmatched: list = []
+
+    def summary(self, component: str = "") -> str:
+        head = f"[{component}] " if component else ""
+        return (
+            f"{head}{self.matched} leaves imported, "
+            f"{len(self.missing)} template leaves left at init"
+            + (f" (first: {self.missing[:8]})" if self.missing else "")
+            + f", {len(self.unmatched)} checkpoint keys unmatched"
+            + (f" (first: {self.unmatched[:8]})" if self.unmatched else "")
+        )
+
+
+#: torch state-dict keys that are never parameters on our side
+_IGNORABLE_KEYS = re.compile(
+    r"(^|\.)(position_ids|num_batches_tracked|rotary_emb\.inv_freq)$"
+)
+
+
 def import_diffusers_params(
     state_dict: Dict[str, np.ndarray],
     key_map: Dict[str, str],
     template: Any,
     raw_map: Optional[Dict[str, str]] = None,
+    strict: bool = False,
+    component: str = "",
+    report_out: Optional[list] = None,
+    unmatched_scope: Optional[str] = None,
 ) -> Any:
     """Torch state dict + key map → flax params matching ``template``.
 
@@ -170,6 +207,15 @@ def import_diffusers_params(
     A conv kernel mapped onto a dense leaf of equal size (patch embedders
     expressed as reshape+matmul here) is re-flattened to the dense layout —
     flax conv order (k..., in, out) row-majors to exactly our patch order.
+
+    ``strict=True`` raises with the full diagnostic if ANY template leaf is
+    left at init or ANY checkpoint key is unconsumed — the contract for
+    real-weight loads (``scripts/parity_check.py``, ``model.strict_import``).
+    ``unmatched_scope``: regex of checkpoint keys this component CLAIMS —
+    keys outside it belong to a sibling component sharing the directory
+    (Qwen's vision tower + LM both ship in ``text_encoder/``) and are not
+    reported. ``report_out``: pass a list to receive the
+    :class:`ImportReport`.
     """
     import jax
 
@@ -179,6 +225,7 @@ def import_diffusers_params(
         key = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
         want[key] = leaf
 
+    report = ImportReport()
     converted: Dict[str, np.ndarray] = {}
     for tk, v in state_dict.items():
         if raw_map and tk in raw_map:
@@ -188,6 +235,10 @@ def import_diffusers_params(
         suffix = tk.rsplit(".", 1)[-1]
         our_base = key_map.get(base)
         if our_base is None:
+            if not _IGNORABLE_KEYS.search(tk) and (
+                unmatched_scope is None or re.match(unmatched_scope, tk)
+            ):
+                report.unmatched.append(tk)
             continue
         v = np.asarray(v)
         if suffix == "weight":
@@ -205,8 +256,11 @@ def import_diffusers_params(
             name = "bias"
         converted[f"{our_base}/{name}"] = v
 
+    # converted keys that map to no template leaf are also spelling bugs
+    report.unmatched.extend(sorted(set(converted) - set(want)))
+
     leaves = []
-    missing, mismatched = [], []
+    mismatched = []
     for path, leaf in flat_t:
         key = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
         if key in converted:
@@ -219,18 +273,36 @@ def import_diffusers_params(
                 if arr.size == np.asarray(leaf).size and arr.ndim != np.asarray(leaf).ndim:
                     arr = arr.reshape(np.asarray(leaf).shape)
                     leaves.append(np.asarray(arr, dtype=np.asarray(leaf).dtype))
+                    report.matched += 1
                 else:
                     mismatched.append((key, arr.shape, tuple(leaf.shape)))
                     leaves.append(leaf)
             else:
                 leaves.append(np.asarray(arr, dtype=np.asarray(leaf).dtype))
+                report.matched += 1
         else:
-            missing.append(key)
+            report.missing.append(key)
             leaves.append(leaf)
+    if report_out is not None:
+        report_out.append(report)
     if mismatched:
         raise ValueError(f"Shape mismatches during import: {mismatched[:5]}")
-    if missing:
-        logger.warning("Import left %d params at init (first: %s)", len(missing), missing[:5])
+    if strict and (report.missing or report.unmatched):
+        raise ValueError(
+            "Strict pretrained import failed — the key map does not cover "
+            "this checkpoint. " + report.summary(component)
+            + f"; all missing: {report.missing}; all unmatched: {report.unmatched}"
+        )
+    if report.missing:
+        logger.warning(
+            "Import left %d params at init (first: %s)",
+            len(report.missing), report.missing[:5],
+        )
+    if report.unmatched:
+        logger.warning(
+            "Import ignored %d checkpoint keys (first: %s)",
+            len(report.unmatched), report.unmatched[:5],
+        )
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
@@ -652,6 +724,8 @@ def ltx2_transformer_overrides_from_config(cfg: Dict[str, Any]) -> Dict[str, Any
         out["ffn_dim"] = int(cfg["ffn_dim"])
     if cfg.get("rope_theta") is not None:
         out["rope_theta"] = float(cfg["rope_theta"])
+    if cfg.get("rms_norm_eps") is not None:
+        out["rms_eps"] = float(cfg["rms_norm_eps"])
     return out
 
 
@@ -689,6 +763,8 @@ def z_image_transformer_overrides_from_config(cfg: Dict[str, Any]) -> Dict[str, 
         out["ffn_dim"] = int(cfg["ffn_dim"])
     if cfg.get("rope_theta") is not None:
         out["rope_theta"] = float(cfg["rope_theta"])
+    if cfg.get("rms_norm_eps") is not None:
+        out["rms_eps"] = float(cfg["rms_norm_eps"])
     return out
 
 
@@ -720,6 +796,8 @@ def clip_text_overrides_from_config(cfg: Dict[str, Any]) -> Dict[str, Any]:
             out[dst] = int(cfg[src])
     if cfg.get("hidden_act"):
         out["hidden_act"] = str(cfg["hidden_act"])
+    if cfg.get("layer_norm_eps") is not None:
+        out["layer_norm_eps"] = float(cfg["layer_norm_eps"])
     return out
 
 
@@ -733,6 +811,8 @@ def t5_overrides_from_config(cfg: Dict[str, Any]) -> Dict[str, Any]:
                      ("relative_attention_max_distance", "rel_pos_max_distance")):
         if cfg.get(src) is not None:
             out[dst] = int(cfg[src])
+    if str(cfg.get("model_type", "")) == "umt5":
+        out["per_layer_rel_bias"] = True
     return out
 
 
@@ -750,6 +830,8 @@ def lm_overrides_from_config(cfg: Dict[str, Any]) -> Dict[str, Any]:
             out[dst] = int(cfg[src])
     if cfg.get("rope_theta") is not None:
         out["rope_theta"] = float(cfg["rope_theta"])
+    if cfg.get("rms_norm_eps") is not None:
+        out["rms_eps"] = float(cfg["rms_norm_eps"])
     if "head_dim" not in out and {"hidden_size", "num_attention_heads"} <= cfg.keys():
         out["head_dim"] = int(cfg["hidden_size"]) // int(cfg["num_attention_heads"])
     mt = str(cfg.get("model_type", ""))
@@ -1216,19 +1298,26 @@ def clip_text_encoder_key_map(num_layers: int) -> Tuple[Dict[str, str], Dict[str
     return m, raw
 
 
-def t5_encoder_key_map(num_layers: int) -> Tuple[Dict[str, str], Dict[str, str]]:
-    """transformers ``T5EncoderModel`` → our ``T5Encoder``.
+def t5_encoder_key_map(
+    num_layers: int, per_layer_rel_bias: bool = False
+) -> Tuple[Dict[str, str], Dict[str, str]]:
+    """transformers ``T5EncoderModel``/``UMT5EncoderModel`` → our ``T5Encoder``.
 
     T5's layer norms are bare scale parameters our modules also call
     ``weight`` — they and the embeddings ride ``raw_map`` verbatim.
+    ``per_layer_rel_bias`` selects the UMT5 layout (every block owns a
+    relative-attention bias table; Wan's text encoder).
     """
     m: Dict[str, str] = {}
     raw: Dict[str, str] = {
         "shared.weight": "token_embedding/embedding",
         "encoder.final_layer_norm.weight": "final_ln/weight",
-        "encoder.block.0.layer.0.SelfAttention.relative_attention_bias.weight":
-            "block_0/attn/rel_bias",
     }
+    bias_layers = range(num_layers) if per_layer_rel_bias else (0,)
+    for i in bias_layers:
+        raw[f"encoder.block.{i}.layer.0.SelfAttention.relative_attention_bias.weight"] = (
+            f"block_{i}/attn/rel_bias"
+        )
     for i in range(num_layers):
         b, o = f"encoder.block.{i}", f"block_{i}"
         raw[f"{b}.layer.0.layer_norm.weight"] = f"{o}/ln1/weight"

@@ -107,7 +107,7 @@ class DeviceMemoryTracker:
 
         stats: Dict[str, int] = {}
         try:
-            dev = jax.devices()[0]
+            dev = jax.local_devices()[0]
             s = dev.memory_stats() or {}
             stats = {
                 "bytes_in_use": int(s.get("bytes_in_use", 0)),

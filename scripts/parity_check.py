@@ -29,7 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def make_config(model_type: str, path: str, resolution: int = 32,
-                steps: int = 4):
+                steps: int = 4, strict_import: bool = False):
     from flow_factory_tpu.hparams.args import Arguments
 
     return Arguments.from_dict({
@@ -39,7 +39,8 @@ def make_config(model_type: str, path: str, resolution: int = 32,
         "model": {"model_type": model_type, "model_name_or_path": path,
                   "finetune_type": "lora", "lora_rank": 2, "lora_alpha": 4,
                   "attn_backend": "native", "master_dtype": "float32",
-                  "inference_dtype": "float32"},
+                  "inference_dtype": "float32",
+                  "strict_import": strict_import},
         "scheduler": {"dynamics_type": "Flow-SDE", "noise_level": 0.7,
                       "num_sde_steps": steps - 1,
                       "sde_steps": list(range(steps - 1))},
@@ -68,6 +69,11 @@ def main() -> int:
     ap.add_argument("--tol-l2", type=float, default=None)
     ap.add_argument("--tol-l3", type=float, default=None)
     ap.add_argument("--tol-l4", type=float, default=None)
+    ap.add_argument("--lax-import", action="store_true",
+                    help="allow key-map gaps when loading a real checkpoint "
+                         "(default for checkpoint dirs is STRICT: any "
+                         "unmatched key / init-left leaf aborts with the "
+                         "actionable list)")
     args = ap.parse_args()
 
     import jax
@@ -104,7 +110,9 @@ def main() -> int:
     from flow_factory_tpu.parity import ParityHarness
 
     set_world_size_override(1)
-    config = make_config(args.model_type, args.path, args.resolution, args.steps)
+    strict = os.path.isdir(args.path) and not args.lax_import
+    config = make_config(args.model_type, args.path, args.resolution,
+                         args.steps, strict_import=strict)
     adapter = load_adapter(config)
     levels = tuple(int(x) for x in args.levels.split(","))
     harness = ParityHarness(adapter, levels=levels)

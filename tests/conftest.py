@@ -19,3 +19,23 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Bound state accumulation across the 30+ test modules.
+
+    One long pytest process accumulates jitted executables, adapter
+    fixtures, and 8-device mesh programs per module; the round-2 review
+    saw the monolithic run SIGSEGV around module ~60 while every module
+    passes in isolation (VERDICT r2 Weak #4). Dropping compilation caches
+    at module teardown keeps the process footprint flat; per-module
+    re-compiles of tiny graphs cost seconds.
+    """
+    yield
+    import gc
+
+    jax.clear_caches()
+    gc.collect()

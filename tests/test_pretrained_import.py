@@ -297,3 +297,58 @@ def test_ltx2_and_z_image_transformer_overrides():
         assert cfg.num_layers == 38 and cfg.hidden_dim == 3072
         assert cfg.in_channels == 64  # 16 unpacked x 2x2 patch
         assert cfg.context_dim == 2560 and cfg.axes_dim == (16, 56, 56)
+
+
+def test_strict_import_flags_misspelled_checkpoint(tmp_path):
+    """A deliberately misspelled checkpoint key must abort a strict load
+    with BOTH the unmatched key and the init-left leaf named (VERDICT r2
+    Next #7)."""
+    from safetensors.numpy import save_file
+
+    from flow_factory_tpu.utils.checkpoint import sd3_transformer_key_map
+
+    ref = load_adapter(_cfg("sd3-5", "tiny"))
+    cfg = ref.component_configs["transformer"]
+    key_map = sd3_transformer_key_map(cfg.depth, cfg.dual_attention_layers)
+    sd = _synth_torch_state_dict(ref.params["transformer"], key_map, seed=13)
+    # misspell one key the way a stale key map would experience it
+    sd["context_embedderX.weight"] = sd.pop("context_embedder.weight")
+
+    ckpt = tmp_path / "sd35-misspelled"
+    (ckpt / "transformer").mkdir(parents=True)
+    save_file(sd, str(ckpt / "transformer" / "diffusion_pytorch_model.safetensors"))
+
+    with pytest.raises(ValueError) as ei:
+        load_adapter(_cfg("sd3-5", str(ckpt), extra_model={"strict_import": True}))
+    msg = str(ei.value)
+    assert "context_embedderX.weight" in msg      # the unmatched checkpoint key
+    assert "context_embedder/kernel" in msg       # the leaf left at init
+
+    # non-strict (default) still loads and only warns
+    adapter = load_adapter(_cfg("sd3-5", str(ckpt)))
+    assert adapter is not None
+
+
+def test_strict_import_scope_ignores_sibling_component_keys():
+    """Keys claimed by a sibling component sharing the directory (Qwen LM +
+    vision tower in text_encoder/) must not fail the strict check when an
+    unmatched_scope is set."""
+    import jax
+    import jax.numpy as jnp
+
+    from flow_factory_tpu.utils.checkpoint import import_diffusers_params
+
+    template = {"lin": {"kernel": np.zeros((4, 8), np.float32),
+                        "bias": np.zeros((8,), np.float32)}}
+    sd = {
+        "mod.weight": np.ones((8, 4), np.float32),
+        "mod.bias": np.zeros((8,), np.float32),
+        "visual.tower.weight": np.ones((3, 3), np.float32),  # sibling's key
+    }
+    out = import_diffusers_params(
+        sd, {"mod": "lin"}, template, strict=True,
+        unmatched_scope=r"^mod\.")
+    np.testing.assert_allclose(out["lin"]["kernel"], np.ones((4, 8)))
+
+    with pytest.raises(ValueError):
+        import_diffusers_params(sd, {"mod": "lin"}, template, strict=True)
