@@ -38,6 +38,27 @@ def make_image_grid(
     return grid
 
 
+def _video_frames_uint8(video: np.ndarray) -> np.ndarray:
+    """Canonical (T,C,H,W) float [0,1] → (T,H,W,3) uint8."""
+    return (np.clip(np.transpose(np.asarray(video), (0, 2, 3, 1)), 0, 1) * 255).astype(np.uint8)
+
+
+def write_wav(path: str, audio: np.ndarray, sample_rate: int) -> str:
+    """(C, N) or (N,) float waveform → 16-bit PCM WAV (stdlib only)."""
+    import wave
+
+    a = np.asarray(audio, np.float32)
+    if a.ndim == 1:
+        a = a[None]
+    pcm = (np.clip(a.T, -1.0, 1.0) * 32767.0).astype("<i2")
+    with wave.open(path, "wb") as w:
+        w.setnchannels(pcm.shape[1])
+        w.setsampwidth(2)
+        w.setframerate(int(sample_rate))
+        w.writeframes(np.ascontiguousarray(pcm).tobytes())
+    return path
+
+
 def save_video_mp4(
     video: np.ndarray,
     path: str,
@@ -48,9 +69,10 @@ def save_video_mp4(
     """Canonical (T,C,H,W) video → mp4; muxes audio when ffmpeg supports it.
 
     Returns the written path or None when no video codec is available
-    (imageio/ffmpeg are optional at runtime).
+    (imageio-ffmpeg/pyav are optional at runtime — see
+    :func:`save_video_media` for the no-codec fallback).
     """
-    frames = (np.clip(np.transpose(np.asarray(video), (0, 2, 3, 1)), 0, 1) * 255).astype(np.uint8)
+    frames = _video_frames_uint8(video)
     try:
         import imageio.v3 as iio
 
@@ -60,22 +82,69 @@ def save_video_mp4(
         return None
     if audio is not None:
         try:
+            import shutil
             import subprocess
-            import soundfile as sf  # optional
 
+            ffmpeg = shutil.which("ffmpeg")
+            if ffmpeg is None:
+                raise RuntimeError("no ffmpeg binary")
             wav = path + ".wav"
-            sf.write(wav, np.asarray(audio).T, audio_sample_rate)
+            write_wav(wav, audio, audio_sample_rate)
             muxed = path + ".muxed.mp4"
             subprocess.run(
-                ["ffmpeg", "-y", "-loglevel", "error", "-i", path, "-i", wav,
+                [ffmpeg, "-y", "-loglevel", "error", "-i", path, "-i", wav,
                  "-c:v", "copy", "-c:a", "aac", "-shortest", muxed],
                 check=True,
             )
             os.replace(muxed, path)
             os.remove(wav)
         except Exception as e:
-            logger.warning("audio mux skipped: %s", e)
+            # keep the video; ship the waveform as a sidecar WAV instead
+            logger.warning("audio mux skipped (%s); writing sidecar wav", e)
+            try:
+                write_wav(os.path.splitext(path)[0] + ".wav", audio, audio_sample_rate)
+            except Exception:
+                pass
     return path
+
+
+def save_video_gif(video: np.ndarray, path: str, fps: int = 8) -> Optional[str]:
+    """PIL-only animated-GIF fallback (always available; no audio track)."""
+    try:
+        from PIL import Image
+
+        frames = [Image.fromarray(f) for f in _video_frames_uint8(video)]
+        frames[0].save(
+            path, save_all=True, append_images=frames[1:],
+            duration=max(1, int(round(1000.0 / fps))), loop=0,
+        )
+        return path
+    except Exception as e:
+        logger.warning("gif encode failed (%s); video not logged", e)
+        return None
+
+
+def save_video_media(
+    video: np.ndarray,
+    base_path: str,
+    fps: int = 8,
+    audio: Optional[np.ndarray] = None,
+    audio_sample_rate: Optional[int] = None,
+) -> Optional[str]:
+    """Best-available encode: mp4 (+aac mux) when a codec exists, else GIF
+    with a sidecar 16-bit WAV for the audio track. Returns the media path."""
+    sr = int(audio_sample_rate or 24000)
+    out = save_video_mp4(video, base_path + ".mp4", fps=fps, audio=audio,
+                         audio_sample_rate=sr)
+    if out is not None:
+        return out
+    out = save_video_gif(video, base_path + ".gif", fps=fps)
+    if out is not None and audio is not None:
+        try:
+            write_wav(base_path + ".wav", audio, sr)
+        except Exception as e:
+            logger.warning("sidecar wav failed: %s", e)
+    return out
 
 
 def samples_to_media_payload(samples: Sequence[Any], max_items: int = 30) -> Dict[str, Any]:

