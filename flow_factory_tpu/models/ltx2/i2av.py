@@ -73,11 +73,13 @@ class LTX2I2AVAdapter(LTX2T2AVAdapter):
 
     def _joint_velocity(self, merged, v_lat, a_lat, t, embeds, guidance_scale, do_cfg):
         if "cond_tokens" in embeds:
-            # hard-condition the first-frame tokens every forward; keep
+            # hard-condition the planted tokens every forward; keep
             # cond_mask in embeds — the transformer uses it for the
             # per-token t=0 modulation and sde_step for frame freezing.
-            # Replacement is hard even for fractional modulation masks
-            # (reference frame preservation is all-or-nothing)
+            # Replacement is all-or-nothing even for fractional modulation
+            # masks (reference frame preservation is all-or-nothing);
+            # cond_tokens already carry any noise_scale blend, so rollout
+            # and replay see identical values at conditioned positions.
             m = (embeds["cond_mask"] > 0.0).astype(jnp.float32)
             v_lat = v_lat * (1.0 - m) + embeds["cond_tokens"] * m
             embeds = {k: v for k, v in embeds.items() if k != "cond_tokens"}
@@ -94,23 +96,59 @@ class LTX2I2AVAdapter(LTX2T2AVAdapter):
         if cond_tokens is None:
             raise ValueError("LTX2I2AVAdapter.inference needs images or cond_tokens")
         cm_np = np.asarray(cond_mask, np.float32)
-        if not self.per_token_time and not np.all((cm_np == 0.0) | (cm_np == 1.0)):
-            logger.warning(
-                "Non-binary cond_mask with per_token_time=false: the t/0 "
-                "modulation interpolation is only exact for binary masks — "
-                "set `per_token_time: true` for fractional (noise_scale) masks."
+        clean_tokens = np.asarray(cond_tokens, np.float32)
+        planted_tokens = clean_tokens
+        fractional = not np.all((cm_np == 0.0) | (cm_np == 1.0))
+        if fractional:
+            # Fractional (noise_scale-style) masks require the exact per-token
+            # timestep embedding — the t/0 modulation interpolation is only
+            # exact for binary masks. Auto-switch rather than silently
+            # approximate; refuse if the user explicitly pinned the fast path.
+            if not self.per_token_time:
+                if self.training_args.extra_kwargs.get("per_token_time") is False:
+                    raise ValueError(
+                        "Non-binary cond_mask with `per_token_time: false`: "
+                        "the t/0 modulation interpolation is only exact for "
+                        "binary masks. Remove the explicit `per_token_time: "
+                        "false` (or binarize the mask) to proceed."
+                    )
+                logger.info(
+                    "Non-binary cond_mask: auto-enabling per_token_time "
+                    "(exact per-token timestep embedding — reference "
+                    "noise_scale semantics, ltx2_i2av.py:858-866)."
+                )
+                self.training_args.extra_kwargs["per_token_time"] = True
+                # per_token_time selects a trace-time code path keyed on
+                # `self`; compiled binary-mask traces must not be reused
+                jax.clear_caches()
+            # Reference noise_scale semantics (prepare_latents with mask
+            # value = 1 - noise_scale): the conditioned tokens are planted —
+            # and frozen — at clean·cm + noise·(1-cm). Blend host-side with
+            # seed-deterministic noise so rollout and training replay both
+            # see the identical planted values at conditioned positions.
+            rng = np.random.default_rng(
+                np.uint64(int(kwargs.get("seed") or self.training_args.seed or 0) + 0x12A5)
             )
-        extra["cond_tokens"] = jnp.asarray(cond_tokens, jnp.float32)
-        extra["cond_mask"] = jnp.asarray(cond_mask, jnp.float32)
+            noise = rng.standard_normal(clean_tokens.shape).astype(np.float32)
+            planted_tokens = np.where(
+                cm_np > 0.0, clean_tokens * cm_np + noise * (1.0 - cm_np), 0.0
+            ).astype(np.float32)
+        extra["cond_tokens"] = jnp.asarray(planted_tokens, jnp.float32)
+        extra["cond_mask"] = jnp.asarray(cm_np, jnp.float32)
         out = super().inference(extra_embeds=extra, **kwargs)
 
         def _post(samples):
             for i, s in enumerate(samples):
-                s.extra_kwargs["cond_tokens"] = np.asarray(cond_tokens[i], np.float32)
-                s.extra_kwargs["cond_mask"] = np.asarray(cond_mask[i], np.float32)
+                s.extra_kwargs["cond_mask"] = np.asarray(cm_np[i], np.float32)
                 if images is not None:
                     s.images = [standardize_image_batch([images[i]], output_type="np")[0]]
                     s._unique_id = None
+                # identity (group key) hashes the CLEAN conditioning tokens —
+                # the noise_scale blend is per-seed and must not split groups;
+                # replay (embed_keys) reads the planted tokens
+                s.extra_kwargs["cond_tokens"] = clean_tokens[i]
+                s.unique_id  # force + cache before swapping in planted tokens
+                s.extra_kwargs["cond_tokens"] = planted_tokens[i]
             return samples
 
         return finish_rollout(out, _post)

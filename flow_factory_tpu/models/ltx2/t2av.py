@@ -677,11 +677,14 @@ class LTX2T2AVAdapter(BaseAdapter):
         a0 = jax.vmap(lambda k: jax.random.normal(
             jax.random.fold_in(k, 1), (La, self.audio_latent_channels), jnp.float32
         ))(keys)
-        # I2AV: plant the clean conditioning tokens in the initial latents
-        # (reference prepare_latents places the encoded image at frame 0)
+        # I2AV: plant the conditioning tokens in the initial latents
+        # (reference prepare_latents places the encoded image at frame 0).
+        # The planting mask is binarized: cond_tokens already carry any
+        # noise_scale blend (I2AV pre-blends host-side for fractional masks);
+        # the fractional mask value drives only the per-token timestep.
         if "cond_tokens" in embeds and "cond_mask" in embeds:
-            cm = jnp.asarray(embeds["cond_mask"], jnp.float32)
-            v0 = v0 * (1.0 - cm) + jnp.asarray(embeds["cond_tokens"], jnp.float32) * cm
+            cmb = (jnp.asarray(embeds["cond_mask"], jnp.float32) > 0.0).astype(jnp.float32)
+            v0 = v0 * (1.0 - cmb) + jnp.asarray(embeds["cond_tokens"], jnp.float32) * cmb
         v0, a0 = self.cast_latents(v0), self.cast_latents(a0)
         scan_key = jax.random.fold_in(keys[0], 7)
         v0, a0 = self.shard_batch(v0), self.shard_batch(a0)

@@ -562,3 +562,71 @@ def test_i2av_per_token_time_exact_mode():
     out = adapter.training_forward(adapter.trainable, batch)
     ratio = np.exp(np.asarray(out.log_prob) - b["log_probs"][:, lpi])
     np.testing.assert_allclose(ratio, 1.0, atol=1e-4)
+
+def test_i2av_fractional_mask_auto_switches_to_per_token_time():
+    """A fractional (noise_scale-style) conditioning mask must not be
+    silently approximated by the binary t/0 interpolation: the adapter
+    auto-enables the exact per-token timestep mode (reference
+    ltx2_i2av.py:858-866), plants the noise_scale blend, keeps the group
+    identity seed-independent, and refuses when the fast path was pinned."""
+    cfg = _cfg("ltx2-i2av", g=1.0)
+    adapter = load_adapter(cfg)
+    assert not adapter.per_token_time
+    adapter.rollout()
+    tl, h, w = adapter.video_token_geometry(32, 32, 5)
+    Lv, C = tl * h * w, adapter.video_latent_channels
+    rng = np.random.default_rng(11)
+    cond_tokens = np.zeros((2, Lv, C), np.float32)
+    cond_tokens[:, : h * w] = rng.standard_normal((2, h * w, C)).astype(np.float32)
+    cond_mask = np.zeros((2, Lv, 1), np.float32)
+    cond_mask[:, : h * w] = 0.6  # fractional: noise_scale = 0.4
+    samples = adapter.inference(prompt=["a", "b"], cond_tokens=cond_tokens,
+                                cond_mask=cond_mask, compute_log_prob=True, seed=0)
+    assert adapter.per_token_time  # auto-switched
+    s = samples[0]
+    frozen = cond_mask[0, :, 0] > 0  # freeze stays all-or-nothing (frame slicing)
+    planted = s.extra_kwargs["cond_tokens"]
+    # planted = clean*cm + noise*(1-cm): blended, not the clean tokens
+    assert not np.allclose(planted[frozen], cond_tokens[0][frozen], atol=1e-3)
+    for slot in range(s.all_latents.shape[0]):
+        np.testing.assert_allclose(s.all_latents[slot][frozen], planted[frozen], atol=1e-5)
+
+    # group identity hashes the CLEAN tokens: same condition under a
+    # different seed (different blend noise) must keep the same unique_id
+    samples2 = adapter.inference(prompt=["a", "b"], cond_tokens=cond_tokens,
+                                 cond_mask=cond_mask, compute_log_prob=True, seed=1)
+    assert samples2[0].unique_id == s.unique_id
+    assert not np.allclose(samples2[0].extra_kwargs["cond_tokens"][frozen],
+                           planted[frozen], atol=1e-3)
+
+    # replay ratio == 1 under the fractional-mask exact path
+    b = stack_samples(samples)
+    sig, nl = s.extra_kwargs["sigmas"], s.extra_kwargs["noise_levels"]
+    i = int(np.nonzero(nl)[0][0])
+    li, lni, lpi = s.latent_index_map[i], s.latent_index_map[i + 1], s.log_prob_index_map[i]
+    batch = {
+        "latents": jnp.asarray(b["all_latents"][:, li]),
+        "next_latents": jnp.asarray(b["all_latents"][:, lni]),
+        "audio_latents": jnp.asarray(b["audio_all_latents"][:, li]),
+        "timestep": jnp.full((2,), float(s.timesteps[i])),
+        "sigma": jnp.full((2,), float(sig[i])),
+        "sigma_next": jnp.full((2,), float(sig[i + 1])),
+        "noise_level": jnp.full((2,), float(nl[i])),
+        "guidance_scale": jnp.float32(1.0),
+        "sigma_max": jnp.float32(sig[1]),
+    }
+    for ek in adapter.embed_keys:
+        if ek in b and b[ek] is not None:
+            batch[ek] = jnp.asarray(b[ek])
+    out = adapter.training_forward(adapter.trainable, batch)
+    ratio = np.exp(np.asarray(out.log_prob) - b["log_probs"][:, lpi])
+    np.testing.assert_allclose(ratio, 1.0, atol=1e-4)
+
+    # explicit fast-path pin + fractional mask must refuse, not approximate
+    cfg2 = _cfg("ltx2-i2av", g=1.0)
+    cfg2.training_args.extra_kwargs["per_token_time"] = False
+    adapter2 = load_adapter(cfg2)
+    adapter2.rollout()
+    with pytest.raises(ValueError, match="per_token_time"):
+        adapter2.inference(prompt=["a", "b"], cond_tokens=cond_tokens,
+                           cond_mask=cond_mask, compute_log_prob=True, seed=0)
