@@ -91,7 +91,8 @@ class LTX2T2AVAdapter(BaseAdapter):
             maps["transformer"] = ("transformer", km, rm, None)
         lcfg = self.component_configs.get("text_encoder")
         if lcfg is not None and "text_encoder" in self.params:
-            lkm, lrm = lm_decoder_key_map(lcfg.num_layers)
+            lkm, lrm = lm_decoder_key_map(lcfg.num_layers,
+                                          gemma=lcfg.arch == "gemma3")
             maps["text_encoder"] = ("text_encoder", lkm, lrm, None)
         vcfg = self.component_configs.get("vae")
         if vcfg is not None and "vae" in self.params:

@@ -58,6 +58,25 @@ class LMConfig:
     #: For pure text with equal section positions, M-RoPE == 1-D RoPE, so
     #: text-only encoding is unchanged.
     mrope_sections: Optional[Tuple[int, int, int]] = None
+    #: "llama" (Llama/Mistral/Qwen2 layout) or "gemma3". Gemma3 differs in
+    #: SEVEN load-bearing ways (HF ``modeling_gemma3.py``): sqrt(hidden)
+    #: embedding scale, (1+weight) zero-init RMSNorms computed fully in
+    #: fp32, sandwich norms (post-attention AND post-feedforward norms
+    #: before each residual add), per-head q/k RMSNorms, gelu-tanh GeGLU,
+    #: ``query_pre_attn_scalar**-0.5`` attention scaling, and interleaved
+    #: local/global attention (5 sliding-window layers with local RoPE
+    #: theta per 1 global layer with linearly-scaled RoPE).
+    arch: str = "llama"
+    #: Gemma3: attention scale base (HF query_pre_attn_scalar); None → head_dim
+    query_pre_attn_scalar: Optional[float] = None
+    #: Gemma3 interleaved attention: window size (0 → all layers global)
+    sliding_window: int = 0
+    #: layer i is sliding unless (i+1) % pattern == 0 (HF layer_types default)
+    sliding_window_pattern: int = 6
+    #: RoPE theta for sliding layers (HF rope_local_base_freq)
+    rope_local_theta: float = 10000.0
+    #: linear RoPE scaling on GLOBAL layers (HF rope_scaling {"linear", factor})
+    rope_scaling_factor: float = 1.0
     dtype: str = "bfloat16"
 
     @property
@@ -86,8 +105,24 @@ class LMConfig:
 
     @staticmethod
     def gemma3(**o) -> "LMConfig":
-        base = dict(vocab_size=262144, hidden_dim=3840, num_layers=48, num_heads=16,
-                    num_kv_heads=8, head_dim=256, mlp_dim=15360)
+        """Gemma3-12B text stack (LTX-2's conditioning LM): HF
+        ``Gemma3TextConfig`` 12B values incl. interleaved 5-local/1-global
+        attention and factor-8 linear RoPE scaling on global layers."""
+        base = dict(vocab_size=262208, hidden_dim=3840, num_layers=48, num_heads=16,
+                    num_kv_heads=8, head_dim=256, mlp_dim=15360, arch="gemma3",
+                    query_pre_attn_scalar=256.0, sliding_window=1024,
+                    sliding_window_pattern=6, rope_theta=1_000_000.0,
+                    rope_local_theta=10_000.0, rope_scaling_factor=8.0)
+        base.update(o)
+        return LMConfig(**base)
+
+    @staticmethod
+    def gemma3_tiny(**o) -> "LMConfig":
+        base = dict(vocab_size=1000, hidden_dim=32, num_layers=3, num_heads=4,
+                    num_kv_heads=2, head_dim=8, mlp_dim=64, arch="gemma3",
+                    query_pre_attn_scalar=8.0, sliding_window=4,
+                    sliding_window_pattern=2, rope_theta=1_000_000.0,
+                    rope_local_theta=10_000.0, rope_scaling_factor=8.0)
         base.update(o)
         return LMConfig(**base)
 
@@ -102,10 +137,16 @@ class LMConfig:
 class RMSNorm(nn.Module):
     dim: int
     eps: float = 1e-6
+    #: Gemma convention: zero-init weight applied as (1 + w), with the whole
+    #: product computed in fp32 before the cast back (HF Gemma3RMSNorm)
+    plus_one: bool = False
 
     @nn.compact
     def __call__(self, x):
-        scale = self.param("weight", nn.initializers.ones, (self.dim,), jnp.float32)
+        init = nn.initializers.zeros if self.plus_one else nn.initializers.ones
+        scale = self.param("weight", init, (self.dim,), jnp.float32)
+        if self.plus_one:
+            scale = 1.0 + scale
         xf = x.astype(jnp.float32)
         var = jnp.mean(xf * xf, axis=-1, keepdims=True)
         return (xf * jax.lax.rsqrt(var + self.eps) * scale).astype(x.dtype)
@@ -113,6 +154,9 @@ class RMSNorm(nn.Module):
 
 class LMBlock(nn.Module):
     cfg: LMConfig
+    #: Gemma3 interleaved attention: this layer uses the sliding-window mask
+    #: + local-RoPE tables instead of the global ones (static per layer)
+    is_sliding: bool = False
 
     @nn.compact
     def __call__(self, x, cos, sin, mask):
@@ -120,8 +164,9 @@ class LMBlock(nn.Module):
         dt = cfg.compute_dtype
         D = cfg.hidden_dim
         Hq, Hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+        gemma = cfg.arch == "gemma3"
 
-        h = RMSNorm(D, cfg.rms_eps, name="ln1")(x)
+        h = RMSNorm(D, cfg.rms_eps, plus_one=gemma, name="ln1")(x)
         q = nn.Dense(Hq * hd, use_bias=cfg.attn_bias, dtype=dt, name="q")(h)
         k = nn.Dense(Hkv * hd, use_bias=cfg.attn_bias, dtype=dt, name="k")(h)
         v = nn.Dense(Hkv * hd, use_bias=cfg.attn_bias, dtype=dt, name="v")(h)
@@ -129,23 +174,35 @@ class LMBlock(nn.Module):
         q = q.reshape(B, L, Hq, hd).transpose(0, 2, 1, 3)
         k = k.reshape(B, L, Hkv, hd).transpose(0, 2, 1, 3)
         v = v.reshape(B, L, Hkv, hd).transpose(0, 2, 1, 3)
+        if gemma:
+            # per-head q/k RMSNorms, applied BEFORE RoPE (HF Gemma3Attention)
+            q = RMSNorm(hd, cfg.rms_eps, plus_one=True, name="q_norm")(q)
+            k = RMSNorm(hd, cfg.rms_eps, plus_one=True, name="k_norm")(k)
         q = _apply_rope_half(q, cos, sin)
         k = _apply_rope_half(k, cos, sin)
         # GQA: repeat kv heads
         rep = Hq // Hkv
         k = jnp.repeat(k, rep, axis=1)
         v = jnp.repeat(v, rep, axis=1)
-        s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) * (hd**-0.5)
+        scale = (cfg.query_pre_attn_scalar if cfg.query_pre_attn_scalar is not None
+                 else hd) ** -0.5
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
         s = jnp.where(mask, s, -1e30)
         p = jax.nn.softmax(s, axis=-1).astype(dt)
         o = jnp.einsum("bhqk,bhkd->bhqd", p, v).transpose(0, 2, 1, 3).reshape(B, L, Hq * hd)
-        x = x + nn.Dense(D, use_bias=False, dtype=dt, name="o")(o)
+        o = nn.Dense(D, use_bias=False, dtype=dt, name="o")(o)
+        if gemma:  # sandwich norm: post-attention norm BEFORE the residual add
+            o = RMSNorm(D, cfg.rms_eps, plus_one=True, name="post_attn_ln")(o)
+        x = x + o
 
-        h = RMSNorm(D, cfg.rms_eps, name="ln2")(x)
+        h = RMSNorm(D, cfg.rms_eps, plus_one=gemma, name="ln2")(x)
         gate = nn.Dense(cfg.mlp_dim, use_bias=False, dtype=dt, name="gate")(h)
         up = nn.Dense(cfg.mlp_dim, use_bias=False, dtype=dt, name="up")(h)
-        x = x + nn.Dense(D, use_bias=False, dtype=dt, name="down")(nn.silu(gate) * up)
-        return x
+        act = (lambda g: jax.nn.gelu(g, approximate=True)) if gemma else nn.silu
+        m = nn.Dense(D, use_bias=False, dtype=dt, name="down")(act(gate) * up)
+        if gemma:  # sandwich norm: post-feedforward norm BEFORE the residual
+            m = RMSNorm(D, cfg.rms_eps, plus_one=True, name="post_ff_ln")(m)
+        return x + m
 
 
 class LMEncoder(nn.Module):
@@ -169,11 +226,16 @@ class LMEncoder(nn.Module):
         position_ids: Optional[jax.Array] = None,   # (3, L) M-RoPE t/h/w ids
     ):
         cfg = self.cfg
+        gemma = cfg.arch == "gemma3"
         B, L = input_ids.shape
         tok_emb = nn.Embed(
             cfg.vocab_size, cfg.hidden_dim, dtype=cfg.compute_dtype, name="token_embedding"
         )
         x = tok_emb(input_ids)
+        if gemma:
+            # HF Gemma3TextScaledWordEmbedding: × sqrt(hidden), cast to the
+            # embedding dtype first (matters under bf16 weights)
+            x = x * jnp.asarray(cfg.hidden_dim ** 0.5, cfg.compute_dtype)
         if vision_embeds is not None and vision_mask is not None:
             # scatter vision-tower outputs into the image-pad positions
             # (the VLM conditioning path, reference qwen_image_edit_plus.py:186-193)
@@ -197,13 +259,32 @@ class LMEncoder(nn.Module):
             cos, sin = jnp.cos(angles), jnp.sin(angles)
         else:
             pos = jnp.arange(L)[:, None].astype(jnp.float32)
-            cos, sin = rope_frequencies(pos, (cfg.head_dim,), cfg.rope_theta)
+            # global layers: linear RoPE scaling divides positions by the
+            # factor (HF rope_scaling {"rope_type": "linear", "factor": f})
+            cos, sin = rope_frequencies(
+                pos / cfg.rope_scaling_factor, (cfg.head_dim,), cfg.rope_theta)
         causal = jnp.tril(jnp.ones((L, L), bool))[None, None]
         if attention_mask is not None:
             causal = causal & attention_mask[:, None, None, :].astype(bool)
+        if gemma and cfg.sliding_window > 0:
+            # sliding layers: local-theta RoPE (unscaled positions) and a
+            # banded causal mask q - kv < window (HF Gemma3 local path)
+            pos = jnp.arange(L)[:, None].astype(jnp.float32)
+            cos_l, sin_l = rope_frequencies(pos, (cfg.head_dim,), cfg.rope_local_theta)
+            band = (jnp.arange(L)[:, None] - jnp.arange(L)[None, :]) < cfg.sliding_window
+            sliding_mask = causal & band[None, None]
+        else:
+            cos_l, sin_l, sliding_mask = cos, sin, causal
         for i in range(cfg.num_layers):
-            x = LMBlock(cfg, name=f"layer_{i}")(x, cos, sin, causal)
-        x = RMSNorm(cfg.hidden_dim, cfg.rms_eps, name="final_ln")(x)
+            is_sliding = (gemma and cfg.sliding_window > 0
+                          and bool((i + 1) % cfg.sliding_window_pattern))
+            x = LMBlock(cfg, is_sliding=is_sliding, name=f"layer_{i}")(
+                x,
+                cos_l if is_sliding else cos,
+                sin_l if is_sliding else sin,
+                sliding_mask if is_sliding else causal,
+            )
+        x = RMSNorm(cfg.hidden_dim, cfg.rms_eps, plus_one=gemma, name="final_ln")(x)
         if return_logits:
             return x, tok_emb.attend(x.astype(tok_emb.dtype)).astype(jnp.float32)
         return x

@@ -839,6 +839,36 @@ def lm_overrides_from_config(cfg: Dict[str, Any]) -> Dict[str, Any]:
         out["attn_bias"] = True
     elif mt:
         out["attn_bias"] = bool(cfg.get("attention_bias", False))
+    if mt.startswith("gemma3"):
+        out["arch"] = "gemma3"
+        if cfg.get("query_pre_attn_scalar") is not None:
+            out["query_pre_attn_scalar"] = float(cfg["query_pre_attn_scalar"])
+        if cfg.get("sliding_window") is not None:
+            out["sliding_window"] = int(cfg["sliding_window"])
+        if cfg.get("sliding_window_pattern") is not None:
+            out["sliding_window_pattern"] = int(cfg["sliding_window_pattern"])
+        if cfg.get("rope_local_base_freq") is not None:
+            out["rope_local_theta"] = float(cfg["rope_local_base_freq"])
+        rs = cfg.get("rope_scaling") or {}
+        if rs.get("factor") is not None:
+            out["rope_scaling_factor"] = float(rs["factor"])
+        lt = cfg.get("layer_types")
+        if lt:
+            # HF layer_types is authoritative; our LMConfig expresses the
+            # regular interleave (sliding unless (i+1) % pattern == 0)
+            fulls = [i for i, t in enumerate(lt) if t == "full_attention"]
+            if not fulls:
+                out["sliding_window_pattern"] = len(lt) + 1  # all sliding
+            else:
+                p = fulls[0] + 1
+                if fulls == [i for i in range(len(lt)) if (i + 1) % p == 0]:
+                    out["sliding_window_pattern"] = p
+                else:
+                    logger.warning(
+                        "gemma3 layer_types is not a regular interleave; "
+                        "keeping the (i+1) %% %d default — attention masks "
+                        "may diverge from the checkpoint",
+                        out.get("sliding_window_pattern", 6))
     return out
 
 
@@ -1332,12 +1362,19 @@ def t5_encoder_key_map(
     return m, raw
 
 
-def lm_decoder_key_map(num_layers: int) -> Tuple[Dict[str, str], Dict[str, str]]:
-    """transformers causal-LM (Llama/Mistral/Qwen2 layout) → our ``LMEncoder``.
+def lm_decoder_key_map(
+    num_layers: int, gemma: bool = False
+) -> Tuple[Dict[str, str], Dict[str, str]]:
+    """transformers causal-LM (Llama/Mistral/Qwen2/Gemma3 layout) → our
+    ``LMEncoder``.
 
     Covers both the no-bias layout (Mistral/Gemma) and Qwen2.x's q/k/v
     biases (present when the config sets ``attn_bias=True``; extra bias keys
-    for a no-bias config are skipped with a warning).
+    for a no-bias config are skipped with a warning). ``gemma=True`` maps
+    the Gemma3 sandwich norms — there ``post_attention_layernorm`` is the
+    norm BEFORE the attention residual add (our ``post_attn_ln``), the MLP
+    pre-norm is ``pre_feedforward_layernorm``, and q/k carry per-head
+    RMSNorms (HF ``modeling_gemma3.py:Gemma3DecoderLayer``).
     """
     m: Dict[str, str] = {}
     raw: Dict[str, str] = {
@@ -1347,7 +1384,14 @@ def lm_decoder_key_map(num_layers: int) -> Tuple[Dict[str, str], Dict[str, str]]
     for i in range(num_layers):
         b, o = f"model.layers.{i}", f"layer_{i}"
         raw[f"{b}.input_layernorm.weight"] = f"{o}/ln1/weight"
-        raw[f"{b}.post_attention_layernorm.weight"] = f"{o}/ln2/weight"
+        if gemma:
+            raw[f"{b}.post_attention_layernorm.weight"] = f"{o}/post_attn_ln/weight"
+            raw[f"{b}.pre_feedforward_layernorm.weight"] = f"{o}/ln2/weight"
+            raw[f"{b}.post_feedforward_layernorm.weight"] = f"{o}/post_ff_ln/weight"
+            raw[f"{b}.self_attn.q_norm.weight"] = f"{o}/q_norm/weight"
+            raw[f"{b}.self_attn.k_norm.weight"] = f"{o}/k_norm/weight"
+        else:
+            raw[f"{b}.post_attention_layernorm.weight"] = f"{o}/ln2/weight"
         m[f"{b}.self_attn.q_proj"] = f"{o}/q"
         m[f"{b}.self_attn.k_proj"] = f"{o}/k"
         m[f"{b}.self_attn.v_proj"] = f"{o}/v"

@@ -225,6 +225,49 @@ def test_lm_upstream_parity(family):
     _assert_close(logits, ref.logits, f"{family} tied logits")
 
 
+def test_gemma3_upstream_parity():
+    """Gemma3 (LTX-2's conditioning LM) against torch ``Gemma3TextModel``:
+    sqrt(hidden) embed scale, (1+w) fp32 RMSNorms, sandwich norms, per-head
+    q/k norms, gelu-tanh GeGLU, query_pre_attn_scalar scaling, and the
+    interleaved sliding/global layers with separate local/scaled-global
+    RoPE — all seven divergences from the Llama layout must reproduce.
+    The tiny config uses sliding_window=4 < L so the banded mask is real."""
+    from transformers import Gemma3TextConfig, Gemma3TextModel
+
+    from flow_factory_tpu.models.text_encoders.lm import LMConfig, LMEncoder
+    from flow_factory_tpu.utils.checkpoint import (
+        import_diffusers_params,
+        lm_decoder_key_map,
+    )
+
+    torch.manual_seed(5)
+    hf_cfg = Gemma3TextConfig(
+        vocab_size=100, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=8, max_position_embeddings=64, rope_theta=1_000_000.0,
+        rope_local_base_freq=10_000.0, rms_norm_eps=1e-6,
+        query_pre_attn_scalar=8, sliding_window=4,
+        sliding_window_pattern=2,  # layers 0, 2 sliding; layer 1 global
+        rope_scaling={"rope_type": "linear", "factor": 8.0},
+        attention_dropout=0.0, attn_implementation="eager",
+    )
+    hf = Gemma3TextModel(hf_cfg).float().eval()
+
+    enc = LMEncoder(LMConfig.gemma3_tiny(vocab_size=100, dtype="float32"))
+    ids = np.array([[7, 3, 51, 9, 22, 1, 64, 2],
+                    [64, 2, 8, 1, 1, 1, 1, 1]], np.int32)
+    template = enc.init(jax.random.PRNGKey(0), jnp.asarray(ids))["params"]
+    km, rm = lm_decoder_key_map(3, gemma=True)
+    sd = {f"model.{k}": v for k, v in _sd(hf).items()}
+    params = import_diffusers_params(sd, km, template, raw_map=rm)
+
+    hidden = enc.apply({"params": params}, jnp.asarray(ids))
+    with torch.no_grad():
+        ref = hf(input_ids=torch.tensor(ids, dtype=torch.long),
+                 output_hidden_states=True)
+    _assert_close(hidden, ref.hidden_states[-1], "gemma3 hidden")
+
+
 # ---------------------------------------------------------------------------
 # Qwen2.5-VL vision tower
 # ---------------------------------------------------------------------------
