@@ -155,9 +155,13 @@ class DecoupledTrainer(BaseTrainer):
 
         nxt = stage(chunks[0])
         for j in range(len(chunks)):
-            cur, nxt = nxt, (stage(chunks[j + 1]) if j + 1 < len(chunks) else None)
             self.check_preempt()
-            yield cur
+            yield nxt
+            # the generator resumes here only after the consumer dispatched
+            # batch j's device work — stage j+1 NOW so its host stacking and
+            # H2D ride under that compute (staging before the yield would
+            # put batch j+1's stacking on batch j's dispatch critical path)
+            nxt = stage(chunks[j + 1]) if j + 1 < len(chunks) else None
 
     def batch_embeds(self, batch_np: Dict[str, Any]) -> Dict[str, jnp.ndarray]:
         if "__staged_embeds__" in batch_np:
