@@ -1073,6 +1073,27 @@ class BaseAdapter(ABC):
         dt = self.training_args.storage_dtype
         return latents.astype(dt).astype(jnp.float32)
 
+    #: embed keys ALSO safe for inference-dtype wire staging in the OPTIMIZE
+    #: path: their first device-side use in replay is .astype(compute_dtype)
+    #: (the stage_context validity argument). Adapters that stage_context a
+    #: key during rollout should list it here so training H2D matches.
+    wire_context_keys: Tuple[str, ...] = ()
+
+    def stage_trajectory(self, arr) -> jnp.ndarray:
+        """Ship a stored-trajectory tensor (latents / Guard means / audio
+        latents) over the wire in the STORAGE dtype, halving H2D bytes
+        through PCIe/the relay for fp16 storage.
+
+        Bit-identical: these host arrays were materialized FROM the
+        storage-dtype device buffers (fetch upcasts to fp32), so the host
+        re-cast is an exact round trip and replay's fp32 upcast recovers
+        identical bits — the replay-ratio==1 invariant is untouched."""
+        a = np.asarray(arr)
+        st = jnp.dtype(self.training_args.storage_dtype)
+        if np.issubdtype(a.dtype, np.floating) and st.itemsize < a.dtype.itemsize:
+            return jnp.asarray(a.astype(st))
+        return jnp.asarray(a, jnp.float32)
+
     def stage_context(self, arr) -> jnp.ndarray:
         """Host-cast a sequence-context embed to the inference dtype BEFORE
         the H2D transfer — halves the wire bytes through PCIe/the relay

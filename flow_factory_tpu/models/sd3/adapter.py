@@ -79,6 +79,10 @@ def _preset(name: str, attn_backend: str, inference_dtype: str) -> Dict[str, Any
 
 class SD35Adapter(BaseAdapter):
     sample_class = T2ISample
+    # sequence context is .astype(compute_dtype) at first use in BOTH
+    # rollout and replay (stage_context validity); pooled embeds feed fp32
+    # timestep modulation and must stay fp32
+    wire_context_keys = ("prompt_embeds", "negative_prompt_embeds")
 
     # ------------------------------------------------------------------
     # Loading

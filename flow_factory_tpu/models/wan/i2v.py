@@ -86,6 +86,9 @@ class WanI2VAdapter(WanT2VAdapter):
             self.modules["image_encoder"] = CLIPVisionEncoder(vis_cfg)
             self.component_configs["image_encoder"] = vis_cfg
             self.embed_keys = tuple(self.embed_keys) + ("image_embeds",)
+            # CLIP context casts to compute dtype at first use, like the
+            # UMT5 text context (rollout already stage_contexts it)
+            self.wire_context_keys = tuple(self.wire_context_keys) + ("image_embeds",)
 
         wide_cfg = dataclasses.replace(
             base_cfg,

@@ -259,6 +259,8 @@ class WanT2VAdapter(BaseAdapter):
         return out
 
     embed_keys = ("prompt_embeds", "negative_prompt_embeds")
+    # UMT5 context casts to compute dtype at first use (transformer.py:204)
+    wire_context_keys = ("prompt_embeds", "negative_prompt_embeds")
 
     # ------------------------------------------------------------------
     def _apply_expert(self, merged, latents, t, ctx):

@@ -137,11 +137,34 @@ def _flash_fwd_kernel(
         lse_ref[0, 0] = m_scratch[:] + jnp.log(denom)  # (Bq, 1)
 
 
+def _pick_block(S: int, hi: int, overhead: int) -> int:
+    """Fit the block to the sequence: minimize padded-length × per-block
+    overhead factor over multiples of 128 (MXU row granularity).
+
+    Fixed 512×1024 blocks over-compute 1.71× at S=1357 (padding 1357 →
+    1536×2048); a single 1408-wide k-block removes the k-side waste. The
+    `(1 + overhead/b)` factor models the online-softmax recurrence and
+    pipeline costs that made 512×1024 sustain ~34 TF/s where 256×256 only
+    hit ~13 (see the DEFAULT_BLOCK note) — without it, pure pad-minimizing
+    would pick pathologically small blocks (e.g. 128 at S=4429).
+    """
+    best_cost, best_b = None, None
+    for b in range(128, hi + 1, 128):
+        cost = _round_up(S, b) * (1.0 + overhead / b)
+        if best_cost is None or cost < best_cost or (cost == best_cost and b > best_b):
+            best_cost, best_b = cost, b
+    return best_b
+
+
 def _pad_qkv(q, k, v, block_q, block_k):
     B, H, Sq, D = q.shape
     Sk = k.shape[2]
-    block_q = min(block_q, _round_up(Sq, 128))
-    block_k = min(block_k, _round_up(Sk, 128))
+    # the configured sizes act as caps; fit blocks to the actual sequence
+    # to minimize zero-padding compute (the k cap stretches 1.5× so a
+    # sequence like 1357 can take a single 1408-wide k-block while the
+    # fp32 score tile stays within the VMEM budget)
+    block_q = _pick_block(Sq, max(128, block_q), overhead=64)
+    block_k = _pick_block(Sk, max(128, (block_k * 3 // 2) // 128 * 128), overhead=128)
     Sq_pad = _round_up(Sq, block_q)
     Sk_pad = _round_up(Sk, block_k)
     if Sq_pad != Sq:

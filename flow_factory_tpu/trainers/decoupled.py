@@ -139,16 +139,22 @@ class DecoupledTrainer(BaseTrainer):
         def stage(idxs):
             mb = [samples[int(i)] for i in idxs]
             bn = stack_samples(mb)
+            ad = self.adapter
+            wire = ad.wire_context_keys
             # async H2D dispatch of the big tensors (jnp.asarray is
-            # non-blocking); consumers reuse these staged arrays
+            # non-blocking); consumers reuse these staged arrays. Clean
+            # latents come from the storage-dtype buffers and wire-safe
+            # embeds are bf16-bound — both ship at reduced width,
+            # bit-identically (stage_trajectory / stage_context docstrings).
             bn["__staged_clean__"] = {
-                bk: jnp.asarray(bn[sk][:, -1], jnp.float32)
-                for bk, sk in self.adapter.decoupled_latent_keys.items()
+                bk: ad.stage_trajectory(bn[sk][:, -1])
+                for bk, sk in ad.decoupled_latent_keys.items()
                 if sk in bn and bn[sk] is not None
             }
             bn["__staged_embeds__"] = {
-                k: jnp.asarray(bn[k], jnp.float32)
-                for k in self.adapter.embed_keys
+                k: (ad.stage_context(bn[k]) if k in wire
+                    else jnp.asarray(bn[k], jnp.float32))
+                for k in ad.embed_keys
                 if k in bn and bn[k] is not None
             }
             return mb, bn

@@ -128,25 +128,31 @@ class GRPOTrainer(BaseTrainer):
             """
             mb = [samples[int(i)] for i in idxs]
             batch_np = stack_samples(mb)
+            ad = self.adapter
+            wire = ad.wire_context_keys
+            # trajectory tensors ride the wire in the STORAGE dtype and
+            # wire-safe context embeds in the inference dtype — bit-identical
+            # halved H2D (stage_trajectory / stage_context docstrings)
             staged = dict(
-                all_latents=jnp.asarray(batch_np["all_latents"], jnp.float32),
+                all_latents=ad.stage_trajectory(batch_np["all_latents"]),
                 old_lps=jnp.asarray(batch_np["log_probs"], jnp.float32),
                 adv=jnp.asarray(
                     np.asarray([s.extra_kwargs["advantage"] for s in mb], np.float32)
                 ),
                 embeds={
-                    k: jnp.asarray(batch_np[k], jnp.float32)
-                    for k in self.adapter.embed_keys
+                    k: (ad.stage_context(batch_np[k]) if k in wire
+                        else jnp.asarray(batch_np[k], jnp.float32))
+                    for k in ad.embed_keys
                     if k in batch_np and batch_np[k] is not None
                 },
                 means=(
-                    jnp.asarray(batch_np["next_latents_mean"], jnp.float32)
+                    ad.stage_trajectory(batch_np["next_latents_mean"])
                     if self.use_guard and "next_latents_mean" in batch_np
                     else None
                 ),
                 traj={
-                    bk: jnp.asarray(batch_np[sk], jnp.float32)
-                    for bk, sk in self.adapter.trajectory_batch_keys.items()
+                    bk: ad.stage_trajectory(batch_np[sk])
+                    for bk, sk in ad.trajectory_batch_keys.items()
                     if sk in batch_np and batch_np[sk] is not None
                 },
             )

@@ -65,3 +65,24 @@ def test_evaluate_pipelined(trainer):
     metrics = trainer.evaluate(epoch=0)
     assert np.isfinite(metrics["eval/reward_mean"])
     assert np.isfinite(metrics["eval/reward_std"])
+
+
+def test_one_epoch_fp16_storage_wire(tmp_path):
+    """fp16 latent storage: the optimize path ships trajectory tensors in
+    the storage dtype and wire-safe context embeds in the inference dtype
+    (halved H2D). Both casts are exact round trips / first-use-identical,
+    so the replayed ratio must still be 1 (stage_trajectory docstring)."""
+    config = Arguments.load_from_yaml(os.path.join(FIXTURES, "smoke_grpo.yaml"))
+    config.training_args.max_epochs = 1
+    config.training_args.latent_storage_dtype = "fp16"
+    config.data_args.cache_dir = str(tmp_path / "cache")
+    config.log_args.save_dir = str(tmp_path / "saves")
+    tr = load_trainer(config)
+    assert tr.adapter.wire_context_keys  # SD3 stages its sequence context
+    tr.scheduler.set_seed(tr.training_args.seed)
+    samples = tr.sample(epoch=0)
+    tr.prepare_feedback(samples)
+    loss_info = tr.optimize(samples, epoch=0)
+    assert loss_info["train/ratio_mean"] == pytest.approx(1.0, abs=1e-3)
+    assert loss_info["train/clip_frac"] == pytest.approx(0.0, abs=1e-6)
+    assert np.isfinite(loss_info["train/loss"])
