@@ -88,3 +88,23 @@ def test_hybrid_backend_matches_native_and_flash_grads():
     for a, b, name in zip(gh, gf, "qkv"):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5,
                                    err_msg=f"d{name}")
+
+
+def test_flash_adaptive_blocks_odd_sizes():
+    """Default caps engage the sequence-fitted block pick (e.g. S=333 →
+    a single 384-wide block): forward and backward must still match the
+    native reference bit-for-tolerance across block-boundary tails."""
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(7), 3)
+    q = jax.random.normal(k1, (1, 2, 333, 32), jnp.float32)
+    k = jax.random.normal(k2, (1, 2, 339, 32), jnp.float32)
+    v = jax.random.normal(k3, (1, 2, 339, 32), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(flash_attention(q, k, v)),
+        np.asarray(native_attention(q, k, v)), atol=2e-5)
+
+    f_flash = lambda a: flash_attention(a, a, a).sum()
+    f_native = lambda a: native_attention(a, a, a).sum()
+    qq = jax.random.normal(k1, (1, 2, 333, 16), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(f_flash)(qq)),
+        np.asarray(jax.grad(f_native)(qq)), atol=1e-4)
