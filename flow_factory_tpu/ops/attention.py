@@ -217,7 +217,11 @@ def _flash_forward(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=4 * B * H * Sq_pad * Sk_pad * D,
+            # TRUE (unpadded) algorithmic flops: this estimate flows into
+            # XLA cost_analysis, which perf accounting treats as the
+            # authoritative FLOP model (scripts/bench_reconcile.py) — a
+            # padded count would inflate reported MFU
+            flops=4 * B * H * Sq * Sk * D,
             bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
             transcendentals=B * H * Sq_pad * Sk_pad,
         ),
