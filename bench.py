@@ -14,11 +14,11 @@ Metric: rollout samples/sec/chip at 512px, 10-step Euler SDE, batch 8.
 vs_baseline: PER-CHIP ratio against an H100 running the reference at the
 same geometry. The reference publishes no numbers (BASELINE.md), so the
 denominator is a fixed documented estimate under the XLA-verified FLOP
-model (59.93 TFLOP/sample, `scripts/bench_reconcile.py` — the round-2
-122 TFLOP parametric model over-counted 2.3×): 40% MFU on 989 bf16
-TFLOP/s ⇒ 6.6 samples/s/H100. One v5e chip has 175-177 MEASURED peak bf16
+model (48.97 TFLOP/sample, `scripts/bench_reconcile.py` — the round-2
+122 TFLOP parametric model over-counted 2.5×): 40% MFU on 989 bf16
+TFLOP/s ⇒ 8.1 samples/s/H100. One v5e chip has 174-177 MEASURED peak bf16
 TFLOP/s (18% of an H100), so per-chip parity is not the right lens —
-per-peak-FLOP efficiency is: 60% measured MFU here vs ≤40% estimated
+per-peak-FLOP efficiency is: 54.5% measured MFU here vs ≤40% estimated
 there (docs/performance.md).
 """
 from __future__ import annotations
@@ -28,7 +28,7 @@ import os
 import sys
 import time
 
-H100_BASELINE_SAMPLES_PER_SEC = 6.6  # documented estimate (see module docstring)
+H100_BASELINE_SAMPLES_PER_SEC = 8.1  # documented estimate (see module docstring)
 
 
 def main() -> None:
