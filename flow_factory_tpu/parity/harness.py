@@ -353,6 +353,11 @@ def _diff_config(a: Dict[str, Any], b: Dict[str, Any]) -> List[str]:
             diffs.append(f"{comp}: present only in {'golden' if cb is None else 'current'}")
             continue
         for k in sorted(set(ca) | set(cb)):
+            if k not in ca:
+                # config field added AFTER the golden was recorded: schema
+                # growth, not drift — the tensor levels prove whether the
+                # new knob's default preserved behavior
+                continue
             va, vb = ca.get(k), cb.get(k)
             # json round-trips tuples to lists
             norm = lambda v: list(v) if isinstance(v, (tuple, list)) else v
