@@ -159,6 +159,13 @@ def main() -> None:
         report["kernel_implied_tflops"] = round(kernel_sps * flops_per_sample / 1e12, 1)
         report["kernel_mfu_vs_measured_peak"] = round(
             kernel_sps * flops_per_sample / 1e12 / peak_tflops, 3)
+    # partial flush: the e2e leg can OOM under experimental backends (the
+    # native einsum path materializes multi-GB score transients next to the
+    # VAE decode); don't lose legs 1-2 with it
+    print(json.dumps(report), file=sys.stderr, flush=True)
+    if os.environ.get("BENCH_SKIP_E2E"):
+        print(json.dumps(report, indent=1))
+        return
 
     # ---- leg 3: e2e pipelined stream (bench.py loop, same fence) ------
     def rollout(seed, defer=False):
