@@ -33,8 +33,8 @@ from ..layers import (
     PooledTextEmbedder,
     QKNorm,
     TimestepEmbedder,
+    adaln_modulate,
     apply_rope,
-    modulate,
     rope_frequencies,
 )
 from ...ops.attention import dot_product_attention
@@ -107,9 +107,10 @@ class FluxDoubleBlock(nn.Module):
         i_shift, i_scale, i_gate, i_shift2, i_scale2, i_gate2 = jnp.split(img_mods, 6, -1)
         t_shift, t_scale, t_gate, t_shift2, t_scale2, t_gate2 = jnp.split(txt_mods, 6, -1)
 
-        ln = lambda name: nn.LayerNorm(use_bias=False, use_scale=False, dtype=jnp.float32, name=name)
-        img_mod = modulate(ln("img_norm1")(img.astype(jnp.float32)), i_shift, i_scale).astype(dt)
-        txt_mod = modulate(ln("txt_norm1")(txt.astype(jnp.float32)), t_shift, t_scale).astype(dt)
+        # one-pass fused LayerNorm+modulate (ops/norms.py); the replaced
+        # no-affine LayerNorms carried no params
+        img_mod = adaln_modulate(img, i_shift, i_scale, out_dtype=dt)
+        txt_mod = adaln_modulate(txt, t_shift, t_scale, out_dtype=dt)
 
         E = D // H
         hp = lambda name: HeadProj(heads=H, head_dim=E, dtype=dt, name=name)
@@ -135,11 +136,11 @@ class FluxDoubleBlock(nn.Module):
         txt = txt + t_gate[:, None].astype(txt.dtype) * MergeProj(
             out_dim=D, dtype=dt, name="txt_attn_out")(txt_attn)
 
-        img_ff = modulate(ln("img_norm2")(img.astype(jnp.float32)), i_shift2, i_scale2).astype(dt)
+        img_ff = adaln_modulate(img, i_shift2, i_scale2, out_dtype=dt)
         img = img + i_gate2[:, None].astype(img.dtype) * FeedForward(
             D, mult=cfg.mlp_ratio, activation=cfg.mlp_style, dtype=dt, name="img_ff"
         )(img_ff)
-        txt_ff = modulate(ln("txt_norm2")(txt.astype(jnp.float32)), t_shift2, t_scale2).astype(dt)
+        txt_ff = adaln_modulate(txt, t_shift2, t_scale2, out_dtype=dt)
         txt = txt + t_gate2[:, None].astype(txt.dtype) * FeedForward(
             D, mult=cfg.mlp_ratio, activation=cfg.mlp_style, dtype=dt, name="txt_ff"
         )(txt_ff)
@@ -211,13 +212,7 @@ class FluxSingleBlock(nn.Module):
 
         mods = nn.Dense(3 * D, dtype=jnp.float32, name="mod")(nn.silu(temb))
         shift, scale, gate = jnp.split(mods, 3, -1)
-        x_mod = modulate(
-            nn.LayerNorm(use_bias=False, use_scale=False, dtype=jnp.float32, name="norm")(
-                x.astype(jnp.float32)
-            ),
-            shift,
-            scale,
-        ).astype(dt)
+        x_mod = adaln_modulate(x, shift, scale, out_dtype=dt)
 
         q, k, v, mlp = _SingleQKVMLP(
             hidden_dim=D, heads=H, mlp_dim=mlp_dim, dtype=dt, name="linear1")(x_mod)

@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.attention import dot_product_attention
+from ..ops.norms import adaln_modulate, fused_layernorm, rms_modulate
 
 
 def sinusoidal_timestep_embedding(
@@ -130,10 +131,9 @@ class AdaLayerNormZero(nn.Module):
             nn.silu(emb.astype(jnp.float32))
         )
         chunks = jnp.split(mods, self.num_chunks, axis=-1)
-        normed = nn.LayerNorm(use_bias=False, use_scale=False, dtype=jnp.float32, name="norm")(
-            x.astype(jnp.float32)
-        )
-        out = modulate(normed, chunks[0], chunks[1]).astype(x.dtype)
+        # one-pass Pallas LayerNorm+modulate on TPU; bit-identical native
+        # composition elsewhere (ops/norms.py)
+        out = adaln_modulate(x, chunks[0], chunks[1])
         return (out, *chunks[2:])
 
 
@@ -149,10 +149,7 @@ class AdaLayerNormContinuous(nn.Module):
             nn.silu(emb.astype(jnp.float32))
         )
         shift, scale = jnp.split(mods, 2, axis=-1)
-        normed = nn.LayerNorm(use_bias=False, use_scale=False, dtype=jnp.float32, name="norm")(
-            x.astype(jnp.float32)
-        )
-        return modulate(normed, shift, scale).astype(x.dtype)
+        return adaln_modulate(x, shift, scale)
 
 
 class FeedForward(nn.Module):
@@ -178,6 +175,21 @@ class FeedForward(nn.Module):
             else:
                 raise ValueError(self.activation)
         return nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc2")(h)
+
+
+class FusedLayerNorm(nn.Module):
+    """Drop-in for ``nn.LayerNorm(dtype=jnp.float32)``: identical params
+    ('scale', 'bias'), init, and CPU numerics; one-pass Pallas on TPU."""
+
+    epsilon: float = 1e-6
+    out_dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        D = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones_init(), (D,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(), (D,), jnp.float32)
+        return fused_layernorm(x, scale, bias, eps=self.epsilon, out_dtype=self.out_dtype)
 
 
 class QKNorm(nn.Module):

@@ -43,7 +43,7 @@ import jax
 import jax.numpy as jnp
 
 from ...ops.attention import dot_product_attention
-from ..layers import HeadProj, MergeProj, QKNorm, TimestepEmbedder, apply_rope, rope_frequencies
+from ..layers import HeadProj, MergeProj, QKNorm, TimestepEmbedder, apply_rope, rms_modulate, rope_frequencies
 
 
 @dataclass(frozen=True)
@@ -82,11 +82,6 @@ class LTX2Config:
         )
         base.update(o)
         return LTX2Config(**base)
-
-
-def _rms(name: str):
-    # upstream LTX stream norms: RMSNorm, elementwise_affine=False
-    return nn.RMSNorm(epsilon=1e-6, use_scale=False, dtype=jnp.float32, name=name)
 
 
 class _CrossAttention(nn.Module):
@@ -168,9 +163,11 @@ class LTX2Block(nn.Module):
             return MergeProj(out_dim=D, dtype=dt, name=f"{prefix}_out")(attn)
 
         # 1. modulated self-attention per modality
-        h = (_rms("norm1")(v.astype(jnp.float32)) * (1 + v_scale_sa) + v_shift_sa).astype(dt)
+        # one-pass fused RMSNorm+modulate (ops/norms.py); the replaced
+        # no-affine RMSNorms carried no params
+        h = rms_modulate(v, v_shift_sa, v_scale_sa, out_dtype=dt)
         v = v + v_gate_sa.astype(v.dtype) * self_attn(h, v_rope, "sa")
-        h = (_rms("audio_norm1")(a.astype(jnp.float32)) * (1 + a_scale_sa) + a_shift_sa).astype(dt)
+        h = rms_modulate(a, a_shift_sa, a_scale_sa, out_dtype=dt)
         a = a + a_gate_sa.astype(a.dtype) * self_attn(h, a_rope, "a_sa")
 
         # 2. cross-attention to the per-modality text streams (plain residual
@@ -186,11 +183,11 @@ class LTX2Block(nn.Module):
             a = a + _CrossAttention(cfg, name="v2a")(a_snap, v_snap)
 
         # 4. modulated feed-forward per modality
-        h = (_rms("norm2")(v.astype(jnp.float32)) * (1 + v_scale_ff) + v_shift_ff).astype(dt)
+        h = rms_modulate(v, v_shift_ff, v_scale_ff, out_dtype=dt)
         h = nn.Dense(D, dtype=dt, name="ffn2")(
             nn.gelu(nn.Dense(cfg.ffn_dim, dtype=dt, name="ffn1")(h), approximate=True))
         v = v + v_gate_ff.astype(v.dtype) * h
-        h = (_rms("audio_norm2")(a.astype(jnp.float32)) * (1 + a_scale_ff) + a_shift_ff).astype(dt)
+        h = rms_modulate(a, a_shift_ff, a_scale_ff, out_dtype=dt)
         h = nn.Dense(D, dtype=dt, name="a_ffn2")(
             nn.gelu(nn.Dense(cfg.ffn_dim, dtype=dt, name="a_ffn1")(h), approximate=True))
         a = a + a_gate_ff.astype(a.dtype) * h
@@ -293,8 +290,7 @@ class LTX2Transformer(nn.Module):
                                (1, 2, cfg.hidden_dim), jnp.float32)
             if temb.ndim == 3:  # per-token (B, L, D) — exact I2AV timesteps
                 mod = table[:, None] + temb[:, :, None, :].astype(jnp.float32)
-                x = (_rms(norm_name)(x.astype(jnp.float32))
-                     * (1 + mod[:, :, 1]) + mod[:, :, 0])
+                x = rms_modulate(x, mod[:, :, 0], mod[:, :, 1], out_dtype=jnp.float32)
                 return nn.Dense(out_ch, dtype=jnp.float32, name=head_name)(x)
             mod = table + temb[:, None, :].astype(jnp.float32)
             if temb_zero is not None and cond_mask is not None:
@@ -304,7 +300,7 @@ class LTX2Transformer(nn.Module):
                 scale = cm * mod0[:, 1, None] + (1.0 - cm) * mod[:, 1, None]
             else:
                 shift, scale = mod[:, 0, None], mod[:, 1, None]
-            x = _rms(norm_name)(x.astype(jnp.float32)) * (1 + scale) + shift
+            x = rms_modulate(x, shift, scale, out_dtype=jnp.float32)
             return nn.Dense(out_ch, dtype=jnp.float32, name=head_name)(x)
 
         v_out = head(v, v_temb, "head_table", "head_norm", "video_head",

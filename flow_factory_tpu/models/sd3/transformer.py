@@ -32,7 +32,7 @@ from ..layers import (
     PooledTextEmbedder,
     SelfAttention,
     TimestepEmbedder,
-    modulate,
+    adaln_modulate,
     unpatchify,
 )
 
@@ -140,13 +140,7 @@ class JointTransformerBlock(nn.Module):
         x = x + gate_msa[:, None, :].astype(x.dtype) * attn_out
 
         if self.use_dual_attention:
-            x_mod2 = modulate(
-                nn.LayerNorm(use_bias=False, use_scale=False, dtype=jnp.float32, name="norm_dual")(
-                    x.astype(jnp.float32)
-                ),
-                shift2,
-                scale2,
-            ).astype(dt)
+            x_mod2 = adaln_modulate(x, shift2, scale2).astype(dt)
             attn2_out = SelfAttention(
                 cfg.hidden_dim,
                 cfg.num_heads,
@@ -157,13 +151,7 @@ class JointTransformerBlock(nn.Module):
             )(x_mod2)
             x = x + gate2[:, None, :].astype(x.dtype) * attn2_out
 
-        x_ff_in = modulate(
-            nn.LayerNorm(use_bias=False, use_scale=False, dtype=jnp.float32, name="norm2")(
-                x.astype(jnp.float32)
-            ),
-            shift_mlp,
-            scale_mlp,
-        ).astype(dt)
+        x_ff_in = adaln_modulate(x, shift_mlp, scale_mlp).astype(dt)
         x = x + gate_mlp[:, None, :].astype(x.dtype) * FeedForward(
             cfg.hidden_dim, dtype=dt, name="ff"
         )(x_ff_in)
@@ -173,13 +161,7 @@ class JointTransformerBlock(nn.Module):
 
         c_gate_msa, c_shift_mlp, c_scale_mlp, c_gate_mlp = c_gates
         context = context + c_gate_msa[:, None, :].astype(context.dtype) * ctx_attn_out
-        c_ff_in = modulate(
-            nn.LayerNorm(use_bias=False, use_scale=False, dtype=jnp.float32, name="norm2_context")(
-                context.astype(jnp.float32)
-            ),
-            c_shift_mlp,
-            c_scale_mlp,
-        ).astype(dt)
+        c_ff_in = adaln_modulate(context, c_shift_mlp, c_scale_mlp).astype(dt)
         context = context + c_gate_mlp[:, None, :].astype(context.dtype) * FeedForward(
             cfg.hidden_dim, dtype=dt, name="ff_context"
         )(c_ff_in)

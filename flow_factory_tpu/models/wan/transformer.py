@@ -24,7 +24,16 @@ import jax
 import jax.numpy as jnp
 
 from ...ops.attention import dot_product_attention
-from ..layers import HeadProj, MergeProj, QKNorm, TimestepEmbedder, apply_rope, rope_frequencies
+from ..layers import (
+    FusedLayerNorm,
+    HeadProj,
+    MergeProj,
+    QKNorm,
+    TimestepEmbedder,
+    adaln_modulate,
+    apply_rope,
+    rope_frequencies,
+)
 
 
 @dataclass(frozen=True)
@@ -107,13 +116,13 @@ class WanBlock(nn.Module):
             ]
             tok = lambda m: m[:, None]  # broadcast over tokens
 
-        ln = lambda name: nn.LayerNorm(use_bias=False, use_scale=False, dtype=jnp.float32, name=name)
         E = D // H
         hp = lambda name: HeadProj(heads=H, head_dim=E, dtype=dt, name=name)
         mp = lambda name: MergeProj(out_dim=D, dtype=dt, name=name)
 
-        # --- self attention (RoPE over video tokens)
-        h = (ln("norm1")(x.astype(jnp.float32)) * (1 + tok(scale_sa)) + tok(shift_sa)).astype(dt)
+        # --- self attention (RoPE over video tokens); one-pass fused
+        # LayerNorm+modulate (ops/norms.py) — "norm1"/"norm3" had no params
+        h = adaln_modulate(x, tok(shift_sa), tok(scale_sa), out_dtype=dt)
         q = hp("sa_q")(h)
         k = hp("sa_k")(h)
         v = hp("sa_v")(h)
@@ -125,7 +134,7 @@ class WanBlock(nn.Module):
         x = x + tok(gate_sa).astype(x.dtype) * mp("sa_out")(attn)
 
         # --- cross attention (no RoPE, plain LN)
-        h = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x.astype(jnp.float32)).astype(dt)
+        h = FusedLayerNorm(name="norm2", out_dtype=dt)(x)
         ctx = context.astype(dt)
         q = hp("ca_q")(h)
         ck = hp("ca_k")(ctx)
@@ -148,7 +157,7 @@ class WanBlock(nn.Module):
         x = x + mp("ca_out")(attn)
 
         # --- feed forward
-        h = (ln("norm3")(x.astype(jnp.float32)) * (1 + tok(scale_ff)) + tok(shift_ff)).astype(dt)
+        h = adaln_modulate(x, tok(shift_ff), tok(scale_ff), out_dtype=dt)
         h = nn.Dense(cfg.ffn_dim, dtype=dt, name="ffn1")(h)
         h = nn.gelu(h, approximate=True)
         h = nn.Dense(D, dtype=dt, name="ffn2")(h)
@@ -240,9 +249,7 @@ class WanTransformer(nn.Module):
         else:
             head_mod = head_table + temb[:, None, :].astype(jnp.float32)
             shift, scale = head_mod[:, 0, None], head_mod[:, 1, None]  # (B, 1, D)
-        x = nn.LayerNorm(use_bias=False, use_scale=False, dtype=jnp.float32, name="head_norm")(
-            x.astype(jnp.float32)
-        ) * (1 + scale) + shift
+        x = adaln_modulate(x, shift, scale, out_dtype=jnp.float32)
         x = nn.Dense(pt * ph * pw * cfg.out_channels, dtype=jnp.float32, name="head_out")(x)
 
         # unpatchify back to (B, T, H, W, C)

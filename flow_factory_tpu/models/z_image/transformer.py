@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from ...ops.attention import dot_product_attention
-from ..layers import HeadProj, MergeProj, QKNorm, TimestepEmbedder, apply_rope, rope_frequencies
+from ..layers import HeadProj, MergeProj, QKNorm, TimestepEmbedder, adaln_modulate, apply_rope, rope_frequencies
 
 
 @dataclass(frozen=True)
@@ -157,8 +157,6 @@ class ZImageTransformer(nn.Module):
         mods = nn.Dense(2 * cfg.hidden_dim, dtype=jnp.float32,
                         name="final_adaLN")(nn.silu(temb))
         shift, scale = jnp.split(mods, 2, axis=-1)
-        h = nn.LayerNorm(use_bias=False, use_scale=False, dtype=jnp.float32,
-                         name="final_norm")(x.astype(jnp.float32))
-        h = h * (1 + scale[:, None]) + shift[:, None]
+        h = adaln_modulate(x, shift, scale, out_dtype=jnp.float32)
         out = nn.Dense(cfg.in_channels, dtype=jnp.float32, name="final_linear")(h)
         return out[:, Lc:]  # image tokens only

@@ -1,0 +1,216 @@
+"""Fused LayerNorm(+modulation) Pallas kernel.
+
+The DiT blocks interleave fp32 LayerNorms with timestep modulation
+(``models/layers.py:AdaLayerNormZero`` / ``modulate``; Wan/FLUX inline the
+same pattern). XLA compiles each as convert→reduce→normalize fusion chains
+that re-read the activation from HBM per pass; the on-chip step profile
+attributes ~19% of the SD3.5-M denoise step to these chains
+(docs/performance.md §Step profile). This kernel does the whole thing in ONE
+pass: read the bf16 activation block into VMEM once, compute mean/var and the
+modulated output in fp32 registers, write once.
+
+Semantics match the native composition exactly (flax ``nn.LayerNorm`` with
+``use_fast_variance=True``: var = max(0, E[x²] − E[x]²); eps inside the
+rsqrt), up to fp32 reduction order:
+
+    modulate(LayerNorm_fp32(x.astype(f32)), shift, scale).astype(out_dtype)
+
+Dispatch: Pallas on TPU when the feature dim is lane-aligned; the pure-jnp
+composition everywhere else (CPU test mesh, odd dims) — verified bit-identical
+to the flax composition, so CPU goldens are untouched. Backward recomputes
+through the native composition's VJP — bit-identical gradients to the unfused
+graph, no extra residuals.
+
+Reference parity note: the reference runs diffusers' AdaLayerNormZero →
+torch ``LayerNorm(elementwise_affine=False)`` in fp32 upcast; this kernel
+preserves that upcast contract while removing the HBM round-trips.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .attention import _active_platform
+
+_DEFAULT_EPS = 1e-6
+#: rows per grid step — 256×D fp32 working set stays well inside VMEM for
+#: every production width (D=1536 SD3.5-M → 1.5 MB; D=5120 Wan-14B → 5 MB)
+_BLOCK_S = 256
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _bcast(m: jax.Array, B: int) -> jax.Array:
+    """Canonicalize a modulation operand to (B, S_or_1, D)."""
+    if m.ndim == 1:
+        m = jnp.broadcast_to(m[None, None, :], (B, 1, m.shape[-1]))
+    elif m.ndim == 2:
+        m = m[:, None, :]
+    return m.astype(jnp.float32)
+
+
+def _native_ln_mul_add(x, mul, add, eps, out_dtype, fold, rms=False):
+    """fold=False — the AdaLN order: ((x−μ)·rsqrt)·mul + add (flax no-affine
+    LayerNorm followed by ``modulate``). fold=True — the flax AFFINE
+    LayerNorm order: (x−μ)·(rsqrt·mul) + add (flax folds the scale into the
+    rsqrt multiplier). rms=True — flax no-affine RMSNorm (no mean
+    subtraction; LTX-2 stream norms). All paths are bit-identical to their
+    flax composition on CPU."""
+    x32 = x.astype(jnp.float32)
+    if rms:
+        r = jax.lax.rsqrt(jnp.mean(jax.lax.square(x32), axis=-1, keepdims=True) + eps)
+        out = x32 * r * mul + add
+        return out.astype(out_dtype)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.maximum(
+        0.0, jnp.mean(jax.lax.square(x32), axis=-1, keepdims=True) - jax.lax.square(mean)
+    )
+    r = jax.lax.rsqrt(var + eps)
+    if fold:
+        out = (x32 - mean) * (r * mul) + add
+    else:
+        out = (x32 - mean) * r * mul + add
+    return out.astype(out_dtype)
+
+
+def _ln_mul_add_kernel(x_ref, mul_ref, add_ref, o_ref, *, eps: float, fold: bool, rms: bool):
+    x = x_ref[0].astype(jnp.float32)  # (Bs, D)
+    d = x.shape[-1]
+    if rms:
+        r = jax.lax.rsqrt(jnp.sum(jax.lax.square(x), axis=-1, keepdims=True) / d + eps)
+        o_ref[0] = (x * r * mul_ref[0] + add_ref[0]).astype(o_ref.dtype)
+        return
+    mean = jnp.sum(x, axis=-1, keepdims=True) / d
+    var = jnp.maximum(
+        0.0, jnp.sum(jax.lax.square(x), axis=-1, keepdims=True) / d - jax.lax.square(mean)
+    )
+    r = jax.lax.rsqrt(var + eps)
+    # mul/add blocks are (1, D) or (Bs, D); numpy broadcasting covers both
+    if fold:
+        o_ref[0] = ((x - mean) * (r * mul_ref[0]) + add_ref[0]).astype(o_ref.dtype)
+    else:
+        o_ref[0] = ((x - mean) * r * mul_ref[0] + add_ref[0]).astype(o_ref.dtype)
+
+
+def _ln_mul_add_pallas(x, mul, add, eps, out_dtype, block_s, fold, rms):
+    B, S, D = x.shape
+    per_token = mul.shape[1] != 1
+    S_pad = _cdiv(S, block_s) * block_s
+    if S_pad != S:
+        # rows are independent — pad rows produce garbage that is sliced off
+        x = jnp.pad(x, ((0, 0), (0, S_pad - S), (0, 0)))
+        if per_token:
+            mul = jnp.pad(mul, ((0, 0), (0, S_pad - S), (0, 0)))
+            add = jnp.pad(add, ((0, 0), (0, S_pad - S), (0, 0)))
+    if per_token:
+        mod_spec = pl.BlockSpec((1, block_s, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM)
+    else:
+        mod_spec = pl.BlockSpec((1, 1, D), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_ln_mul_add_kernel, eps=eps, fold=fold, rms=rms),
+        grid=(B, S_pad // block_s),
+        in_specs=[
+            pl.BlockSpec((1, block_s, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            mod_spec,
+            mod_spec,
+        ],
+        out_specs=pl.BlockSpec((1, block_s, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, S_pad, D), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * B * S * D,  # elementwise+reduce work, not MXU flops
+            bytes_accessed=B * S * D * (x.dtype.itemsize + jnp.dtype(out_dtype).itemsize),
+            transcendentals=B * S,  # one rsqrt per row
+        ),
+        interpret=_active_platform() != "tpu",
+    )(x, mul, add)
+    return out[:, :S] if S_pad != S else out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _fused_ln_mul_add(x, mul, add, eps, out_dtype, block_s, fold, rms):
+    return _ln_mul_add_pallas(x, mul, add, eps, out_dtype, block_s, fold, rms)
+
+
+def _fused_ln_mul_add_fwd(x, mul, add, eps, out_dtype, block_s, fold, rms):
+    return _ln_mul_add_pallas(x, mul, add, eps, out_dtype, block_s, fold, rms), (x, mul, add)
+
+
+def _fused_ln_mul_add_bwd(eps, out_dtype, block_s, fold, rms, residuals, g):
+    x, mul, add = residuals
+    _, vjp = jax.vjp(
+        lambda x, m, a: _native_ln_mul_add(x, m, a, eps, out_dtype, fold, rms), x, mul, add
+    )
+    return vjp(g)
+
+
+_fused_ln_mul_add.defvjp(_fused_ln_mul_add_fwd, _fused_ln_mul_add_bwd)
+
+
+def _dispatch(x, mul, add, eps, out_dtype, block_s, fold, rms=False):
+    D = x.shape[-1]
+    # lane-aligned widths on TPU take the one-pass kernel; everything else
+    # (tiny CPU test configs, odd dims) keeps the native composition so CPU
+    # goldens and non-TPU numerics are untouched
+    if _active_platform() == "tpu" and D % 128 == 0 and x.ndim == 3:
+        return _fused_ln_mul_add(x, mul, add, float(eps), out_dtype, int(block_s), fold, rms)
+    return _native_ln_mul_add(x, mul, add, float(eps), out_dtype, fold, rms)
+
+
+def adaln_modulate(
+    x: jax.Array,
+    shift: jax.Array,
+    scale: jax.Array,
+    eps: float = _DEFAULT_EPS,
+    out_dtype: Optional[jnp.dtype] = None,
+    block_s: int = _BLOCK_S,
+) -> jax.Array:
+    """``modulate(LayerNorm_noaffine_fp32(x), shift, scale)`` in one pass.
+
+    x: (B, S, D); shift/scale: (D,), (B, D), (B, 1, D), or per-token (B, S, D).
+    Output in ``out_dtype`` (default: x.dtype).
+    """
+    B = x.shape[0]
+    mul = 1.0 + _bcast(scale, B)
+    add = _bcast(shift, B)
+    return _dispatch(x, mul, add, eps, out_dtype or x.dtype, block_s, fold=False)
+
+
+def fused_layernorm(
+    x: jax.Array,
+    weight: jax.Array,
+    bias: jax.Array,
+    eps: float = _DEFAULT_EPS,
+    out_dtype: Optional[jnp.dtype] = None,
+    block_s: int = _BLOCK_S,
+) -> jax.Array:
+    """Affine fp32 LayerNorm (flax ``nn.LayerNorm`` semantics), one pass."""
+    B = x.shape[0]
+    return _dispatch(
+        x, _bcast(weight, B), _bcast(bias, B), eps, out_dtype or x.dtype, block_s, fold=True
+    )
+
+
+def rms_modulate(
+    x: jax.Array,
+    shift: jax.Array,
+    scale: jax.Array,
+    eps: float = _DEFAULT_EPS,
+    out_dtype: Optional[jnp.dtype] = None,
+    block_s: int = _BLOCK_S,
+) -> jax.Array:
+    """``modulate(RMSNorm_noaffine_fp32(x), shift, scale)`` in one pass
+    (the LTX-2 stream-norm pattern, ``models/ltx2/transformer.py:_rms``)."""
+    B = x.shape[0]
+    mul = 1.0 + _bcast(scale, B)
+    add = _bcast(shift, B)
+    return _dispatch(x, mul, add, eps, out_dtype or x.dtype, block_s, fold=False, rms=True)
