@@ -1,13 +1,22 @@
-"""Fused LayerNorm(+modulation) Pallas kernel.
+"""Fused LayerNorm(+modulation) Pallas kernel — measured, default OFF.
 
 The DiT blocks interleave fp32 LayerNorms with timestep modulation
 (``models/layers.py:AdaLayerNormZero`` / ``modulate``; Wan/FLUX inline the
-same pattern). XLA compiles each as convert→reduce→normalize fusion chains
-that re-read the activation from HBM per pass; the on-chip step profile
-attributes ~19% of the SD3.5-M denoise step to these chains
-(docs/performance.md §Step profile). This kernel does the whole thing in ONE
-pass: read the bf16 activation block into VMEM once, compute mean/var and the
-modulated output in fp32 registers, write once.
+same pattern). The on-chip step profile attributes ~19% of the SD3.5-M
+denoise step to these convert→reduce→normalize chains (docs/performance.md
+§Step profile). This kernel does the whole thing in ONE pass: read the bf16
+activation block into VMEM once, compute mean/var and the modulated output
+in fp32 registers, write once.
+
+MEASURED OUTCOME (v5e, SD3.5-M rollout ceiling, identical fence): fused
+1.9045 vs native 1.9344 samples/s — XLA's own fusion of these chains into
+the surrounding elementwise graph already wins; the standalone custom call
+costs ~1.5% by orphaning adjacent astype/residual ops. Dispatch therefore
+defaults to the native composition everywhere; set ``FFT_FUSED_NORMS=1``
+to re-test on other geometries. Kept because the call sites are now routed
+through one seam (this module), the exactness tests pin the flax formula
+variants, and other geometries (longer sequences, wider D) may flip the
+verdict.
 
 Semantics match the native composition exactly (flax ``nn.LayerNorm`` with
 ``use_fast_variance=True``: var = max(0, E[x²] − E[x]²); eps inside the
@@ -156,12 +165,26 @@ def _fused_ln_mul_add_bwd(eps, out_dtype, block_s, fold, rms, residuals, g):
 _fused_ln_mul_add.defvjp(_fused_ln_mul_add_fwd, _fused_ln_mul_add_bwd)
 
 
+def _fused_enabled() -> bool:
+    # Measured on v5e at the SD3.5-M rollout geometry (scripts/bench_reconcile,
+    # identical fence, warm cache): fused 1.9045 vs native 1.9344 samples/s —
+    # XLA already fuses these convert→reduce→modulate chains into the
+    # surrounding elementwise graph well enough that a standalone custom call
+    # LOSES ~1.5% (it orphans the neighboring astype/residual ops from their
+    # fusion homes). Default OFF; FFT_FUSED_NORMS=1 re-enables for A/B on
+    # other geometries (docs/performance.md §Fused-norm experiment).
+    import os
+
+    return os.environ.get("FFT_FUSED_NORMS", "0") in ("1", "true")
+
+
 def _dispatch(x, mul, add, eps, out_dtype, block_s, fold, rms=False):
     D = x.shape[-1]
     # lane-aligned widths on TPU take the one-pass kernel; everything else
     # (tiny CPU test configs, odd dims) keeps the native composition so CPU
-    # goldens and non-TPU numerics are untouched
-    if _active_platform() == "tpu" and D % 128 == 0 and x.ndim == 3:
+    # goldens and non-TPU numerics are untouched. FFT_FUSED_NORMS=0 forces
+    # the native path for A/B timing.
+    if _active_platform() == "tpu" and D % 128 == 0 and x.ndim == 3 and _fused_enabled():
         return _fused_ln_mul_add(x, mul, add, float(eps), out_dtype, int(block_s), fold, rms)
     return _native_ln_mul_add(x, mul, add, float(eps), out_dtype, fold, rms)
 
