@@ -158,6 +158,21 @@ class GRPOTrainer(BaseTrainer):
             )
             return mb, staged
 
+        # per-timestep broadcast constants depend only on t_idx — stage them
+        # ONCE for the whole optimize phase instead of per grad step (through
+        # the relay tunnel each tiny jnp.full is a latency-bound round trip;
+        # ~6 × steps × micro-batches of them dominated the unoverlapped H2D)
+        tconst = {
+            int(t): dict(
+                timestep=jnp.full((B,), float(timesteps[int(t)])),
+                sigma=jnp.full((B,), float(sigmas[int(t)])),
+                sigma_next=jnp.full((B,), float(sigmas[int(t) + 1])),
+                noise_level=jnp.full((B,), float(noise_levels[int(t)])),
+            )
+            for t in train_steps
+        }
+        sigma_max = jnp.float32(sigmas[1])
+
         staged_next = stage(mb_schedule[0]) if mb_schedule else None
         for j in range(len(mb_schedule)):
             self.check_preempt()
@@ -166,6 +181,9 @@ class GRPOTrainer(BaseTrainer):
             lp_index_map = mb[0].log_prob_index_map
             all_latents, old_lps, adv = s["all_latents"], s["old_lps"], s["adv"]
             embeds, means = s["embeds"], s["means"]
+            guidance = jnp.float32(
+                mb[0].extra_kwargs.get("guidance_scale", ta.guidance_scale)
+            )
             for t_idx in train_steps:
                 t_idx = int(t_idx)
                 li, lni = int(lat_index_map[t_idx]), int(lat_index_map[t_idx + 1])
@@ -176,16 +194,11 @@ class GRPOTrainer(BaseTrainer):
                 batch = dict(
                     latents=all_latents[:, li],
                     next_latents=all_latents[:, lni],
-                    timestep=jnp.full((len(mb),), float(timesteps[t_idx])),
-                    sigma=jnp.full((len(mb),), float(sigmas[t_idx])),
-                    sigma_next=jnp.full((len(mb),), float(sigmas[t_idx + 1])),
-                    noise_level=jnp.full((len(mb),), float(noise_levels[t_idx])),
-                    guidance_scale=jnp.float32(
-                        mb[0].extra_kwargs.get("guidance_scale", ta.guidance_scale)
-                    ),
-                    sigma_max=jnp.float32(sigmas[1]),
+                    guidance_scale=guidance,
+                    sigma_max=sigma_max,
                     old_log_prob=old_lps[:, lpi],
                     advantage=adv,
+                    **tconst[t_idx],
                     **embeds,
                 )
                 if means is not None:
