@@ -134,10 +134,14 @@ class BaseTrainer(ABC):
     # Optimizer mechanics
     # ------------------------------------------------------------------
     def accumulate_grads(self, grads: Any) -> None:
+        # Whole-tree jitted accumulate: an eager tree.map here would dispatch
+        # one op PER LEAF per grad step (hundreds of latency-bound relay round
+        # trips each); the jitted versions are one call, with the previous
+        # accumulator donated in place.
         if self._accum_grads is None:
-            self._accum_grads = jax.tree.map(lambda g: g.astype(jnp.float32), grads)
+            self._accum_grads = _accum_init_jit(grads)
         else:
-            self._accum_grads = jax.tree.map(jnp.add, self._accum_grads, grads)
+            self._accum_grads = _accum_add_jit(self._accum_grads, grads)
         self._accum_count += 1
 
     def apply_accumulated(self):
@@ -475,6 +479,16 @@ class BaseTrainer(ABC):
 # ---------------------------------------------------------------------------
 # Jitted optimizer step (shared by all trainers)
 # ---------------------------------------------------------------------------
+
+@jax.jit
+def _accum_init_jit(grads):
+    return jax.tree.map(lambda g: g.astype(jnp.float32), grads)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _accum_add_jit(accum, grads):
+    return jax.tree.map(lambda a, g: a + g.astype(jnp.float32), accum, grads)
+
 
 @functools.partial(jax.jit, static_argnums=(0,))
 def _apply_updates_jit(optimizer, trainable, opt_state, accum_grads, count):
