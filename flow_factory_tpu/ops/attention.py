@@ -34,6 +34,10 @@ from jax.experimental.pallas import tpu as pltpu
 DEFAULT_BLOCK_Q = 512
 DEFAULT_BLOCK_K = 1024
 _NEG_INF = -1e30
+_LOG2E = 1.4426950408889634  # softmax runs in base-2 inside the kernels:
+_LN2 = 0.6931471805599453    # q is pre-scaled by scale*log2(e) so exp2 — the
+#                              native VPU transcendental — replaces exp and
+#                              the per-element `s * scale` multiply vanishes.
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -69,6 +73,16 @@ def native_attention(
 # Pallas flash attention (forward)
 # ---------------------------------------------------------------------------
 
+def _kpad_bias(shape, j: int, kv_len: int, block_k: int):
+    """(1, Bk) additive bias row masking the zero-padded key tail.
+
+    A broadcast ADD costs one VPU op/element where the previous
+    iota+compare+select spent three (the 114 ms/step profile showed the
+    kernel VPU-bound, docs/performance.md §Step profile)."""
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, shape[1]), 1) + j * block_k
+    return jnp.where(col < kv_len, 0.0, _NEG_INF).astype(jnp.float32)
+
+
 def _flash_fwd_kernel(
     q_ref,
     k_ref,
@@ -79,14 +93,14 @@ def _flash_fwd_kernel(
     l_scratch,
     acc_scratch,
     *,
-    scale: float,
     kv_len: int,
     block_k: int,
 ):
     """Grid (B, H, num_q_blocks, num_k_blocks); k-block axis innermost.
 
     Scratch (m, l, acc) persists across the sequential k-block axis —
-    the classic online-softmax recurrence.
+    the classic online-softmax recurrence. q arrives PRE-scaled by
+    scale*log2(e): all softmax math runs in base-2 (see _LOG2E note).
     """
     j = pl.program_id(3)
     num_k = pl.num_programs(3)
@@ -104,19 +118,17 @@ def _flash_fwd_kernel(
         k,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * scale  # (Bq, Bk)
+    )  # (Bq, Bk), base-2 logits
 
-    # Mask the zero-padded tail of the key sequence.
     if kv_len % block_k != 0:
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_k
-        s = jnp.where(col < kv_len, s, _NEG_INF)
+        s = s + _kpad_bias(s.shape, j, kv_len, block_k)
 
     m_prev = m_scratch[:]  # (Bq, 1)
     l_prev = l_scratch[:]
     m_cur = jnp.max(s, axis=-1, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
-    alpha = jnp.exp(m_prev - m_new)
-    p = jnp.exp(s - m_new)
+    alpha = jnp.exp2(m_prev - m_new)
+    p = jnp.exp2(s - m_new)
     l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
 
     v_blk = v_ref[0, 0]  # (Bk, D)
@@ -134,7 +146,46 @@ def _flash_fwd_kernel(
     def _finalize():
         denom = jnp.maximum(l_scratch[:], 1e-30)
         o_ref[0, 0] = (acc_scratch[:] / denom).astype(o_ref.dtype)
-        lse_ref[0, 0] = m_scratch[:] + jnp.log(denom)  # (Bq, 1)
+        # external lse contract stays NATURAL-log (ring merge, backward)
+        lse_ref[0, 0] = m_scratch[:] * _LN2 + jnp.log(denom)  # (Bq, 1)
+
+
+def _flash_fwd_single_kernel(
+    q_ref,
+    k_ref,
+    v_ref,
+    o_ref,
+    lse_ref,
+    *,
+    kv_len: int,
+    block_k: int,
+):
+    """Specialization for a single k-block (the sequence-fitted common case,
+    e.g. SD3.5-M's S=1357 → one 1408-wide block): the online-softmax
+    recurrence degenerates, so skip the scratch round-trips and the
+    alpha-rescale entirely — one max, one exp2, one sum, one divide."""
+    q = q_ref[0, 0]  # (Bq, D), pre-scaled by scale*log2(e)
+    k = k_ref[0, 0]  # (Bk, D)
+    s = jax.lax.dot_general(
+        q,
+        k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if kv_len % block_k != 0:
+        s = s + _kpad_bias(s.shape, 0, kv_len, block_k)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp2(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    v_blk = v_ref[0, 0]
+    pv = jax.lax.dot_general(
+        p.astype(v_blk.dtype),
+        v_blk,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0, 0] = (pv / l).astype(o_ref.dtype)
+    lse_ref[0, 0] = m * _LN2 + jnp.log(l)
 
 
 def _pick_block(S: int, hi: int, overhead: int) -> int:
@@ -184,37 +235,55 @@ def _flash_forward(
     block_k: int,
 ):
     B, H, _, D = q.shape
+    # Fold scale and the base-2 conversion into q once per call (64× fewer
+    # elements than scaling s in-kernel; XLA fuses it into the producer).
+    q = q * (scale * _LOG2E)
     q, k, v, block_q, block_k, Sq, Sk, Sq_pad, Sk_pad = _pad_qkv(q, k, v, block_q, block_k)
 
-    grid = (B, H, Sq_pad // block_q, Sk_pad // block_k)
-    kernel = functools.partial(
-        _flash_fwd_kernel, scale=scale, kv_len=Sk, block_k=block_k
-    )
+    single_k = Sk_pad == block_k
+    if single_k:
+        grid = (B, H, Sq_pad // block_q)
+        kernel = functools.partial(
+            _flash_fwd_single_kernel, kv_len=Sk, block_k=block_k
+        )
+        idx_q = lambda b, h, i: (b, h, i, 0)
+        idx_k = lambda b, h, i: (b, h, 0, 0)
+        scratch_shapes = []
+        dim_sem = ("parallel", "parallel", "parallel")
+    else:
+        grid = (B, H, Sq_pad // block_q, Sk_pad // block_k)
+        kernel = functools.partial(
+            _flash_fwd_kernel, kv_len=Sk, block_k=block_k
+        )
+        idx_q = lambda b, h, i, j: (b, h, i, 0)
+        idx_k = lambda b, h, i, j: (b, h, j, 0)
+        scratch_shapes = [
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, D), jnp.float32),
+        ]
+        dim_sem = ("parallel", "parallel", "parallel", "arbitrary")
     # Interpret mode lets the CPU test mesh execute the TPU kernel faithfully.
     interpret = _active_platform() != "tpu"
     out, lse = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, j: (b, h, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_k, D), lambda b, h, i, j: (b, h, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_k, D), lambda b, h, i, j: (b, h, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q, D), idx_q, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k, D), idx_k, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k, D), idx_k, memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, j: (b, h, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_q, 1), lambda b, h, i, j: (b, h, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q, D), idx_q, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q, 1), idx_q, memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B, H, Sq_pad, D), q.dtype),
             jax.ShapeDtypeStruct((B, H, Sq_pad, 1), jnp.float32),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((block_q, 1), jnp.float32),
-            pltpu.VMEM((block_q, 1), jnp.float32),
-            pltpu.VMEM((block_q, D), jnp.float32),
-        ],
+        scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            dimension_semantics=dim_sem,
         ),
         cost_estimate=pl.CostEstimate(
             # TRUE (unpadded) algorithmic flops: this estimate flows into
@@ -239,9 +308,17 @@ def _flash_forward(
 
 def _flash_bwd_dq_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_scratch,
-    *, scale: float, kv_len: int, block_k: int,
+    *, scale: float,
 ):
-    """dq = Σ_j ds_ij k_j · scale, ds = p ∘ (do vᵀ − Δ); grid k-axis innermost."""
+    """dq = scale · Σ_j ds_ij k_j, ds = p ∘ (do vᵀ − Δ); grid k-axis innermost.
+
+    q arrives pre-scaled by scale*log2(e) and lse by log2(e) (base-2 domain,
+    see _LOG2E). No key-pad masking needed: padded k rows are ZERO, so the
+    spurious p columns hit zero k rows in ds@k and contribute nothing to dq.
+    Matmuls contract in the INPUT dtype (bf16 in production — MXU-native;
+    the previous fp32 upcasts ran the MXU at fractional rate) with fp32
+    accumulation.
+    """
     j = pl.program_id(3)
     num_k = pl.num_programs(3)
 
@@ -252,44 +329,49 @@ def _flash_bwd_dq_kernel(
     q = q_ref[0, 0]
     k = k_ref[0, 0]
     v = v_ref[0, 0]
-    do = do_ref[0, 0].astype(jnp.float32)
-    lse = lse_ref[0, 0]  # (Bq, 1)
+    do = do_ref[0, 0]
+    lse = lse_ref[0, 0]  # (Bq, 1), base-2
     delta = delta_ref[0, 0]  # (Bq, 1)
 
     s = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * scale
-    if kv_len % block_k != 0:
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_k
-        s = jnp.where(col < kv_len, s, _NEG_INF)
-    p = jnp.exp(s - lse)  # (Bq, Bk)
+    )
+    # min(·, 0) is EXACT for real columns (s ≤ m ≤ lse since l ≥ 1) and
+    # bounds the unmasked zero-pad columns at p=1 so they can't overflow
+    # to inf (inf × zero-k-row = NaN).
+    p = jnp.exp2(jnp.minimum(s - lse, 0.0))  # (Bq, Bk)
     dp = jax.lax.dot_general(
-        do, v.astype(jnp.float32),
+        do, v,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    ds = p * (dp - delta) * scale
+    ds = (p * (dp - delta)).astype(k.dtype)
     dq_scratch[:] += jax.lax.dot_general(
-        ds, k.astype(jnp.float32),
+        ds, k,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
     @pl.when(j == num_k - 1)
     def _finalize():
-        dq_ref[0, 0] = dq_scratch[:].astype(dq_ref.dtype)
+        dq_ref[0, 0] = (dq_scratch[:] * scale).astype(dq_ref.dtype)
 
 
 def _flash_bwd_dkv_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
     dk_scratch, dv_scratch,
-    *, scale: float, kv_len: int, block_k: int,
+    *, scale: float,
 ):
-    """dk, dv accumulated over the q-block axis (innermost)."""
+    """dk, dv accumulated over the q-block axis (innermost).
+
+    Same conventions as _flash_bwd_dq_kernel (pre-scaled q/lse, base-2 p,
+    input-dtype matmuls). No key-pad masking: spurious pad-ROW values land
+    in dk/dv rows that the caller slices off. dk = scale·dsᵀq with q
+    pre-scaled by scale·log2e, so the finalize factor is ln2.
+    """
     i = pl.program_id(3)
     num_q = pl.num_programs(3)
-    j = pl.program_id(2)
 
     @pl.when(i == 0)
     def _init():
@@ -299,39 +381,35 @@ def _flash_bwd_dkv_kernel(
     q = q_ref[0, 0]
     k = k_ref[0, 0]
     v = v_ref[0, 0]
-    do = do_ref[0, 0].astype(jnp.float32)
-    lse = lse_ref[0, 0]  # (Bq, 1)
+    do = do_ref[0, 0]
+    lse = lse_ref[0, 0]  # (Bq, 1), base-2
     delta = delta_ref[0, 0]  # (Bq, 1)
 
     s = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * scale
-    if kv_len % block_k != 0:
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_k
-        s = jnp.where(col < kv_len, s, _NEG_INF)
-    p = jnp.exp(s - lse)  # (Bq, Bk)
+    )
+    p = jnp.exp2(jnp.minimum(s - lse, 0.0))  # (Bq, Bk); see dq-kernel note
     # dv += pᵀ do
     dv_scratch[:] += jax.lax.dot_general(
-        p, do, dimension_numbers=(((0,), (0,)), ((), ())),
+        p.astype(do.dtype), do, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     dp = jax.lax.dot_general(
-        do, v.astype(jnp.float32),
+        do, v,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    ds = p * (dp - delta) * scale
+    ds = (p * (dp - delta)).astype(q.dtype)
     # dk += dsᵀ q
     dk_scratch[:] += jax.lax.dot_general(
-        ds, q.astype(jnp.float32),
-        dimension_numbers=(((0,), (0,)), ((), ())),
+        ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
     @pl.when(i == num_q - 1)
     def _finalize():
-        dk_ref[0, 0] = dk_scratch[:].astype(dk_ref.dtype)
+        dk_ref[0, 0] = (dk_scratch[:] * _LN2).astype(dk_ref.dtype)
         dv_ref[0, 0] = dv_scratch[:].astype(dv_ref.dtype)
 
 
@@ -342,6 +420,9 @@ def _flash_backward(q, k, v, out, lse, g, scale, block_q, block_k):
     # Δ = rowsum(dout ∘ out) — tiny elementwise op, leave to XLA
     delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)  # (B,H,Sq)
 
+    # base-2 domain for the kernels: q pre-scaled, lse converted (see _LOG2E)
+    q = q * (scale * _LOG2E)
+    lse = lse * _LOG2E
     q_p, k_p, v_p, block_q, block_k, Sq, Sk, Sq_pad, Sk_pad = _pad_qkv(q, k, v, block_q, block_k)
     if Sq_pad != Sq:
         g = jnp.pad(g, ((0, 0), (0, 0), (0, Sq_pad - Sq), (0, 0)))
@@ -362,7 +443,7 @@ def _flash_backward(q, k, v, out, lse, g, scale, block_q, block_k):
     ]
 
     dq = pl.pallas_call(
-        functools.partial(_flash_bwd_dq_kernel, scale=scale, kv_len=Sk, block_k=block_k),
+        functools.partial(_flash_bwd_dq_kernel, scale=scale),
         grid=(B, H, Sq_pad // block_q, Sk_pad // block_k),
         in_specs=common_in,
         out_specs=pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, j: (b, h, i, 0), memory_space=pltpu.VMEM),
@@ -384,7 +465,7 @@ def _flash_backward(q, k, v, out, lse, g, scale, block_q, block_k):
         pl.BlockSpec((1, 1, block_q, 1), lambda b, h, j, i: (b, h, i, 0), memory_space=pltpu.VMEM),
     ]
     dk, dv = pl.pallas_call(
-        functools.partial(_flash_bwd_dkv_kernel, scale=scale, kv_len=Sk, block_k=block_k),
+        functools.partial(_flash_bwd_dkv_kernel, scale=scale),
         grid=(B, H, Sk_pad // block_k, Sq_pad // block_q),
         in_specs=dkv_in,
         out_specs=(
