@@ -37,6 +37,23 @@ def test_dispatch_native_with_mask():
         dot_product_attention(q, q, q, mask=mask, backend="flash")
 
 
+def test_flash_backward_extreme_logits_padded_tail():
+    """The backward kernels run UNMASKED over the zero-padded key tail
+    (padded k rows are zero / padded dk,dv rows are sliced): with every real
+    score very negative, the pad columns' p=exp2(0-lse) would overflow to
+    inf (→ inf·0 = NaN) without the exponent clamp. Odd S forces padding."""
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(3), 3)
+    q = jax.random.normal(k1, (1, 2, 200, 32), jnp.float32) * 30.0
+    k = jax.random.normal(k2, (1, 2, 200, 32), jnp.float32)
+    v = jax.random.normal(k3, (1, 2, 200, 32), jnp.float32)
+    grads = jax.grad(lambda q, k, v: flash_attention(q, k, v).sum(), argnums=(0, 1, 2))(q, k, v)
+    for name, g_ in zip(("dq", "dk", "dv"), grads):
+        assert bool(jnp.all(jnp.isfinite(g_))), name
+    ref = jax.grad(lambda q, k, v: native_attention(q, k, v).sum(), argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip(("dq", "dk", "dv"), grads, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4, err_msg=name)
+
+
 def test_flash_backward_dq_dk_dv_separately():
     """Per-input cotangents of the Pallas backward vs einsum reference."""
     k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(7), 4)
