@@ -21,6 +21,7 @@ All shapes are (B, H, S, D) with D the head dim.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -159,11 +160,17 @@ def _flash_fwd_single_kernel(
     *,
     kv_len: int,
     block_k: int,
+    mxu_lsum: bool,
 ):
     """Specialization for a single k-block (the sequence-fitted common case,
     e.g. SD3.5-M's S=1357 → one 1408-wide block): the online-softmax
     recurrence degenerates, so skip the scratch round-trips and the
-    alpha-rescale entirely — one max, one exp2, one sum, one divide."""
+    alpha-rescale entirely — one max, one exp2, one sum, one divide.
+
+    ``mxu_lsum``: v arrives with a ONES column appended (D+1 wide). The PV
+    matmul then emits the softmax denominator in column D for free — the MXU
+    computes the padded 128-lane tile regardless of D=64 vs 65 — removing the
+    per-element VPU row-sum pass (FFT_FLASH_MXU_LSUM)."""
     q = q_ref[0, 0]  # (Bq, D), pre-scaled by scale*log2(e)
     k = k_ref[0, 0]  # (Bk, D)
     s = jax.lax.dot_general(
@@ -176,7 +183,6 @@ def _flash_fwd_single_kernel(
         s = s + _kpad_bias(s.shape, 0, kv_len, block_k)
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp2(s - m)
-    l = jnp.sum(p, axis=-1, keepdims=True)
     v_blk = v_ref[0, 0]
     pv = jax.lax.dot_general(
         p.astype(v_blk.dtype),
@@ -184,6 +190,11 @@ def _flash_fwd_single_kernel(
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+    if mxu_lsum:
+        l = pv[:, -1:]
+        pv = pv[:, :-1]
+    else:
+        l = jnp.sum(p, axis=-1, keepdims=True)
     o_ref[0, 0] = (pv / l).astype(o_ref.dtype)
     lse_ref[0, 0] = m * _LN2 + jnp.log(l)
 
@@ -241,10 +252,17 @@ def _flash_forward(
     q, k, v, block_q, block_k, Sq, Sk, Sq_pad, Sk_pad = _pad_qkv(q, k, v, block_q, block_k)
 
     single_k = Sk_pad == block_k
+    # experiment knob: softmax denominator via a ones-column in the PV matmul
+    # (free on the MXU's padded 128-lane tile) instead of a VPU row-sum pass
+    mxu_lsum = single_k and os.environ.get("FFT_FLASH_MXU_LSUM", "0") in ("1", "true")
+    Dv = D
     if single_k:
+        if mxu_lsum:
+            v = jnp.concatenate([v, jnp.ones(v.shape[:-1] + (1,), v.dtype)], axis=-1)
+            Dv = D + 1
         grid = (B, H, Sq_pad // block_q)
         kernel = functools.partial(
-            _flash_fwd_single_kernel, kv_len=Sk, block_k=block_k
+            _flash_fwd_single_kernel, kv_len=Sk, block_k=block_k, mxu_lsum=mxu_lsum
         )
         idx_q = lambda b, h, i: (b, h, i, 0)
         idx_k = lambda b, h, i: (b, h, 0, 0)
@@ -271,7 +289,7 @@ def _flash_forward(
         in_specs=[
             pl.BlockSpec((1, 1, block_q, D), idx_q, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, block_k, D), idx_k, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_k, D), idx_k, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k, Dv), idx_k, memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((1, 1, block_q, D), idx_q, memory_space=pltpu.VMEM),
