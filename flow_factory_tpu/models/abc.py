@@ -197,7 +197,13 @@ class BaseAdapter(ABC):
 
     #: extra per-timestep trajectory keys trainers must feed training_forward:
     #: {batch_key: stacked_sample_key} indexed by the stored-latent slot
-    #: (e.g. LTX-2's joint-AV replay needs the audio latent alongside video)
+    #: (e.g. LTX-2's joint-AV replay needs the audio latent alongside video).
+    #: CONTRACT: every tensor registered here must have been materialized
+    #: from a STORAGE-dtype device buffer (i.e. pass through cast_latents /
+    #: the scan's storage-dtype stores) — ``stage_trajectory`` downcasts it
+    #: back to the storage dtype for the wire, which is only bit-exact under
+    #: that provenance. ``stage_trajectory`` verifies the round trip when
+    #: FFT_DEBUG_STAGING=1 (ADVICE r3).
     trajectory_batch_keys: Dict[str, str] = {}
 
     @property
@@ -1091,6 +1097,19 @@ class BaseAdapter(ABC):
         a = np.asarray(arr)
         st = jnp.dtype(self.training_args.storage_dtype)
         if np.issubdtype(a.dtype, np.floating) and st.itemsize < a.dtype.itemsize:
+            if os.environ.get("FFT_DEBUG_STAGING"):
+                # Guard the provenance contract (trajectory_batch_keys
+                # docstring): an fp32-computed tensor smuggled into the
+                # trajectory keys would silently lose bits here and break
+                # replay-ratio==1 much further downstream.
+                rt = a.astype(st).astype(a.dtype)
+                if not np.array_equal(rt, a, equal_nan=True):
+                    raise AssertionError(
+                        "stage_trajectory: tensor is not a storage-dtype "
+                        f"round trip (max |Δ|={np.max(np.abs(rt - a))}); a "
+                        "trajectory_batch_keys entry was not materialized "
+                        "from a storage-dtype device buffer."
+                    )
             return jnp.asarray(a.astype(st))
         return jnp.asarray(a, jnp.float32)
 

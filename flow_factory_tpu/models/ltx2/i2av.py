@@ -112,10 +112,20 @@ class LTX2I2AVAdapter(LTX2T2AVAdapter):
                         "binary masks. Remove the explicit `per_token_time: "
                         "false` (or binarize the mask) to proceed."
                     )
-                logger.info(
+                logger.warning(
                     "Non-binary cond_mask: auto-enabling per_token_time "
                     "(exact per-token timestep embedding — reference "
-                    "noise_scale semantics, ltx2_i2av.py:858-866)."
+                    "noise_scale semantics, ltx2_i2av.py:858-866). "
+                    "CAVEATS (ADVICE r3): (1) samples rolled out EARLIER in "
+                    "this run were traced under the binary t/0 path and will "
+                    "replay under per_token_time — numerically equivalent "
+                    "for their binary masks but not guaranteed bit-identical; "
+                    "if a replay buffer holds pre-switch samples, expect a "
+                    "possible replay-ratio!=1 blip on those. Set "
+                    "`per_token_time: true` up front to avoid mixing. "
+                    "(2) jax.clear_caches() drops EVERY compiled executable "
+                    "process-wide — through a remote-compile relay the "
+                    "re-compiles can take minutes."
                 )
                 self.training_args.extra_kwargs["per_token_time"] = True
                 # per_token_time selects a trace-time code path keyed on

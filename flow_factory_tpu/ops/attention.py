@@ -10,11 +10,21 @@ flash/sage/xformers CUDA kernels). Here the backends are:
               MXU-shaped (128-aligned) tiles, fp32 accumulation.
   'auto'    — 'flash' on TPU when shapes qualify, else 'native'.
 
-The flash path is wrapped in ``jax.custom_vjp``: forward runs the Pallas
-kernel; backward uses the exact einsum formulation (XLA-fused). Rollout — the
-FLOPs-dominant phase (T sampling steps × CFG-doubled batches, no gradients) —
-therefore always gets the O(S)-memory kernel, while training backward keeps
-bit-exact, compiler-scheduled gradients.
+The flash path is wrapped in ``jax.custom_vjp``; BOTH directions are Pallas
+kernels with O(S) memory:
+
+  forward  — blockwise online-softmax in base 2 (q pre-scaled by
+             scale·log2(e) so exp2 — the native VPU transcendental —
+             replaces exp); key-pad masking via one broadcast bias-add; a
+             scratch-free single-k-block fast path when the fitted block
+             covers the sequence. Emits the NATURAL-log lse as residual
+             (the contract shared with ring attention and the backward).
+  backward — dedicated dq and dk/dv kernels (`_flash_bwd_dq_kernel`,
+             `_flash_bwd_dkv_kernel`) that recompute p from (q, k, lse)
+             per block and contract in the INPUT dtype (bf16 in
+             production — MXU-native) with fp32 accumulation. Padded key
+             rows need no masking: they are zero, and `exp2(min(s-lse,0))`
+             bounds their p at 1 so zero·1 contributes nothing.
 
 All shapes are (B, H, S, D) with D the head dim.
 """
@@ -34,6 +44,20 @@ from jax.experimental.pallas import tpu as pltpu
 # softmax VPU work against the small-D MXU matmuls).
 DEFAULT_BLOCK_Q = 512
 DEFAULT_BLOCK_K = 1024
+# Numerics-affecting experiment knob, read ONCE at import (ADVICE r3: a
+# trace-time env read could differ between the process that rolled out and
+# the one replaying, silently degrading the replay-ratio==1 invariant with
+# no record). Import-time freeze + a log line make any mismatch diagnosable
+# from the two runs' logs.
+FLASH_MXU_LSUM = os.environ.get("FFT_FLASH_MXU_LSUM", "0") in ("1", "true")
+if FLASH_MXU_LSUM:
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "FFT_FLASH_MXU_LSUM=1: flash softmax denominator comes from the PV "
+        "matmul ones-column (bf16-rounded p row-sums). Rollout and replay "
+        "processes must BOTH set this flag or ratio==1 degrades."
+    )
 _NEG_INF = -1e30
 _LOG2E = 1.4426950408889634  # softmax runs in base-2 inside the kernels:
 _LN2 = 0.6931471805599453    # q is pre-scaled by scale*log2(e) so exp2 — the
@@ -254,7 +278,7 @@ def _flash_forward(
     single_k = Sk_pad == block_k
     # experiment knob: softmax denominator via a ones-column in the PV matmul
     # (free on the MXU's padded 128-lane tile) instead of a VPU row-sum pass
-    mxu_lsum = single_k and os.environ.get("FFT_FLASH_MXU_LSUM", "0") in ("1", "true")
+    mxu_lsum = single_k and FLASH_MXU_LSUM
     Dv = D
     if single_k:
         if mxu_lsum:
@@ -537,7 +561,15 @@ def flash_attention(
     block_q: int = DEFAULT_BLOCK_Q,
     block_k: int = DEFAULT_BLOCK_K,
 ) -> jax.Array:
-    """Pallas flash attention, full (non-causal) — the DiT hot op."""
+    """Pallas flash attention, full (non-causal) — the DiT hot op.
+
+    ``block_q``/``block_k`` are CAPS, not exact sizes: `_pad_qkv` fits the
+    actual block to the sequence (multiples of 128) to minimize zero-pad
+    compute, and the k cap is stretched up to 1.5× so a sequence like 1357
+    can take a single 1408-wide k-block (the scratch-free fast path). A
+    caller bounding the fp32 score-tile VMEM footprint should budget for
+    ``block_q × ceil(1.5·block_k/128)·128`` fp32 elements.
+    """
     if scale is None:
         scale = q.shape[-1] ** -0.5
     return _flash_attention(q, k, v, float(scale), block_q, block_k)

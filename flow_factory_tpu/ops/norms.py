@@ -37,6 +37,7 @@ preserves that upcast contract while removing the HBM round-trips.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -165,17 +166,29 @@ def _fused_ln_mul_add_bwd(eps, out_dtype, block_s, fold, rms, residuals, g):
 _fused_ln_mul_add.defvjp(_fused_ln_mul_add_fwd, _fused_ln_mul_add_bwd)
 
 
-def _fused_enabled() -> bool:
-    # Measured on v5e at the SD3.5-M rollout geometry (scripts/bench_reconcile,
-    # identical fence, warm cache): fused 1.9045 vs native 1.9344 samples/s —
-    # XLA already fuses these convert→reduce→modulate chains into the
-    # surrounding elementwise graph well enough that a standalone custom call
-    # LOSES ~1.5% (it orphans the neighboring astype/residual ops from their
-    # fusion homes). Default OFF; FFT_FUSED_NORMS=1 re-enables for A/B on
-    # other geometries (docs/performance.md §Fused-norm experiment).
-    import os
+# Measured on v5e at the SD3.5-M rollout geometry (scripts/bench_reconcile,
+# identical fence, warm cache): fused 1.9045 vs native 1.9344 samples/s —
+# XLA already fuses these convert→reduce→modulate chains into the
+# surrounding elementwise graph well enough that a standalone custom call
+# LOSES ~1.5% (it orphans the neighboring astype/residual ops from their
+# fusion homes). Default OFF; FFT_FUSED_NORMS=1 re-enables for A/B on
+# other geometries (docs/performance.md §Fused-norm experiment).
+# Read ONCE at import (numerics-affecting: lse/rounding differ slightly) so
+# a rollout/replay env mismatch is frozen per process and visible in logs —
+# see the FLASH_MXU_LSUM note in ops/attention.py (ADVICE r3).
+FUSED_NORMS = os.environ.get("FFT_FUSED_NORMS", "0") in ("1", "true")
+if FUSED_NORMS:
+    import logging
 
-    return os.environ.get("FFT_FUSED_NORMS", "0") in ("1", "true")
+    logging.getLogger(__name__).warning(
+        "FFT_FUSED_NORMS=1: norm/modulate chains run the one-pass Pallas "
+        "kernel (different rounding than XLA's fusion). Rollout and replay "
+        "processes must BOTH set this flag or ratio==1 degrades."
+    )
+
+
+def _fused_enabled() -> bool:
+    return FUSED_NORMS
 
 
 def _dispatch(x, mul, add, eps, out_dtype, block_s, fold, rms=False):
