@@ -44,20 +44,10 @@ from jax.experimental.pallas import tpu as pltpu
 # softmax VPU work against the small-D MXU matmuls).
 DEFAULT_BLOCK_Q = 512
 DEFAULT_BLOCK_K = 1024
-# Numerics-affecting experiment knob, read ONCE at import (ADVICE r3: a
-# trace-time env read could differ between the process that rolled out and
-# the one replaying, silently degrading the replay-ratio==1 invariant with
-# no record). Import-time freeze + a log line make any mismatch diagnosable
-# from the two runs' logs.
-FLASH_MXU_LSUM = os.environ.get("FFT_FLASH_MXU_LSUM", "0") in ("1", "true")
-if FLASH_MXU_LSUM:
-    import logging
-
-    logging.getLogger(__name__).warning(
-        "FFT_FLASH_MXU_LSUM=1: flash softmax denominator comes from the PV "
-        "matmul ones-column (bf16-rounded p row-sums). Rollout and replay "
-        "processes must BOTH set this flag or ratio==1 degrades."
-    )
+# (FFT_FLASH_MXU_LSUM — softmax denominator via a ones-column in the PV
+# matmul — was measured on-chip in round 4: 1.9601 vs 2.0123 samples/s
+# ceiling, a 2.6% LOSS, and deleted. The extra MXU lane work and the
+# concat's layout copy cost more than the VPU row-sum it replaced.)
 _NEG_INF = -1e30
 _LOG2E = 1.4426950408889634  # softmax runs in base-2 inside the kernels:
 _LN2 = 0.6931471805599453    # q is pre-scaled by scale*log2(e) so exp2 — the
@@ -184,17 +174,11 @@ def _flash_fwd_single_kernel(
     *,
     kv_len: int,
     block_k: int,
-    mxu_lsum: bool,
 ):
     """Specialization for a single k-block (the sequence-fitted common case,
     e.g. SD3.5-M's S=1357 → one 1408-wide block): the online-softmax
     recurrence degenerates, so skip the scratch round-trips and the
-    alpha-rescale entirely — one max, one exp2, one sum, one divide.
-
-    ``mxu_lsum``: v arrives with a ONES column appended (D+1 wide). The PV
-    matmul then emits the softmax denominator in column D for free — the MXU
-    computes the padded 128-lane tile regardless of D=64 vs 65 — removing the
-    per-element VPU row-sum pass (FFT_FLASH_MXU_LSUM)."""
+    alpha-rescale entirely — one max, one exp2, one sum, one divide."""
     q = q_ref[0, 0]  # (Bq, D), pre-scaled by scale*log2(e)
     k = k_ref[0, 0]  # (Bk, D)
     s = jax.lax.dot_general(
@@ -214,11 +198,7 @@ def _flash_fwd_single_kernel(
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    if mxu_lsum:
-        l = pv[:, -1:]
-        pv = pv[:, :-1]
-    else:
-        l = jnp.sum(p, axis=-1, keepdims=True)
+    l = jnp.sum(p, axis=-1, keepdims=True)
     o_ref[0, 0] = (pv / l).astype(o_ref.dtype)
     lse_ref[0, 0] = m * _LN2 + jnp.log(l)
 
@@ -276,17 +256,10 @@ def _flash_forward(
     q, k, v, block_q, block_k, Sq, Sk, Sq_pad, Sk_pad = _pad_qkv(q, k, v, block_q, block_k)
 
     single_k = Sk_pad == block_k
-    # experiment knob: softmax denominator via a ones-column in the PV matmul
-    # (free on the MXU's padded 128-lane tile) instead of a VPU row-sum pass
-    mxu_lsum = single_k and FLASH_MXU_LSUM
-    Dv = D
     if single_k:
-        if mxu_lsum:
-            v = jnp.concatenate([v, jnp.ones(v.shape[:-1] + (1,), v.dtype)], axis=-1)
-            Dv = D + 1
         grid = (B, H, Sq_pad // block_q)
         kernel = functools.partial(
-            _flash_fwd_single_kernel, kv_len=Sk, block_k=block_k, mxu_lsum=mxu_lsum
+            _flash_fwd_single_kernel, kv_len=Sk, block_k=block_k
         )
         idx_q = lambda b, h, i: (b, h, i, 0)
         idx_k = lambda b, h, i: (b, h, 0, 0)
@@ -313,7 +286,7 @@ def _flash_forward(
         in_specs=[
             pl.BlockSpec((1, 1, block_q, D), idx_q, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, block_k, D), idx_k, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_k, Dv), idx_k, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k, D), idx_k, memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((1, 1, block_q, D), idx_q, memory_space=pltpu.VMEM),

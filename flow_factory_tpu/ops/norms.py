@@ -173,9 +173,10 @@ _fused_ln_mul_add.defvjp(_fused_ln_mul_add_fwd, _fused_ln_mul_add_bwd)
 # LOSES ~1.5% (it orphans the neighboring astype/residual ops from their
 # fusion homes). Default OFF; FFT_FUSED_NORMS=1 re-enables for A/B on
 # other geometries (docs/performance.md §Fused-norm experiment).
-# Read ONCE at import (numerics-affecting: lse/rounding differ slightly) so
-# a rollout/replay env mismatch is frozen per process and visible in logs —
-# see the FLASH_MXU_LSUM note in ops/attention.py (ADVICE r3).
+# Read ONCE at import (numerics-affecting: rounding differs slightly) so a
+# rollout/replay env mismatch is frozen per process and visible in logs
+# (ADVICE r3: a trace-time env read could differ between the process that
+# rolled out and the one replaying, silently degrading replay-ratio==1).
 FUSED_NORMS = os.environ.get("FFT_FUSED_NORMS", "0") in ("1", "true")
 if FUSED_NORMS:
     import logging

@@ -127,6 +127,11 @@ def sd3_transformer_key_map(depth: int, dual_attention_layers=()) -> Dict[str, s
     for i in range(depth):
         b, o = f"transformer_blocks.{i}", f"block_{i}"
         m[f"{b}.norm1.linear"] = f"{o}/norm1/linear"
+        # the FINAL block is context_pre_only upstream (diffusers
+        # JointTransformerBlock): context tokens still feed attention
+        # (add_{q,k,v}_proj exist) but have no output projection or FFN —
+        # our graph omits to_add_out/ff_context there identically
+        # (test_keymap_completeness.py pins both directions)
         last = i == depth - 1
         m[f"{b}.norm1_context.linear"] = f"{o}/norm1_context/linear"
         m[f"{b}.attn.to_q"] = f"{o}/attn/to_q"
@@ -136,15 +141,16 @@ def sd3_transformer_key_map(depth: int, dual_attention_layers=()) -> Dict[str, s
         m[f"{b}.attn.add_q_proj"] = f"{o}/attn/add_q_proj"
         m[f"{b}.attn.add_k_proj"] = f"{o}/attn/add_k_proj"
         m[f"{b}.attn.add_v_proj"] = f"{o}/attn/add_v_proj"
-        m[f"{b}.attn.to_add_out"] = f"{o}/attn/to_add_out"
         m[f"{b}.attn.norm_q"] = f"{o}/attn/qk_norm/q_norm"
         m[f"{b}.attn.norm_k"] = f"{o}/attn/qk_norm/k_norm"
         m[f"{b}.attn.norm_added_q"] = f"{o}/attn/added_qk_norm/q_norm"
         m[f"{b}.attn.norm_added_k"] = f"{o}/attn/added_qk_norm/k_norm"
         m[f"{b}.ff.net.0.proj"] = f"{o}/ff/fc1"
         m[f"{b}.ff.net.2"] = f"{o}/ff/fc2"
-        m[f"{b}.ff_context.net.0.proj"] = f"{o}/ff_context/fc1"
-        m[f"{b}.ff_context.net.2"] = f"{o}/ff_context/fc2"
+        if not last:
+            m[f"{b}.attn.to_add_out"] = f"{o}/attn/to_add_out"
+            m[f"{b}.ff_context.net.0.proj"] = f"{o}/ff_context/fc1"
+            m[f"{b}.ff_context.net.2"] = f"{o}/ff_context/fc2"
         if i in dual_attention_layers:
             m[f"{b}.attn2.to_q"] = f"{o}/attn2/to_q"
             m[f"{b}.attn2.to_k"] = f"{o}/attn2/to_k"
@@ -1418,23 +1424,35 @@ def vae_key_map(channel_mults: Tuple[int, ...], layers_per_block: int,
         "decoder.conv_out": "decoder/conv_out",
     }
 
-    def resnet(src: str, dst: str) -> None:
-        for part in ("norm1", "conv1", "norm2", "conv2", "conv_shortcut"):
+    def resnet(src: str, dst: str, shortcut: bool) -> None:
+        # conv_shortcut exists exactly where channels change (both in
+        # diffusers ResnetBlock2D and our ResnetBlock) — emitting it
+        # unconditionally would leave map targets pointing at nonexistent
+        # leaves (test_keymap_completeness.py direction A)
+        parts = ("norm1", "conv1", "norm2", "conv2") + (
+            ("conv_shortcut",) if shortcut else ())
+        for part in parts:
             m[f"{src}.{part}"] = f"{dst}/{part}"
 
     n = len(channel_mults)
+    rmults = tuple(reversed(channel_mults))
     for i in range(n):
         for j in range(layers_per_block):
-            resnet(f"encoder.down_blocks.{i}.resnets.{j}", f"encoder/down_{i}_res_{j}")
+            # encoder block i maps block_out[i-1] → block_out[i] on its
+            # first resnet; later resnets keep channels
+            sc = j == 0 and i > 0 and channel_mults[i] != channel_mults[i - 1]
+            resnet(f"encoder.down_blocks.{i}.resnets.{j}", f"encoder/down_{i}_res_{j}", sc)
         if i < n - 1:
             m[f"encoder.down_blocks.{i}.downsamplers.0.conv"] = f"encoder/down_{i}_conv"
         for j in range(layers_per_block + 1):
-            resnet(f"decoder.up_blocks.{i}.resnets.{j}", f"decoder/up_{i}_res_{j}")
+            # decoder up_blocks run deepest→shallowest over reversed mults
+            sc = j == 0 and i > 0 and rmults[i] != rmults[i - 1]
+            resnet(f"decoder.up_blocks.{i}.resnets.{j}", f"decoder/up_{i}_res_{j}", sc)
         if i < n - 1:
             m[f"decoder.up_blocks.{i}.upsamplers.0.conv"] = f"decoder/up_{i}_conv"
     for side in ("encoder", "decoder"):
-        resnet(f"{side}.mid_block.resnets.0", f"{side}/mid_res_1")
-        resnet(f"{side}.mid_block.resnets.1", f"{side}/mid_res_2")
+        resnet(f"{side}.mid_block.resnets.0", f"{side}/mid_res_1", False)
+        resnet(f"{side}.mid_block.resnets.1", f"{side}/mid_res_2", False)
         if mid_attention:
             m[f"{side}.mid_block.attentions.0.group_norm"] = f"{side}/mid_attn/norm"
             m[f"{side}.mid_block.attentions.0.to_q"] = f"{side}/mid_attn/to_q"
