@@ -20,7 +20,12 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.attention import dot_product_attention
+from ..ops.attention import (
+    _rms_scale,
+    dot_product_attention,
+    fused_qknorm_eligible,
+    qknorm_dot_product_attention,
+)
 from ..ops.norms import adaln_modulate, fused_layernorm, rms_modulate
 
 
@@ -192,16 +197,44 @@ class FusedLayerNorm(nn.Module):
         return fused_layernorm(x, scale, bias, eps=self.epsilon, out_dtype=self.out_dtype)
 
 
+class _RMSScaleParam(nn.Module):
+    """Bare RMSNorm scale holder: the same ``<name>/scale`` leaf flax
+    ``nn.RMSNorm`` creates, but accessible WITHOUT computing the norm — the
+    fused qk-norm attention path reads γ and normalizes inside the flash
+    kernel (ops/attention.py:qknorm_dot_product_attention)."""
+
+    dim: int
+
+    def setup(self):
+        self.scale = self.param("scale", nn.initializers.ones_init(), (self.dim,), jnp.float32)
+
+    def __call__(self) -> jax.Array:
+        return self.scale
+
+
 class QKNorm(nn.Module):
-    """Per-head RMS norm of q/k (SD3.5 / FLUX convention)."""
+    """Per-head RMS norm of q/k (SD3.5 / FLUX convention).
+
+    Param tree ('qk_norm/q_norm/scale', 'qk_norm/k_norm/scale') and the
+    native computation are identical to the previous nn.RMSNorm-based
+    formulation (``y = x32 · (rsqrt(mean(x²)+eps) · γ)``, fp32 stats, cast
+    back — bit-equality CI-pinned in test_ops.py). :meth:`scales` exposes
+    the γ leaves for the fused flash path."""
 
     head_dim: int
+    epsilon: float = 1e-6
 
-    @nn.compact
+    def setup(self):
+        self.q_norm = _RMSScaleParam(self.head_dim)
+        self.k_norm = _RMSScaleParam(self.head_dim)
+
     def __call__(self, q: jax.Array, k: jax.Array) -> Tuple[jax.Array, jax.Array]:
-        qn = nn.RMSNorm(epsilon=1e-6, dtype=jnp.float32, name="q_norm")(q.astype(jnp.float32))
-        kn = nn.RMSNorm(epsilon=1e-6, dtype=jnp.float32, name="k_norm")(k.astype(jnp.float32))
+        qn = _rms_scale(q, self.q_norm(), self.epsilon)
+        kn = _rms_scale(k, self.k_norm(), self.epsilon)
         return qn.astype(q.dtype), kn.astype(k.dtype)
+
+    def scales(self) -> Tuple[jax.Array, jax.Array]:
+        return self.q_norm(), self.k_norm()
 
 
 class HeadProj(nn.Module):
@@ -279,23 +312,48 @@ class JointAttention(nn.Module):
         q = hp("to_q")(x)
         k = hp("to_k")(x)
         v = hp("to_v")(x)
-        if self.qk_norm:
-            q, k = QKNorm(head_dim, name="qk_norm")(q, k)
+        # No RoPE sits between the qk-norm and attention in the MMDiT, so the
+        # norm can fuse into the flash kernel (raw q/k normalized in VMEM —
+        # saves the per-block HBM round trips of normalized q/k)
+        fused = self.qk_norm and fused_qknorm_eligible(self.attn_backend, head_dim)
+        qkn = QKNorm(head_dim, name="qk_norm") if self.qk_norm else None
+        if self.qk_norm and not fused:
+            q, k = qkn(q, k)
 
         ctx_len = 0
+        added_qkn = None
         if context is not None:
             cq = hp("add_q_proj")(context)
             ck = hp("add_k_proj")(context)
             cv = hp("add_v_proj")(context)
             if self.qk_norm:
-                cq, ck = QKNorm(head_dim, name="added_qk_norm")(cq, ck)
+                added_qkn = QKNorm(head_dim, name="added_qk_norm")
+                if not fused:
+                    cq, ck = added_qkn(cq, ck)
             ctx_len = context.shape[1]
             # Context tokens lead the joint sequence (diffusers SD3 order).
             q = jnp.concatenate([cq, q], axis=2)
             k = jnp.concatenate([ck, k], axis=2)
             v = jnp.concatenate([cv, v], axis=2)
 
-        out = dot_product_attention(q, k, v, backend=self.attn_backend)
+        if fused:
+            gq, gk = qkn.scales()
+            if context is not None:
+                # per-position scale maps: context rows carry the added-norm
+                # γ, image rows the main γ (piecewise-constant ≡ per-stream)
+                cgq, cgk = added_qkn.scales()
+                img_len = x.shape[1]
+                gq = jnp.concatenate([
+                    jnp.broadcast_to(cgq, (ctx_len, head_dim)),
+                    jnp.broadcast_to(gq, (img_len, head_dim)),
+                ], axis=0)
+                gk = jnp.concatenate([
+                    jnp.broadcast_to(cgk, (ctx_len, head_dim)),
+                    jnp.broadcast_to(gk, (img_len, head_dim)),
+                ], axis=0)
+            out = qknorm_dot_product_attention(q, k, v, gq, gk, backend=self.attn_backend)
+        else:
+            out = dot_product_attention(q, k, v, backend=self.attn_backend)
 
         ctx_out = None
         if context is not None:
@@ -325,9 +383,14 @@ class SelfAttention(nn.Module):
         q = hp("to_q")(x)
         k = hp("to_k")(x)
         v = hp("to_v")(x)
-        if self.qk_norm:
+        if self.qk_norm and fused_qknorm_eligible(self.attn_backend, E):
+            gq, gk = QKNorm(E, name="qk_norm").scales()
+            out = qknorm_dot_product_attention(q, k, v, gq, gk, backend=self.attn_backend)
+        elif self.qk_norm:
             q, k = QKNorm(E, name="qk_norm")(q, k)
-        out = dot_product_attention(q, k, v, backend=self.attn_backend)
+            out = dot_product_attention(q, k, v, backend=self.attn_backend)
+        else:
+            out = dot_product_attention(q, k, v, backend=self.attn_backend)
         return MergeProj(out_dim=D, dtype=self.dtype, name="to_out")(out)
 
 

@@ -163,6 +163,15 @@ class WanT2VAdapter(BaseAdapter):
             preset["vae"] = _dc.replace(
                 preset["vae"], **{k: (tuple(v) if isinstance(v, list) else v)
                                   for k, v in dict(vo).items()})
+        # same for the transformer (e.g. depth-reduced 14B-geometry
+        # validation runs: `transformer_overrides: {num_layers: 1}` —
+        # __graft_entry__.dryrun_multichip shards the exact 14B block
+        # geometry this way)
+        to = getattr(ma, "transformer_overrides", None)
+        if to:
+            preset["transformer"] = _dc.replace(
+                preset["transformer"], **{k: (tuple(v) if isinstance(v, list) else v)
+                                          for k, v in dict(to).items()})
         self.t5_max_length = preset["t5_max_length"]
         self.boundary_ratio = getattr(ma, "boundary_ratio", None) or preset["boundary_ratio"]
 

@@ -203,6 +203,25 @@ def _flash_fwd_single_kernel(
     lse_ref[0, 0] = m * _LN2 + jnp.log(l)
 
 
+def _rms_scale(x: jax.Array, g: jax.Array, eps: float) -> jax.Array:
+    """fp32 RMS-norm × scale, bit-identical to flax ``nn.RMSNorm`` (stats in
+    fp32, ``y = x32 · (rsqrt(mean(x²)+eps) · γ)``). ``g`` broadcasts against
+    the trailing (…, S, D) axes, so a per-position (S, D) scale map equals
+    per-stream norms for piecewise-constant maps. Returns fp32."""
+    x32 = x.astype(jnp.float32)
+    var = jnp.mean(jax.lax.square(x32), axis=-1, keepdims=True)
+    return x32 * (jax.lax.rsqrt(var + eps) * g)
+
+
+def _kernel_rms(x, g, eps, out_dtype):
+    """In-kernel twin of :func:`_rms_scale` (+ cast): normalizes a (rows, D)
+    block against a (rows-or-1, D) scale block. Same op order as the XLA
+    composition; the only tolerated divergence is reduction-tree rounding."""
+    x32 = x.astype(jnp.float32)
+    var = jnp.mean(jax.lax.square(x32), axis=-1, keepdims=True)
+    return (x32 * (jax.lax.rsqrt(var + eps) * g)).astype(out_dtype)
+
+
 def _pick_block(S: int, hi: int, overhead: int) -> int:
     """Fit the block to the sequence: minimize padded-length × per-block
     overhead factor over multiples of 128 (MXU row granularity).
@@ -226,10 +245,12 @@ def _pad_qkv(q, k, v, block_q, block_k):
     B, H, Sq, D = q.shape
     Sk = k.shape[2]
     # the configured sizes act as caps; fit blocks to the actual sequence
-    # to minimize zero-padding compute (the k cap stretches 1.5× so a
-    # sequence like 1357 can take a single 1408-wide k-block while the
-    # fp32 score tile stays within the VMEM budget)
-    block_q = _pick_block(Sq, max(128, block_q), overhead=64)
+    # to minimize zero-padding compute. The k cap stretches 1.5× and the q
+    # cap 3× so a sequence like 1357 can take a single 1408-wide k-block AND
+    # a single 1408-wide q-block (Sq_pad 1408 vs 1536 = 8% less attention
+    # over-compute) while the fp32 score tile stays within the VMEM budget
+    # (≤ 3·block_q × 1.5·block_k × 4 B ≈ 9.4 MB at the 512×1024 defaults).
+    block_q = _pick_block(Sq, max(128, block_q * 3 // 128 * 128), overhead=64)
     block_k = _pick_block(Sk, max(128, (block_k * 3 // 2) // 128 * 128), overhead=128)
     Sq_pad = _round_up(Sq, block_q)
     Sk_pad = _round_up(Sk, block_k)
@@ -315,6 +336,259 @@ def _flash_forward(
         out = out[:, :, :Sq, :]
         lse = lse[:, :, :Sq]
     return out, lse[..., 0]
+
+
+# ---------------------------------------------------------------------------
+# Pallas flash attention with FUSED qk RMS-norm (forward)
+# ---------------------------------------------------------------------------
+#
+# The SD3-family MMDiT applies a per-head RMS qk-norm immediately before
+# attention (no RoPE in between). Composed in XLA, each norm is a full
+# HBM round trip of q and k (read raw, write normalized, re-read in the
+# kernel) inside the ~78 ms/step fp32-norm-chain slice the round-3 profile
+# flagged (docs/performance.md §Step profile). Fusing the norm INTO the
+# flash kernel reads the RAW q/k blocks once and normalizes in VMEM.
+#
+# Invariant story: BOTH rollout and training replay route through the same
+# fused kernel, so replay-ratio==1 holds by construction. The backward
+# recomputes the normalized q/k in XLA (standard flash-recompute practice;
+# the in-kernel and XLA reductions may differ in tree order by ulps, which
+# perturbs gradients, never the forward log-probs). Non-TPU platforms and
+# RoPE-interposed families (FLUX, Wan, LTX-2) keep the unfused composition.
+#
+# The scale maps gq/gk are (S, D) fp32 per-POSITION scales: the joint
+# sequence concatenates context tokens (γ_added) and image tokens (γ) with
+# different learned scales, and a piecewise-constant map equals the
+# per-stream norms exactly.
+
+
+def _flash_fwd_single_kernel_qkn(
+    q_ref, k_ref, v_ref, gq_ref, gk_ref, o_ref, lse_ref,
+    *, kv_len: int, block_k: int, eps: float,
+):
+    """Single-k-block fast path with in-kernel qk RMS-norm.
+
+    q arrives RAW; gq is pre-folded with scale·log2(e) so one fp32 multiply
+    lands the base-2 pre-scaled, normalized q (one bf16 rounding instead of
+    the unfused path's two). Padded rows are zero → var=0 → rsqrt(eps),
+    normalized value 0: no NaN, and the pad bias masks the k tail."""
+    q = _kernel_rms(q_ref[0, 0], gq_ref[...], eps, o_ref.dtype)
+    k = _kernel_rms(k_ref[0, 0], gk_ref[...], eps, o_ref.dtype)
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if kv_len % block_k != 0:
+        s = s + _kpad_bias(s.shape, 0, kv_len, block_k)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp2(s - m)
+    pv = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0, 0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    o_ref[0, 0] = (pv / l).astype(o_ref.dtype)
+    lse_ref[0, 0] = m * _LN2 + jnp.log(l)
+
+
+def _flash_fwd_kernel_qkn(
+    q_ref, k_ref, v_ref, gq_ref, gk_ref, o_ref, lse_ref,
+    m_scratch, l_scratch, acc_scratch, qn_scratch,
+    *, kv_len: int, block_k: int, eps: float,
+):
+    """Multi-k-block online-softmax with in-kernel qk RMS-norm.
+
+    The normalized q block is computed once (j==0) into a VMEM scratch and
+    reused across the sequential k axis; each k block normalizes on load."""
+    j = pl.program_id(3)
+    num_k = pl.num_programs(3)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scratch[:] = jnp.full_like(m_scratch, _NEG_INF)
+        l_scratch[:] = jnp.zeros_like(l_scratch)
+        acc_scratch[:] = jnp.zeros_like(acc_scratch)
+        qn_scratch[:] = _kernel_rms(q_ref[0, 0], gq_ref[...], eps, qn_scratch.dtype)
+
+    q = qn_scratch[:]
+    k = _kernel_rms(k_ref[0, 0], gk_ref[...], eps, o_ref.dtype)
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if kv_len % block_k != 0:
+        s = s + _kpad_bias(s.shape, j, kv_len, block_k)
+
+    m_prev = m_scratch[:]
+    l_prev = l_scratch[:]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp2(m_prev - m_new)
+    p = jnp.exp2(s - m_new)
+    l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+
+    v_blk = v_ref[0, 0]
+    pv = jax.lax.dot_general(
+        p.astype(v_blk.dtype), v_blk,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc_scratch[:] = acc_scratch[:] * alpha + pv
+    m_scratch[:] = m_new
+    l_scratch[:] = l_new
+
+    @pl.when(j == num_k - 1)
+    def _finalize():
+        denom = jnp.maximum(l_scratch[:], 1e-30)
+        o_ref[0, 0] = (acc_scratch[:] / denom).astype(o_ref.dtype)
+        lse_ref[0, 0] = m_scratch[:] * _LN2 + jnp.log(denom)
+
+
+def _flash_forward_qkn(q, k, v, gq, gk, scale, eps, block_q, block_k):
+    B, H, _, D = q.shape
+    # scale·log2e folds into the fp32 γ map — the normalized q lands
+    # pre-scaled in base-2 with a single bf16 rounding
+    gq = gq.astype(jnp.float32) * (scale * _LOG2E)
+    gk = gk.astype(jnp.float32)
+    q, k, v, block_q, block_k, Sq, Sk, Sq_pad, Sk_pad = _pad_qkv(q, k, v, block_q, block_k)
+    if Sq_pad != Sq:
+        gq = jnp.pad(gq, ((0, Sq_pad - Sq), (0, 0)))
+    if Sk_pad != Sk:
+        gk = jnp.pad(gk, ((0, Sk_pad - Sk), (0, 0)))
+
+    single_k = Sk_pad == block_k
+    if single_k:
+        grid = (B, H, Sq_pad // block_q)
+        kernel = functools.partial(
+            _flash_fwd_single_kernel_qkn, kv_len=Sk, block_k=block_k, eps=eps
+        )
+        idx_q = lambda b, h, i: (b, h, i, 0)
+        idx_k = lambda b, h, i: (b, h, 0, 0)
+        idx_gq = lambda b, h, i: (i, 0)
+        idx_gk = lambda b, h, i: (0, 0)
+        scratch_shapes = []
+        dim_sem = ("parallel", "parallel", "parallel")
+    else:
+        grid = (B, H, Sq_pad // block_q, Sk_pad // block_k)
+        kernel = functools.partial(
+            _flash_fwd_kernel_qkn, kv_len=Sk, block_k=block_k, eps=eps
+        )
+        idx_q = lambda b, h, i, j: (b, h, i, 0)
+        idx_k = lambda b, h, i, j: (b, h, j, 0)
+        idx_gq = lambda b, h, i, j: (i, 0)
+        idx_gk = lambda b, h, i, j: (j, 0)
+        scratch_shapes = [
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, D), jnp.float32),
+            pltpu.VMEM((block_q, D), q.dtype),
+        ]
+        dim_sem = ("parallel", "parallel", "parallel", "arbitrary")
+    interpret = _active_platform() != "tpu"
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, D), idx_q, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k, D), idx_k, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k, D), idx_k, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_q, D), idx_gq, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_k, D), idx_gk, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, block_q, D), idx_q, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q, 1), idx_q, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, H, Sq_pad, D), q.dtype),
+            jax.ShapeDtypeStruct((B, H, Sq_pad, 1), jnp.float32),
+        ),
+        scratch_shapes=scratch_shapes,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=dim_sem,
+        ),
+        cost_estimate=pl.CostEstimate(
+            # identical to the unfused kernel: attention flops only, so the
+            # XLA cost_analysis FLOP model is unchanged by the fusion
+            flops=4 * B * H * Sq * Sk * D,
+            bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
+            transcendentals=B * H * Sq_pad * Sk_pad,
+        ),
+        interpret=interpret,
+    )(q, k, v, gq, gk)
+    if Sq_pad != Sq:
+        out = out[:, :, :Sq, :]
+        lse = lse[:, :, :Sq]
+    return out, lse[..., 0]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _qknorm_flash(q, k, v, gq, gk, scale, eps, block_q, block_k):
+    out, _ = _flash_forward_qkn(q, k, v, gq, gk, scale, eps, block_q, block_k)
+    return out
+
+
+def _qknorm_flash_fwd(q, k, v, gq, gk, scale, eps, block_q, block_k):
+    out, lse = _flash_forward_qkn(q, k, v, gq, gk, scale, eps, block_q, block_k)
+    return out, (q, k, v, gq, gk, out, lse)
+
+
+def _qknorm_flash_bwd(scale, eps, block_q, block_k, residuals, g):
+    q, k, v, gq, gk, out, lse = residuals
+    # recompute the normalized q/k in XLA (rollout never pays this; the
+    # grad pass trades one cheap elementwise recompute for O(S) memory)
+    norm = lambda x, gg: _rms_scale(x, gg, eps).astype(x.dtype)
+    qn, vjp_q = jax.vjp(norm, q, gq)
+    kn, vjp_k = jax.vjp(norm, k, gk)
+    dqn, dkn, dv = _flash_backward(qn, kn, v, out, lse, g, scale, block_q, block_k)
+    dq, dgq = vjp_q(dqn)
+    dk, dgk = vjp_k(dkn)
+    return dq, dk, dv, dgq, dgk
+
+
+_qknorm_flash.defvjp(_qknorm_flash_fwd, _qknorm_flash_bwd)
+
+
+def fused_qknorm_eligible(backend: str, head_dim: int) -> bool:
+    """True when qk-norm + attention should take the fused Pallas kernel:
+    flash-class backend resolving to TPU, MXU-friendly head dim, no RoPE
+    between norm and attention (the CALLER asserts that by choosing this
+    entry point)."""
+    return backend in ("auto", "flash", "splash") and _on_tpu() and head_dim <= 256
+
+
+def qknorm_dot_product_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    gq: jax.Array,
+    gk: jax.Array,
+    scale: Optional[float] = None,
+    eps: float = 1e-6,
+    backend: str = "auto",
+) -> jax.Array:
+    """RMS qk-norm immediately followed by attention — fused on TPU.
+
+    ``gq``/``gk``: per-position (S, D) fp32 scale maps (piecewise-constant
+    over streams for the MMDiT joint sequence) or plain (D,) scales.
+    Non-fused platforms/backends compose :func:`_rms_scale` (bit-identical
+    to flax ``nn.RMSNorm``) with the regular backend dispatch, so CPU
+    goldens and the ring/native paths are untouched.
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    if gq.ndim == 1:
+        gq = jnp.broadcast_to(gq, (q.shape[2], q.shape[3]))
+    if gk.ndim == 1:
+        gk = jnp.broadcast_to(gk, (k.shape[2], k.shape[3]))
+    if fused_qknorm_eligible(backend, q.shape[-1]):
+        return _qknorm_flash(
+            q, k, v, gq, gk, float(scale), float(eps), DEFAULT_BLOCK_Q, DEFAULT_BLOCK_K
+        )
+    qn = _rms_scale(q, gq, eps).astype(q.dtype)
+    kn = _rms_scale(k, gk, eps).astype(k.dtype)
+    return dot_product_attention(qn, kn, v, scale=scale, backend=backend)
 
 
 # ---------------------------------------------------------------------------

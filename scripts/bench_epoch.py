@@ -66,7 +66,12 @@ def main() -> None:
     ta.num_inference_steps = steps
     ta.per_device_batch_size = B
     ta.group_size = group
-    ta.unique_sample_num_per_epoch = 2
+    # ≥64 samples (8 rollout batches) by default so the pipeline's unhidden
+    # endpoints (first dispatch, last fetch) amortize — a 2-batch epoch
+    # measures endpoints, not steady state (VERDICT r3 Weak #4 / Next #3);
+    # the reference geometry is 1,152 samples/epoch
+    ta.unique_sample_num_per_epoch = int(
+        os.environ.get("BENCH_EPOCH_UNIQUE", "8" if on_tpu else "2"))
     ta.enable_gradient_checkpointing = on_tpu
     config.data_args.dataset_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),

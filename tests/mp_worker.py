@@ -192,11 +192,116 @@ def phase_dgpo():
     print(f"PHASE_OK dgpo", flush=True)
 
 
+def phase_wan_ring():
+    """Wan T2V (5-D-latent family) end-to-end across the process boundary
+    (VERDICT r3 Next #6): ring attention with tensor_size == ALL devices, so
+    every ring ppermute hop between device 3 (process 0) and device 4
+    (process 1) crosses a real process; rollout → distributed groupwise
+    reward → one GRPO gradient step with replay-ratio == 1."""
+    import jax.numpy as jnp
+    import optax
+
+    from flow_factory_tpu.hparams.args import Arguments
+    from flow_factory_tpu.hparams.reward_args import RewardArguments
+    from flow_factory_tpu.models import load_adapter
+    from flow_factory_tpu.parallel.mesh import MeshConfig, create_mesh
+    from flow_factory_tpu.rewards.abc import GroupwiseRewardModel
+    from flow_factory_tpu.rewards.reward_processor import RewardProcessor
+    from flow_factory_tpu.samples import stack_samples
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ndev = 4 * nprocs
+    config = Arguments.from_dict({
+        "data": {"dataset_dir": os.path.join(root, "tests", "fixtures", "tiny_prompts")},
+        "model": {"model_type": "wan2-t2v", "model_name_or_path": "tiny",
+                  "finetune_type": "lora", "lora_rank": 2, "lora_alpha": 4,
+                  "attn_backend": "ring", "master_dtype": "float32",
+                  "inference_dtype": "float32", "fsdp_size": 1,
+                  "tensor_size": ndev},
+        "scheduler": {"dynamics_type": "Flow-SDE", "noise_level": 0.7,
+                      "num_sde_steps": 2, "sde_steps": [0, 1, 2]},
+        "train": {"trainer_type": "grpo", "resolution": 64,
+                  "num_inference_steps": 4, "guidance_scale": 2.0,
+                  "per_device_batch_size": 1, "group_size": 4,
+                  "unique_sample_num_per_epoch": 1, "num_frames": 5,
+                  "ema_decay": 0},
+        "eval": {}, "log": {}, "rewards": [],
+    })
+    # tensor axis = ALL devices → the self-attention sequence (2×4×4 = 32
+    # tokens at 64px×5f tiny geometry) shards 4 tokens/device around a ring
+    # whose hops include the process-0 ↔ process-1 edge
+    mesh = create_mesh(MeshConfig(fsdp_size=1, tensor_size=ndev))
+    adapter = load_adapter(config, mesh=mesh)
+    adapter.rollout()
+    samples = adapter.inference(prompt=["a", "a", "b", "b"], compute_log_prob=True,
+                                seed=0, trajectory_indices="all", decode=True)
+    assert len(samples) == 4 and samples[0].all_latents.ndim == 5
+    assert np.isfinite(np.asarray(samples[0].log_probs)).all()
+
+    # distributed groupwise reward on the decoded video (groups span both
+    # processes: group_size = 2 * local count)
+    class VideoRank(GroupwiseRewardModel):
+        required_fields = ("video", "prompt")
+
+        def compute_group_reward(self, video, prompt, **_):
+            means = np.asarray([float(np.mean(v)) for v in video])
+            order = np.argsort(np.argsort(means))
+            return order.astype(np.float64) / max(len(means) - 1, 1)
+
+    model = VideoRank(RewardArguments(name="vrank", reward_model="VideoRank"))
+    proc = RewardProcessor([model])
+    scores = proc._score_groupwise_distributed(model, samples, group_size=2 * len(samples))
+    assert len(scores) == 4 and np.isfinite(scores).all()
+
+    # one GRPO gradient step; rollout and replay BOTH ride the ring, so the
+    # ratio==1 invariant must hold across the process-crossing collective
+    b = stack_samples(samples)
+    s0 = samples[0]
+    sig, nl = s0.extra_kwargs["sigmas"], s0.extra_kwargs["noise_levels"]
+    i = int(np.nonzero(nl)[0][0])
+    li, lni, lpi = s0.latent_index_map[i], s0.latent_index_map[i + 1], s0.log_prob_index_map[i]
+    B = len(samples)
+    batch = adapter.shard_batch({
+        "latents": jnp.asarray(b["all_latents"][:, li]),
+        "next_latents": jnp.asarray(b["all_latents"][:, lni]),
+        "timestep": jnp.full((B,), float(s0.timesteps[i])),
+        "sigma": jnp.full((B,), float(sig[i])),
+        "sigma_next": jnp.full((B,), float(sig[i + 1])),
+        "noise_level": jnp.full((B,), float(nl[i])),
+        "guidance_scale": jnp.float32(2.0),
+        "sigma_max": jnp.float32(sig[1]),
+        "old_log_prob": jnp.asarray(b["log_probs"][:, lpi]),
+        "advantage": jnp.asarray(scores, jnp.float32),
+        "prompt_embeds": jnp.asarray(b["prompt_embeds"]),
+        "negative_prompt_embeds": jnp.asarray(b["negative_prompt_embeds"]),
+    })
+    optimizer = optax.adamw(1e-4)
+    opt_state = optimizer.init(adapter.trainable)
+    frozen = adapter.frozen_velocity_params()
+
+    def loss_fn(tr):
+        out = adapter.training_forward(tr, batch, compute_log_prob=True, frozen=frozen)
+        ratio = jnp.exp(out.log_prob - batch["old_log_prob"])
+        loss = jnp.mean(-batch["advantage"] * ratio)
+        return loss, ratio
+
+    (loss, ratio), grads = jax.jit(
+        lambda tr: jax.value_and_grad(loss_fn, has_aux=True)(tr))(adapter.trainable)
+    ratio = np.asarray(jax.device_get(ratio))
+    assert np.allclose(ratio, 1.0, atol=1e-4), ratio
+    assert np.isfinite(float(loss))
+    updates, _ = optimizer.update(grads, opt_state, adapter.trainable)
+    new_tr = optax.apply_updates(adapter.trainable, updates)
+    assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(new_tr))
+    print(f"PHASE_OK wan_ring", flush=True)
+
+
 PHASES = {
     "collectives": phase_collectives,
     "groupwise": phase_groupwise,
     "grpo": phase_grpo,
     "dgpo": phase_dgpo,
+    "wan_ring": phase_wan_ring,
 }
 
 for name in phases:

@@ -125,3 +125,111 @@ def test_flash_adaptive_blocks_odd_sizes():
     np.testing.assert_allclose(
         np.asarray(jax.grad(f_flash)(qq)),
         np.asarray(jax.grad(f_native)(qq)), atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Fused qk-norm flash attention (round 4)
+# ---------------------------------------------------------------------------
+
+def test_qknorm_module_matches_flax_rmsnorm_bitwise():
+    """QKNorm's hand-rolled native path must be BIT-identical to the previous
+    nn.RMSNorm formulation (CPU goldens depend on it)."""
+    import flax.linen as nn
+
+    from flow_factory_tpu.models.layers import QKNorm
+
+    key = jax.random.PRNGKey(0)
+    q = jax.random.normal(key, (2, 3, 17, 24), jnp.bfloat16)
+    k = jax.random.normal(jax.random.fold_in(key, 1), (2, 3, 17, 24), jnp.bfloat16)
+    gq = jax.random.normal(jax.random.fold_in(key, 2), (24,), jnp.float32) * 0.1 + 1.0
+    gk = jax.random.normal(jax.random.fold_in(key, 3), (24,), jnp.float32) * 0.1 + 1.0
+
+    mod = QKNorm(24)
+    qn, kn = mod.apply(
+        {"params": {"q_norm": {"scale": gq}, "k_norm": {"scale": gk}}}, q, k
+    )
+    ref_q = nn.RMSNorm(epsilon=1e-6, dtype=jnp.float32).apply(
+        {"params": {"scale": gq}}, q.astype(jnp.float32)).astype(q.dtype)
+    ref_k = nn.RMSNorm(epsilon=1e-6, dtype=jnp.float32).apply(
+        {"params": {"scale": gk}}, k.astype(jnp.float32)).astype(k.dtype)
+    assert np.array_equal(np.asarray(qn), np.asarray(ref_q))
+    assert np.array_equal(np.asarray(kn), np.asarray(ref_k))
+    # init builds the same tree
+    tree = mod.init(key, q, k)["params"]
+    assert set(tree) == {"q_norm", "k_norm"} and tuple(tree["q_norm"]["scale"].shape) == (24,)
+
+
+@pytest.mark.parametrize("sq,sk,block_k", [(200, 200, 1024), (300, 300, 128)])
+def test_qknorm_flash_matches_composition(sq, sk, block_k):
+    """Fused kernel (interpret mode; exercises BOTH the single-k fast path
+    and the multi-k online-softmax) vs RMS-norm + native attention, with a
+    per-position two-stream scale map."""
+    from flow_factory_tpu.ops.attention import _qknorm_flash, _rms_scale
+
+    k1, k2, k3, k4, k5 = jax.random.split(jax.random.PRNGKey(7), 5)
+    D = 32
+    q = jax.random.normal(k1, (2, 3, sq, D), jnp.float32)
+    k = jax.random.normal(k2, (2, 3, sk, D), jnp.float32)
+    v = jax.random.normal(k3, (2, 3, sk, D), jnp.float32)
+    # two-stream map: first 64 rows one set of scales, rest another
+    gq = jnp.concatenate([
+        jnp.broadcast_to(1.0 + 0.1 * jax.random.normal(k4, (D,)), (64, D)),
+        jnp.broadcast_to(1.0 + 0.1 * jax.random.normal(k5, (D,)), (sq - 64, D)),
+    ])
+    gk = gq[:sk]
+    scale = D ** -0.5
+
+    out = _qknorm_flash(q, k, v, gq, gk, scale, 1e-6, 128, block_k)
+    qn = _rms_scale(q, gq, 1e-6).astype(q.dtype)
+    kn = _rms_scale(k, gk, 1e-6).astype(k.dtype)
+    ref = native_attention(qn, kn, v, scale=scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+
+def test_qknorm_flash_grads_match_composition():
+    """Fused custom_vjp grads (incl. dγ) vs autodiff through the unfused
+    composition."""
+    from flow_factory_tpu.ops.attention import _qknorm_flash, _rms_scale
+
+    key = jax.random.PRNGKey(11)
+    D = 16
+    q = jax.random.normal(key, (1, 2, 130, D), jnp.float32)
+    k = jax.random.normal(jax.random.fold_in(key, 1), (1, 2, 130, D), jnp.float32)
+    v = jax.random.normal(jax.random.fold_in(key, 2), (1, 2, 130, D), jnp.float32)
+    gq = jnp.broadcast_to(1.0 + 0.05 * jax.random.normal(jax.random.fold_in(key, 3), (D,)), (130, D))
+    gk = jnp.broadcast_to(1.0 - 0.05 * jax.random.normal(jax.random.fold_in(key, 4), (D,)), (130, D))
+    scale = D ** -0.5
+
+    def fused(q, k, v, gq, gk):
+        return (_qknorm_flash(q, k, v, gq, gk, scale, 1e-6, 128, 128) ** 2).sum()
+
+    def composed(q, k, v, gq, gk):
+        qn = _rms_scale(q, gq, 1e-6).astype(q.dtype)
+        kn = _rms_scale(k, gk, 1e-6).astype(k.dtype)
+        return (native_attention(qn, kn, v, scale=scale) ** 2).sum()
+
+    g1 = jax.grad(fused, argnums=(0, 1, 2, 3, 4))(q, k, v, gq, gk)
+    g2 = jax.grad(composed, argnums=(0, 1, 2, 3, 4))(q, k, v, gq, gk)
+    for a, b, name in zip(g1, g2, ("dq", "dk", "dv", "dgq", "dgk")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4, err_msg=name)
+
+
+def test_qknorm_dispatch_native_path_matches_module():
+    """qknorm_dot_product_attention off-TPU == QKNorm + dot_product_attention
+    (the replay-consistency seam for non-fused platforms)."""
+    from flow_factory_tpu.models.layers import QKNorm
+    from flow_factory_tpu.ops.attention import qknorm_dot_product_attention
+
+    key = jax.random.PRNGKey(3)
+    D = 24
+    q = jax.random.normal(key, (2, 2, 50, D), jnp.bfloat16)
+    k = jax.random.normal(jax.random.fold_in(key, 1), (2, 2, 50, D), jnp.bfloat16)
+    v = jax.random.normal(jax.random.fold_in(key, 2), (2, 2, 50, D), jnp.bfloat16)
+    gq = 1.0 + 0.1 * jax.random.normal(jax.random.fold_in(key, 3), (D,), jnp.float32)
+    gk = 1.0 - 0.1 * jax.random.normal(jax.random.fold_in(key, 4), (D,), jnp.float32)
+
+    out = qknorm_dot_product_attention(q, k, v, gq, gk, backend="native")
+    qn, kn = QKNorm(D).apply(
+        {"params": {"q_norm": {"scale": gq}, "k_norm": {"scale": gk}}}, q, k)
+    ref = dot_product_attention(qn, kn, v, backend="native")
+    assert np.array_equal(np.asarray(out), np.asarray(ref))
