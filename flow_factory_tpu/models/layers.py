@@ -26,7 +26,7 @@ from ..ops.attention import (
     fused_qknorm_eligible,
     qknorm_dot_product_attention,
 )
-from ..ops.norms import adaln_modulate, fused_layernorm, rms_modulate
+from ..ops.norms import adaln_modulate, fused_layernorm, residual_gate_modulate, rms_modulate
 
 
 def sinusoidal_timestep_embedding(

@@ -32,7 +32,7 @@ from ..layers import (
     PooledTextEmbedder,
     SelfAttention,
     TimestepEmbedder,
-    adaln_modulate,
+    residual_gate_modulate,
     unpatchify,
 )
 
@@ -137,10 +137,12 @@ class JointTransformerBlock(nn.Module):
             dtype=dt,
             name="attn",
         )(x_mod, c_mod)
-        x = x + gate_msa[:, None, :].astype(x.dtype) * attn_out
-
+        # residual joins fuse with the NEXT AdaLN modulate into one Pallas
+        # pass on TPU (ops/norms.py:residual_gate_modulate) — the
+        # convert→reduce LN chain never round-trips through HBM
         if self.use_dual_attention:
-            x_mod2 = adaln_modulate(x, shift2, scale2).astype(dt)
+            x, x_mod2 = residual_gate_modulate(
+                x, attn_out, gate_msa, shift2, scale2, out_dtype=dt)
             attn2_out = SelfAttention(
                 cfg.hidden_dim,
                 cfg.num_heads,
@@ -149,9 +151,11 @@ class JointTransformerBlock(nn.Module):
                 dtype=dt,
                 name="attn2",
             )(x_mod2)
-            x = x + gate2[:, None, :].astype(x.dtype) * attn2_out
-
-        x_ff_in = adaln_modulate(x, shift_mlp, scale_mlp).astype(dt)
+            x, x_ff_in = residual_gate_modulate(
+                x, attn2_out, gate2, shift_mlp, scale_mlp, out_dtype=dt)
+        else:
+            x, x_ff_in = residual_gate_modulate(
+                x, attn_out, gate_msa, shift_mlp, scale_mlp, out_dtype=dt)
         x = x + gate_mlp[:, None, :].astype(x.dtype) * FeedForward(
             cfg.hidden_dim, dtype=dt, name="ff"
         )(x_ff_in)
@@ -160,8 +164,8 @@ class JointTransformerBlock(nn.Module):
             return x, None
 
         c_gate_msa, c_shift_mlp, c_scale_mlp, c_gate_mlp = c_gates
-        context = context + c_gate_msa[:, None, :].astype(context.dtype) * ctx_attn_out
-        c_ff_in = adaln_modulate(context, c_shift_mlp, c_scale_mlp).astype(dt)
+        context, c_ff_in = residual_gate_modulate(
+            context, ctx_attn_out, c_gate_msa, c_shift_mlp, c_scale_mlp, out_dtype=dt)
         context = context + c_gate_mlp[:, None, :].astype(context.dtype) * FeedForward(
             cfg.hidden_dim, dtype=dt, name="ff_context"
         )(c_ff_in)

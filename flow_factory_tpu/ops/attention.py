@@ -241,16 +241,19 @@ def _pick_block(S: int, hi: int, overhead: int) -> int:
     return best_b
 
 
-def _pad_qkv(q, k, v, block_q, block_k):
+def _pad_qkv(q, k, v, block_q, block_k, q_stretch: float = 3.0):
     B, H, Sq, D = q.shape
     Sk = k.shape[2]
     # the configured sizes act as caps; fit blocks to the actual sequence
-    # to minimize zero-padding compute. The k cap stretches 1.5× and the q
-    # cap 3× so a sequence like 1357 can take a single 1408-wide k-block AND
-    # a single 1408-wide q-block (Sq_pad 1408 vs 1536 = 8% less attention
-    # over-compute) while the fp32 score tile stays within the VMEM budget
-    # (≤ 3·block_q × 1.5·block_k × 4 B ≈ 9.4 MB at the 512×1024 defaults).
-    block_q = _pick_block(Sq, max(128, block_q * 3 // 128 * 128), overhead=64)
+    # to minimize zero-padding compute. The k cap stretches 1.5× and the
+    # FORWARD q cap 3× so a sequence like 1357 can take a single 1408-wide
+    # k-block AND a single 1408-wide q-block (Sq_pad 1408 vs 1536 = 8% less
+    # attention over-compute); the forward kernel's score tile then peaks at
+    # ~8 MB fp32, inside the 16 MB scoped-VMEM budget. The BACKWARD kernels
+    # hold s/p/dp/ds tiles simultaneously (measured 18.96 MB at 1408×1408 —
+    # a compile-time VMEM OOM), so _flash_backward passes q_stretch=1 and
+    # keeps the 512-row q blocks that fit.
+    block_q = _pick_block(Sq, max(128, int(block_q * q_stretch) // 128 * 128), overhead=64)
     block_k = _pick_block(Sk, max(128, (block_k * 3 // 2) // 128 * 128), overhead=128)
     Sq_pad = _round_up(Sq, block_q)
     Sk_pad = _round_up(Sk, block_k)
@@ -712,7 +715,8 @@ def _flash_backward(q, k, v, out, lse, g, scale, block_q, block_k):
     # base-2 domain for the kernels: q pre-scaled, lse converted (see _LOG2E)
     q = q * (scale * _LOG2E)
     lse = lse * _LOG2E
-    q_p, k_p, v_p, block_q, block_k, Sq, Sk, Sq_pad, Sk_pad = _pad_qkv(q, k, v, block_q, block_k)
+    q_p, k_p, v_p, block_q, block_k, Sq, Sk, Sq_pad, Sk_pad = _pad_qkv(
+        q, k, v, block_q, block_k, q_stretch=1.0)
     if Sq_pad != Sq:
         g = jnp.pad(g, ((0, 0), (0, 0), (0, Sq_pad - Sq), (0, 0)))
         # padded q rows: lse=+inf ⇒ p=0 ⇒ no contribution

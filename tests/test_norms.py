@@ -148,3 +148,76 @@ def test_broadcast_shapes(rngs):
     c = adaln_modulate(x[:1], shd, scd)
     d = adaln_modulate(x[:1], shd[None], scd[None])
     assert bool(jnp.all(c == d))
+
+
+# ---------------------------------------------------------------------------
+# Fused residual + gate + modulate (round 4)
+# ---------------------------------------------------------------------------
+
+def test_residual_gate_modulate_matches_composition():
+    """Fused op (interpret mode) == open-coded residual + adaln_modulate —
+    both outputs, odd sequence length (pad path)."""
+    import numpy as np
+
+    from flow_factory_tpu.ops.norms import (
+        _bcast,
+        _native_ln_mul_add,
+        _rgm_fused,
+        residual_gate_modulate,
+    )
+
+    key = jax.random.PRNGKey(5)
+    B, S, D = 2, 200, 256
+    x = jax.random.normal(key, (B, S, D), jnp.bfloat16)
+    br = jax.random.normal(jax.random.fold_in(key, 1), (B, S, D), jnp.bfloat16)
+    gate = jax.random.normal(jax.random.fold_in(key, 2), (B, D), jnp.float32)
+    sh = jax.random.normal(jax.random.fold_in(key, 3), (B, D), jnp.float32)
+    sc = jax.random.normal(jax.random.fold_in(key, 4), (B, D), jnp.float32)
+
+    # reference: the exact block composition this op replaced
+    x_ref = x + gate[:, None, :].astype(x.dtype) * br
+    mul, add = 1.0 + _bcast(sc, B), _bcast(sh, B)
+    xm_ref = _native_ln_mul_add(x_ref, mul, add, 1e-6, x.dtype, fold=False)
+
+    # native dispatch path (CPU) must be BIT-identical
+    xn, xm = residual_gate_modulate(x, br, gate, sh, sc)
+    assert np.array_equal(np.asarray(xn), np.asarray(x_ref))
+    assert np.array_equal(np.asarray(xm), np.asarray(xm_ref))
+
+    # Pallas kernel (interpret mode) must match to bf16 tolerance
+    xn2, xm2 = _rgm_fused(x, br, gate, mul, add, 1e-6, jnp.bfloat16, 128)
+    # bf16 output + fp32 reduction-tree differences: ~1 ulp relative
+    np.testing.assert_allclose(np.asarray(xn2, np.float32), np.asarray(x_ref, np.float32),
+                               rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(xm2, np.float32), np.asarray(xm_ref, np.float32),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_residual_gate_modulate_grads_match():
+    """custom_vjp grads (through the native recompute) == autodiff of the
+    open-coded composition, for every input."""
+    import numpy as np
+
+    from flow_factory_tpu.ops.norms import _bcast, _native_ln_mul_add, _rgm_fused
+
+    key = jax.random.PRNGKey(9)
+    B, S, D = 1, 130, 128
+    x = jax.random.normal(key, (B, S, D), jnp.float32)
+    br = jax.random.normal(jax.random.fold_in(key, 1), (B, S, D), jnp.float32)
+    gate = jax.random.normal(jax.random.fold_in(key, 2), (B, D), jnp.float32)
+    mul = 1.0 + _bcast(jax.random.normal(jax.random.fold_in(key, 3), (B, D)), B)
+    add = _bcast(jax.random.normal(jax.random.fold_in(key, 4), (B, D)), B)
+
+    def loss_fused(x, br, gate, mul, add):
+        xn, xm = _rgm_fused(x, br, gate, mul, add, 1e-6, jnp.float32, 128)
+        return jnp.sum(xn ** 2) + jnp.sum(xm ** 2)
+
+    def loss_ref(x, br, gate, mul, add):
+        xn = x + gate[:, None, :] * br
+        xm = _native_ln_mul_add(xn, mul, add, 1e-6, jnp.float32, fold=False)
+        return jnp.sum(xn ** 2) + jnp.sum(xm ** 2)
+
+    g1 = jax.grad(loss_fused, (0, 1, 2, 3, 4))(x, br, gate, mul, add)
+    g2 = jax.grad(loss_ref, (0, 1, 2, 3, 4))(x, br, gate, mul, add)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
