@@ -51,6 +51,121 @@ from .lora import (
 logger = logging.getLogger(__name__)
 
 
+class ContextRowCache:
+    """Content-addressed device cache of staged context-embed rows.
+
+    Through the remote-chip relay (and to a lesser degree PCIe), re-uploading
+    sequence-context embeds dominates the rollout stream: the measured H2D
+    leg is ~1.9 s per SD3.5-M batch for 43.8 MB of CFG context
+    (scripts/bench_e2e_legs.py) against a 3.58 s denoise scan. The content
+    is massively redundant in production GRPO: every group member shares its
+    prompt's rows (group_size-fold), the negative ("") embeds are identical
+    for the whole run, and epochs revisit the same prompts in reshuffled
+    batches. The reference never pays this cost (GPU-local HBM); the
+    TPU-native answer is to never ship the same bytes twice.
+
+    Mechanics: rows are keyed by ``sha1(row bytes)`` (687 MB/s host-side —
+    ~15× cheaper than the wire) plus a shape/dtype tag; only rows whose
+    digest is absent upload (one stacked H2D), and the batch is assembled
+    on-device with ``jnp.stack``. Assembled bits are IDENTICAL to the
+    uncached upload path: the same host-side cast runs on exactly the same
+    values, so replay-ratio==1 and goldens are untouched. Content addressing
+    also makes the cache immune to in-place mutation of caller arrays
+    (changed bytes → different digest → miss).
+
+    An ``id()``-fastpath skips hashing when the SAME ndarray object is
+    re-staged (weakref-guarded against id reuse); eviction is LRU by bytes.
+    """
+
+    def __init__(self, capacity_bytes: int):
+        import collections
+
+        self._cap = int(capacity_bytes)
+        self._rows: "collections.OrderedDict[bytes, jax.Array]" = collections.OrderedDict()
+        self._bytes = 0
+        # id(arr) -> (weakref, digests) — skip hashing for repeat objects
+        self._id_fast: Dict[int, Tuple[Any, List[bytes]]] = {}
+        self.hits = 0
+        self.misses = 0
+
+    def _digests(self, a: np.ndarray, tag: bytes) -> List[bytes]:
+        import hashlib
+        import weakref
+
+        # id-fastpath ONLY for read-only arrays: a writeable array can be
+        # mutated in place between calls, which would make cached digests
+        # stale and silently break the content-addressing guarantee.
+        fast = not a.flags.writeable
+        k = id(a)
+        if fast:
+            ent = self._id_fast.get(k)
+            if ent is not None and ent[0]() is a:
+                return ent[1]
+        digs = []
+        for i in range(a.shape[0]):
+            h = hashlib.sha1(tag)
+            h.update(a[i])
+            digs.append(h.digest())
+        if fast:
+            try:
+                self._id_fast[k] = (
+                    weakref.ref(a, lambda r, k=k: self._id_fast.pop(k, None)), digs)
+            except TypeError:
+                pass  # non-weakref-able ndarray subclass; just re-hash
+        return digs
+
+    def _put(self, dig: bytes, row: "jax.Array") -> None:
+        nbytes = row.size * row.dtype.itemsize
+        self._rows[dig] = row
+        self._bytes += nbytes
+        while self._bytes > self._cap and len(self._rows) > 1:
+            _, old = self._rows.popitem(last=False)
+            self._bytes -= old.size * old.dtype.itemsize
+
+    def stage_rows(self, a: np.ndarray, target_dtype) -> "jax.Array":
+        """Stage (B, ...) host rows to device through the cache.
+
+        Returns a device array bit-identical to
+        ``jnp.asarray(a.astype(target_dtype))`` (one RTNE host cast)."""
+        a = np.ascontiguousarray(a)
+        tgt = jnp.dtype(target_dtype)
+        tag = repr((a.shape[1:], a.dtype.str, tgt.str)).encode()
+        digs = self._digests(a, tag)
+
+        # first index per missing unique digest, in order
+        missing: Dict[bytes, int] = {}
+        for i, d in enumerate(digs):
+            if d not in self._rows and d not in missing:
+                missing[d] = i
+        # a within-batch duplicate of a missing row still uploads once —
+        # count it as a (dedup) hit
+        self.hits += len(digs) - len(missing)
+        self.misses += len(missing)
+
+        # Pin hit rows with local refs FIRST: inserting the missing rows can
+        # LRU-evict a hit row before assembly reads it.
+        local: Dict[bytes, jax.Array] = {}
+        for d in digs:
+            if d not in missing and d not in local:
+                local[d] = self._rows[d]
+                self._rows.move_to_end(d)  # LRU touch
+
+        up = None
+        if missing:
+            idxs = list(missing.values())
+            host = a[idxs]
+            if host.dtype != tgt:
+                host = host.astype(tgt)
+            up = jnp.asarray(host)  # ONE H2D of only the unique missing rows
+            for j, d in enumerate(missing):
+                local[d] = up[j]
+                self._put(d, local[d])
+
+        if up is not None and len(missing) == len(digs):
+            return up  # all rows new and unique — the upload IS the batch
+        return jnp.stack([local[d] for d in digs])
+
+
 class PendingRollout:
     """A dispatched-but-unfetched rollout (``adapter.inference(..., defer=True)``).
 
@@ -141,6 +256,15 @@ class BaseAdapter(ABC):
         self._ref_store: Optional[EMA] = None
         self._named_stores: Dict[str, EMA] = {}
         self._jit_cache: Dict[Any, Callable] = {}
+
+        # Content-addressed device cache for staged context embeds (see
+        # ContextRowCache). Sized in MB via model.context_cache_mb (0
+        # disables); single-device only — under a mesh, shard_batch owns
+        # placement and the cache's replicated rows would fight it.
+        cache_mb = int(self.model_args.extra_kwargs.get("context_cache_mb", 512))
+        self._context_cache: Optional[ContextRowCache] = (
+            ContextRowCache(cache_mb << 20) if cache_mb > 0 and mesh is None else None
+        )
 
         if self.model_args.resume_path:
             self.load_checkpoint(self.model_args.resume_path, self.model_args.resume_type)
@@ -1128,7 +1252,16 @@ class BaseAdapter(ABC):
         FLUX context may pass an fp32 RMSNorm first)."""
         a = np.asarray(arr)
         dt = self.inference_dtype
-        if np.issubdtype(a.dtype, np.floating) and jnp.dtype(dt).itemsize < a.dtype.itemsize:
+        cast = np.issubdtype(a.dtype, np.floating) and jnp.dtype(dt).itemsize < a.dtype.itemsize
+        if (
+            self._context_cache is not None
+            and a.ndim >= 2
+            and a.nbytes >= (1 << 20)
+        ):
+            # dedup + device cache: never ship the same row bytes twice
+            # (bit-identical to the direct path — same host cast, same values)
+            return self._context_cache.stage_rows(a, dt if cast else a.dtype)
+        if cast:
             return jnp.asarray(a, dtype=dt)
         return jnp.asarray(a)
 

@@ -1,0 +1,161 @@
+"""ContextRowCache: content-addressed device cache for staged context.
+
+The cache must be INVISIBLE numerically: the assembled device batch is
+bit-identical to the direct ``jnp.asarray(a, dtype)`` upload, whatever mix
+of hits/misses/duplicates produced it — rollout/replay ratio==1 and the CPU
+goldens depend on that. These tests pin the bit-identity, the dedup
+accounting, LRU eviction, mutation safety (content addressing), and the
+adapter integration (single-device only; mesh runs bypass the cache).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from flow_factory_tpu.models.abc import ContextRowCache
+
+
+def _mk(B=4, S=16, D=32, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((B, S, D), dtype=np.float32)
+
+
+def test_bit_identical_to_direct_upload():
+    a = _mk()
+    cache = ContextRowCache(1 << 30)
+    out = cache.stage_rows(a, jnp.bfloat16)
+    ref = jnp.asarray(a, dtype=jnp.bfloat16)
+    assert out.dtype == ref.dtype and out.shape == ref.shape
+    np.testing.assert_array_equal(
+        np.asarray(out, dtype=np.float32), np.asarray(ref, dtype=np.float32)
+    )
+
+
+def test_hit_path_bit_identical_and_no_upload():
+    a = _mk(seed=1)
+    cache = ContextRowCache(1 << 30)
+    first = cache.stage_rows(a, jnp.bfloat16)
+    assert cache.misses == a.shape[0] and cache.hits == 0
+    # restack the same content into a NEW array (the trainer's collate path)
+    b = np.array(a, copy=True)
+    second = cache.stage_rows(b, jnp.bfloat16)
+    assert cache.misses == a.shape[0]  # no new uploads
+    assert cache.hits == a.shape[0]
+    np.testing.assert_array_equal(np.asarray(first), np.asarray(second))
+
+
+def test_within_batch_dedup_and_reorder():
+    base = _mk(B=2, seed=2)
+    # group_size-style repetition: rows [0,0,1,1]
+    a = np.stack([base[0], base[0], base[1], base[1]])
+    cache = ContextRowCache(1 << 30)
+    out = cache.stage_rows(a, jnp.bfloat16)
+    assert cache.misses == 2 and cache.hits == 2
+    ref = jnp.asarray(a, dtype=jnp.bfloat16)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    # reordered batch mixing cached and new rows
+    new = _mk(B=1, seed=3)
+    mix = np.stack([base[1], new[0], base[0]])
+    out2 = cache.stage_rows(mix, jnp.bfloat16)
+    ref2 = jnp.asarray(mix, dtype=jnp.bfloat16)
+    np.testing.assert_array_equal(np.asarray(out2), np.asarray(ref2))
+
+
+def test_mutation_safety_content_addressing():
+    a = _mk(seed=4)
+    cache = ContextRowCache(1 << 30)
+    cache.stage_rows(a, jnp.bfloat16)
+    a[0, 0, 0] += 1.0  # in-place mutation of a previously staged array
+    out = cache.stage_rows(a, jnp.bfloat16)
+    ref = jnp.asarray(a, dtype=jnp.bfloat16)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_readonly_id_fastpath():
+    a = _mk(seed=8)
+    a.setflags(write=False)
+    cache = ContextRowCache(1 << 30)
+    cache.stage_rows(a, jnp.bfloat16)
+    assert len(cache._id_fast) == 1  # fastpath engaged for read-only arrays
+    out = cache.stage_rows(a, jnp.bfloat16)  # same object → no re-hash
+    ref = jnp.asarray(a, dtype=jnp.bfloat16)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    b = _mk(seed=9)  # writeable → fastpath must NOT cache digests
+    cache.stage_rows(b, jnp.bfloat16)
+    assert len(cache._id_fast) == 1
+
+
+def test_lru_eviction_by_bytes():
+    a = _mk(B=8, seed=5)
+    row_bytes = a[0].size * 2  # bf16
+    cache = ContextRowCache(4 * row_bytes + 1)
+    cache.stage_rows(a, jnp.bfloat16)
+    assert len(cache._rows) <= 5  # capped
+    # most-recent rows survive; earliest were evicted
+    out = cache.stage_rows(a, jnp.bfloat16)
+    ref = jnp.asarray(a, dtype=jnp.bfloat16)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_no_cast_dtype_roundtrip():
+    a = _mk(seed=6)
+    cache = ContextRowCache(1 << 30)
+    out = cache.stage_rows(a, np.float32)
+    np.testing.assert_array_equal(np.asarray(out), a)
+    # same bytes at a different target dtype must NOT collide
+    out16 = cache.stage_rows(a, jnp.bfloat16)
+    assert out16.dtype == jnp.bfloat16
+
+
+def test_adapter_integration_single_device():
+    import __graft_entry__ as g
+    from flow_factory_tpu.models import load_adapter
+    from flow_factory_tpu.parallel.dist import set_world_size_override
+
+    set_world_size_override(1)
+    config = g._make_config(tiny=True)
+    adapter = load_adapter(config)
+    assert adapter._context_cache is not None
+    # tiny context is below the 1 MB threshold — the plain path must serve it
+    small = np.ones((2, 4, 8), np.float32)
+    out = adapter.stage_context(small)
+    assert adapter._context_cache.misses == 0
+    # a big-enough array routes through the cache
+    big = _mk(B=2, S=512, D=512, seed=7)
+    assert big.nbytes >= (1 << 20)
+    out = adapter.stage_context(big)
+    assert adapter._context_cache.misses == 2
+    ref = jnp.asarray(big, dtype=adapter.inference_dtype)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    out2 = adapter.stage_context(np.array(big, copy=True))
+    assert adapter._context_cache.hits == 2
+    np.testing.assert_array_equal(np.asarray(out2), np.asarray(ref))
+
+
+def test_rollout_with_cache_matches_disabled_cache():
+    """End-to-end: two identical tiny rollouts, cache on vs off, must agree
+    bit-for-bit (the cache is numerically invisible)."""
+    import __graft_entry__ as g
+    from flow_factory_tpu.models import load_adapter
+    from flow_factory_tpu.parallel.dist import set_world_size_override
+
+    set_world_size_override(1)
+
+    def run(cache_mb):
+        config = g._make_config(tiny=True)
+        config.model_args.extra_kwargs["context_cache_mb"] = cache_mb
+        adapter = load_adapter(config)
+        adapter.rollout()
+        out = adapter.inference(
+            prompt=["a", "b"], compute_log_prob=True, trajectory_indices="all",
+            seed=3, num_inference_steps=3, guidance_scale=2.0,
+        )
+        return out
+
+    on = run(64)
+    off = run(0)
+    for s_on, s_off in zip(on, off):
+        np.testing.assert_array_equal(s_on.all_latents, s_off.all_latents)
+        np.testing.assert_array_equal(s_on.log_probs, s_off.log_probs)
