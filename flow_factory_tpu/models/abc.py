@@ -1165,6 +1165,24 @@ class BaseAdapter(ABC):
         return _shard(tree, self.mesh)
 
     @staticmethod
+    def prefetch_to_host(*arrays) -> None:
+        """Start D2H copies for dispatched outputs WITHOUT blocking.
+
+        Called right after a deferred rollout dispatch: the copy is enqueued
+        behind the producing computation, so the wire transfer begins the
+        moment the scan/decode finishes instead of when ``materialize()``
+        finally calls ``device_get`` — this overlaps the LAST batch's fetch
+        (the stream's unoverlapped endpoint) and tightens every materialize.
+        No-op for None entries and arrays without the async-copy API."""
+        for a in arrays:
+            fn = getattr(a, "copy_to_host_async", None)
+            if fn is not None:
+                try:
+                    fn()
+                except Exception:  # non-committed / donated arrays
+                    pass
+
+    @staticmethod
     def fetch_batch(arr, batch_axis: int = 0) -> np.ndarray:
         """Multi-process-safe device→host fetch of a batch-sharded output:
         returns THIS process's rows (all rows in single-process runs). Use

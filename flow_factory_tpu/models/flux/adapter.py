@@ -440,6 +440,8 @@ class Flux1Adapter(BaseAdapter):
             return samples
 
         if defer:
+            # start D2H now — the copies queue behind the scan/decode
+            self.prefetch_to_host(lat_buf, lp_buf, mean_buf, images_dev)
             return PendingRollout(_materialize)
         return _materialize()
 

@@ -761,6 +761,8 @@ class LTX2T2AVAdapter(BaseAdapter):
             return samples
 
         if defer:
+            # start D2H now — the copies queue behind the scan/decode
+            self.prefetch_to_host(v_buf, a_buf, lp_buf, videos_dev, audios_dev)
             return PendingRollout(_materialize)
         return _materialize()
 

@@ -497,8 +497,10 @@ class SD35Adapter(BaseAdapter):
             return samples
 
         if defer:
-            # everything device-side is dispatched; let the caller overlap
+            # everything device-side is dispatched; start the D2H copies now
+            # (they queue behind the scan/decode) and let the caller overlap
             # the host fetch with the next batch's compute
+            self.prefetch_to_host(lat_buf, lp_buf, mean_buf, images_dev)
             return PendingRollout(_materialize)
         return _materialize()
 

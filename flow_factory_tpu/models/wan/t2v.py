@@ -471,6 +471,8 @@ class WanT2VAdapter(BaseAdapter):
             return samples
 
         if defer:
+            # start D2H now — the copies queue behind the scan/decode
+            self.prefetch_to_host(lat_buf, lp_buf, mean_buf, videos_dev)
             return PendingRollout(_materialize)
         return _materialize()
 
