@@ -265,6 +265,14 @@ class BaseAdapter(ABC):
         self._context_cache: Optional[ContextRowCache] = (
             ContextRowCache(cache_mb << 20) if cache_mb > 0 and mesh is None else None
         )
+        # Whole-array device cache for small dispatch constants (sigmas,
+        # timesteps, slot maps): each uncached ``jnp.asarray`` is a separate
+        # H2D transfer paying one relay/PCIe round trip per rollout dispatch
+        # (~6 per batch at fixed schedule). Content-keyed, so scheduler
+        # re-seeding (new noise_levels per epoch) misses exactly once.
+        self._const_cache: "collections.OrderedDict[bytes, jax.Array]" = (
+            __import__("collections").OrderedDict()
+        )
 
         if self.model_args.resume_path:
             self.load_checkpoint(self.model_args.resume_path, self.model_args.resume_type)
@@ -1282,6 +1290,69 @@ class BaseAdapter(ABC):
         if cast:
             return jnp.asarray(a, dtype=dt)
         return jnp.asarray(a)
+
+    def stage_constant(self, arr) -> jnp.ndarray:
+        """Device-cache a SMALL dispatch constant (sigmas, timesteps, noise
+        levels, trajectory slot maps) by content.
+
+        These arrays are identical for every batch of an epoch, but a bare
+        ``jnp.asarray`` re-uploads them on every rollout dispatch — ~6 small
+        H2D transfers per batch, each paying a full relay/PCIe round trip.
+        Content addressing (the bytes ARE the key) keeps this exact: a
+        re-seeded scheduler produces different bytes and simply misses once.
+        Single-device only — under a mesh, placement belongs to jit/shard_map
+        and replicating tiny constants is free anyway."""
+        if isinstance(arr, jax.Array):  # already on device — nothing to save
+            return arr
+        a = np.ascontiguousarray(np.asarray(arr))
+        if self.mesh is not None or a.nbytes > (1 << 16):
+            return jnp.asarray(a)
+        key = repr((a.shape, a.dtype.str)).encode() + a.tobytes()
+        hit = self._const_cache.get(key)
+        if hit is not None:
+            self._const_cache.move_to_end(key)
+            return hit
+        dev = jnp.asarray(a)
+        self._const_cache[key] = dev
+        while len(self._const_cache) > 256:
+            self._const_cache.popitem(last=False)
+        return dev
+
+    def stage_pooled(self, arr) -> jnp.ndarray:
+        """Stage small fp32 per-sample rows (pooled projections) through the
+        content-addressed row cache WITHOUT a dtype cast.
+
+        Pooled embeds are tiny (KBs) but ship as their own H2D transfer per
+        CFG side per batch — pure relay round-trip latency. They repeat
+        exactly like the sequence context (group members share prompt rows,
+        negatives repeat all epoch), so the row cache eliminates the
+        transfer; assembly is bit-identical (no cast, same values)."""
+        if isinstance(arr, jax.Array):  # already on device — nothing to save
+            return arr
+        a = np.asarray(arr)
+        if self._context_cache is not None and a.ndim >= 2:
+            return self._context_cache.stage_rows(a, a.dtype)
+        return jnp.asarray(a)
+
+    def image_wire_dtype(self) -> Optional[jnp.dtype]:
+        """D2H wire dtype for decoded media, or None for no recast.
+
+        ``model.image_wire_dtype``: 'auto' (default) ships fp16 when the
+        denoiser/VAE compute in a 16-bit dtype — the fp16 mantissa (10 bits)
+        sits BELOW the bf16 compute noise floor (7 bits), so the recast is
+        invisible next to the decode's own rounding while halving the
+        dominant D2H leg (fp32 pixels are 25 MB per SD3 bench batch through
+        the relay). fp32 runs (parity harness, goldens) ship fp32 bits
+        untouched. 'fp32' forces the old wire; 'fp16' forces the half wire.
+        Host side always upcasts back to fp32 (torch-CPU reward kernels)."""
+        knob = str(self.model_args.extra_kwargs.get("image_wire_dtype", "auto"))
+        if knob == "fp32":
+            return None
+        if knob == "fp16":
+            return jnp.dtype(jnp.float16)
+        if jnp.dtype(self.inference_dtype).itemsize <= 2:
+            return jnp.dtype(jnp.float16)
+        return None
 
     def param_count(self, component: str) -> int:
         return sum(int(np.prod(l.shape)) for l in jax.tree.leaves(self.params[component]))

@@ -351,7 +351,7 @@ class Flux1Adapter(BaseAdapter):
             "txt_ids": jnp.zeros((np.asarray(prompt_embeds).shape[1], 3), jnp.float32),
         }
         if pooled_prompt_embeds is not None:
-            embeds["pooled_prompt_embeds"] = jnp.asarray(pooled_prompt_embeds)
+            embeds["pooled_prompt_embeds"] = self.stage_pooled(pooled_prompt_embeds)
         if extra_embeds:
             embeds.update(extra_embeds)
 
@@ -378,11 +378,11 @@ class Flux1Adapter(BaseAdapter):
             x0,
             embeds,
             jnp.float32(g),
-            jnp.asarray(sigmas),
-            jnp.asarray(timesteps),
-            jnp.asarray(noise_levels),
-            jnp.asarray(maps.latent_store_slot),
-            jnp.asarray(maps.logprob_store_slot),
+            self.stage_constant(sigmas),
+            self.stage_constant(timesteps),
+            self.stage_constant(noise_levels),
+            self.stage_constant(maps.latent_store_slot),
+            self.stage_constant(maps.logprob_store_slot),
             scan_key,
             do_cfg=bool(do_cfg_override) if do_cfg_override is not None else False,
             compute_log_prob=compute_log_prob,

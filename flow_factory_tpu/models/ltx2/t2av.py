@@ -698,9 +698,11 @@ class LTX2T2AVAdapter(BaseAdapter):
             trainable if trainable is not None else self.trainable,
             self.frozen_velocity_params(),
             v0, a0, embeds, jnp.float32(g),
-            jnp.asarray(v_sigmas), jnp.asarray(a_sigmas), jnp.asarray(timesteps),
-            jnp.asarray(noise_levels),
-            jnp.asarray(maps.latent_store_slot), jnp.asarray(maps.logprob_store_slot),
+            self.stage_constant(v_sigmas), self.stage_constant(a_sigmas),
+            self.stage_constant(timesteps),
+            self.stage_constant(noise_levels),
+            self.stage_constant(maps.latent_store_slot),
+            self.stage_constant(maps.logprob_store_slot),
             scan_key,
             do_cfg=do_cfg, compute_log_prob=compute_log_prob, dynamics_type=dynamics,
             num_latent_slots=maps.num_latent_slots, num_logprob_slots=maps.num_logprob_slots,
@@ -716,7 +718,8 @@ class LTX2T2AVAdapter(BaseAdapter):
 
         def _materialize() -> List[T2AVSample]:
             videos = (
-                self.fetch_batch(videos_dev, 0) if videos_dev is not None else [None] * B
+                self.fetch_batch(videos_dev, 0).astype(np.float32, copy=False)
+                if videos_dev is not None else [None] * B
             )
             audios = (
                 np.asarray(self.fetch_batch(audios_dev, 0), np.float32)
@@ -781,6 +784,8 @@ class LTX2T2AVAdapter(BaseAdapter):
         dns = dt if dns is None else float(dns)
         conditioned = getattr(self.component_configs["vae"], "timestep_conditioning", False)
 
+        wire = self.image_wire_dtype()
+
         def _decode(params, z, key):
             z5 = z.reshape(z.shape[0], tl, h, w, z.shape[-1]).astype(jnp.float32)
             ts = None
@@ -792,13 +797,14 @@ class LTX2T2AVAdapter(BaseAdapter):
             video = self.modules["vae"].apply(
                 {"params": params}, z5, num_frames, ts, method=LTXVideoVAE.decode)
             video = jnp.clip(video.astype(jnp.float32) / 2.0 + 0.5, 0.0, 1.0)
+            video = video if wire is None else video.astype(wire)
             return jnp.transpose(video, (0, 2, 1, 3, 4))
 
         key = derive_key("ltx2_decode", self.training_args.seed)
         out = jax.jit(_decode)(self.params["vae"], latents, key)
         if not fetch:
             return out  # device array from the async dispatch
-        return np.asarray(jax.device_get(out))
+        return np.asarray(jax.device_get(out)).astype(np.float32, copy=False)
 
     def decode_audio(self, latents: jax.Array, fetch: bool = True) -> np.ndarray:
         """Audio tokens (B, La, Ca) → waveforms (B, 1, T) in [-1, 1].

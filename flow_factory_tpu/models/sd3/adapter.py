@@ -388,11 +388,13 @@ class SD35Adapter(BaseAdapter):
         # fp32 — it feeds the fp32 timestep-modulation MLP.
         embeds = {
             "prompt_embeds": self.stage_context(prompt_embeds),
-            "pooled_prompt_embeds": jnp.asarray(pooled_prompt_embeds),
+            "pooled_prompt_embeds": self.stage_pooled(pooled_prompt_embeds),
         }
         if do_cfg:
             embeds["negative_prompt_embeds"] = self.stage_context(negative_prompt_embeds)
-            embeds["negative_pooled_prompt_embeds"] = jnp.asarray(negative_pooled_prompt_embeds)
+            embeds["negative_pooled_prompt_embeds"] = self.stage_pooled(
+                negative_pooled_prompt_embeds
+            )
 
         # --- schedule (mu from seq len: dynamic shifting)
         h, w, c = self.latent_shape(height, width)
@@ -425,11 +427,11 @@ class SD35Adapter(BaseAdapter):
             x0,
             embeds,
             jnp.float32(g),
-            jnp.asarray(sigmas),
-            jnp.asarray(timesteps),
-            jnp.asarray(noise_levels),
-            jnp.asarray(maps.latent_store_slot),
-            jnp.asarray(maps.logprob_store_slot),
+            self.stage_constant(sigmas),
+            self.stage_constant(timesteps),
+            self.stage_constant(noise_levels),
+            self.stage_constant(maps.latent_store_slot),
+            self.stage_constant(maps.logprob_store_slot),
             scan_key,
             do_cfg=do_cfg,
             compute_log_prob=compute_log_prob,
@@ -455,7 +457,8 @@ class SD35Adapter(BaseAdapter):
                 if mean_buf is not None else None
             )
             images = (
-                self.fetch_batch(images_dev, 0) if images_dev is not None else [None] * B
+                self.fetch_batch(images_dev, 0).astype(np.float32, copy=False)
+                if images_dev is not None else [None] * B
             )
             ts_np = np.asarray(timesteps, np.float32)
 
@@ -513,16 +516,19 @@ class SD35Adapter(BaseAdapter):
         ``fetch=False`` returns the DEVICE array from the async jit dispatch
         (callers overlap the decode with other host fetches)."""
         if self._decode_jit is None:
+            wire = self.image_wire_dtype()
+
             def _decode(params, z_nhwc):
                 z = jnp.transpose(z_nhwc, (0, 3, 1, 2))
                 img = self.modules["vae"].apply({"params": params}, z, method=AutoencoderKL.decode)
-                return jnp.clip(img.astype(jnp.float32) / 2.0 + 0.5, 0.0, 1.0)
+                img = jnp.clip(img.astype(jnp.float32) / 2.0 + 0.5, 0.0, 1.0)
+                return img if wire is None else img.astype(wire)
 
             self._decode_jit = jax.jit(_decode)
         out = self._decode_jit(self.params["vae"], latents.astype(jnp.float32))
         if not fetch:
             return out
-        return np.asarray(jax.device_get(out))
+        return np.asarray(jax.device_get(out)).astype(np.float32, copy=False)
 
     def encode_image(self, images_nchw: np.ndarray, key: Optional[jax.Array] = None) -> np.ndarray:
         """(B, 3, H, W) in [0,1] → latents (B, h, w, c) NHWC fp32 (host)."""

@@ -409,11 +409,11 @@ class WanT2VAdapter(BaseAdapter):
             x0,
             embeds,
             jnp.float32(g),
-            jnp.asarray(sigmas),
-            jnp.asarray(timesteps),
-            jnp.asarray(noise_levels),
-            jnp.asarray(maps.latent_store_slot),
-            jnp.asarray(maps.logprob_store_slot),
+            self.stage_constant(sigmas),
+            self.stage_constant(timesteps),
+            self.stage_constant(noise_levels),
+            self.stage_constant(maps.latent_store_slot),
+            self.stage_constant(maps.logprob_store_slot),
             scan_key,
             do_cfg=do_cfg,
             compute_log_prob=compute_log_prob,
@@ -431,7 +431,8 @@ class WanT2VAdapter(BaseAdapter):
 
         def _materialize() -> List[T2VSample]:
             videos = (
-                self.fetch_batch(videos_dev, 0) if videos_dev is not None else [None] * B
+                self.fetch_batch(videos_dev, 0).astype(np.float32, copy=False)
+                if videos_dev is not None else [None] * B
             )
             lat_np = self.fetch_batch(lat_buf, 1).astype(np.float32)
             lp_np = self.fetch_batch(lp_buf, 1)
@@ -492,6 +493,8 @@ class WanT2VAdapter(BaseAdapter):
         if not chunk and latents.shape[1] > 16:
             chunk = 8
         if self._decode_jit is None:
+            wire = self.image_wire_dtype()
+
             def _decode(params, z, num_frames, chunk):
                 if chunk:
                     video = self.modules["vae"].apply(
@@ -503,13 +506,14 @@ class WanT2VAdapter(BaseAdapter):
                         {"params": params}, z, num_frames, method=VideoVAE.decode
                     )  # (B, C, T, H, W)
                 video = jnp.clip(video.astype(jnp.float32) / 2.0 + 0.5, 0.0, 1.0)
+                video = video if wire is None else video.astype(wire)
                 return jnp.transpose(video, (0, 2, 1, 3, 4))  # (B, T, C, H, W)
 
             self._decode_jit = jax.jit(_decode, static_argnums=(2, 3))
         out = self._decode_jit(self.params["vae"], latents.astype(jnp.float32), num_frames, chunk)
         if not fetch:
             return out  # device array from the async dispatch
-        return np.asarray(jax.device_get(out))
+        return np.asarray(jax.device_get(out)).astype(np.float32, copy=False)
 
     def encode_video(self, videos: np.ndarray, key: Optional[jax.Array] = None) -> np.ndarray:
         """(B, T, C, H, W) in [0,1] → latents (B, Tl, h, w, c)."""

@@ -159,3 +159,60 @@ def test_rollout_with_cache_matches_disabled_cache():
     for s_on, s_off in zip(on, off):
         np.testing.assert_array_equal(s_on.all_latents, s_off.all_latents)
         np.testing.assert_array_equal(s_on.log_probs, s_off.log_probs)
+
+
+def _tiny_adapter(**extra):
+    import __graft_entry__ as g
+    from flow_factory_tpu.models import load_adapter
+    from flow_factory_tpu.parallel.dist import set_world_size_override
+
+    set_world_size_override(1)
+    config = g._make_config(tiny=True)
+    config.model_args.extra_kwargs.update(extra)
+    return load_adapter(config)
+
+
+def test_stage_constant_content_keyed():
+    """Same bytes → SAME device buffer (no re-upload); new bytes miss once."""
+    adapter = _tiny_adapter()
+    sig = np.linspace(1.0, 0.0, 11).astype(np.float32)
+    a = adapter.stage_constant(sig)
+    b = adapter.stage_constant(np.array(sig, copy=True))  # different host array
+    assert b is a  # content-addressed hit returns the cached buffer
+    np.testing.assert_array_equal(np.asarray(a), sig)
+    c = adapter.stage_constant(sig * 0.5)  # re-seeded schedule: one miss
+    assert c is not a
+    np.testing.assert_array_equal(np.asarray(c), sig * 0.5)
+    # device arrays pass through untouched (no D2H round trip)
+    dev = jnp.asarray(sig)
+    assert adapter.stage_constant(dev) is dev
+
+
+def test_stage_pooled_bit_identical():
+    adapter = _tiny_adapter()
+    pooled = np.random.default_rng(0).standard_normal((4, 40)).astype(np.float32)
+    out = adapter.stage_pooled(pooled)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(jnp.asarray(pooled)))
+    # hit path: same rows → same values, no new upload
+    out2 = adapter.stage_pooled(np.array(pooled, copy=True))
+    np.testing.assert_array_equal(np.asarray(out2), pooled)
+
+
+def test_image_wire_dtype_gating():
+    """auto → fp16 wire under 16-bit compute; parity fp32 runs untouched."""
+    adapter = _tiny_adapter()  # tiny config uses a 16-bit inference dtype?
+    wire = adapter.image_wire_dtype()
+    if jnp.dtype(adapter.inference_dtype).itemsize <= 2:
+        assert wire == jnp.float16
+    else:
+        assert wire is None
+    adapter.model_args.extra_kwargs["image_wire_dtype"] = "fp32"
+    assert adapter.image_wire_dtype() is None
+    adapter.model_args.extra_kwargs["image_wire_dtype"] = "fp16"
+    assert adapter.image_wire_dtype() == jnp.dtype(jnp.float16)
+    # samples always surface fp32 images regardless of wire
+    adapter.model_args.extra_kwargs["image_wire_dtype"] = "auto"
+    adapter.rollout()
+    out = adapter.inference(prompt=["x"], num_inference_steps=3, seed=0,
+                            guidance_scale=1.0, compute_log_prob=False)
+    assert out[0].image.dtype == np.float32
