@@ -18,7 +18,7 @@ model (48.97 TFLOP/sample, `scripts/bench_reconcile.py` — the round-2
 122 TFLOP parametric model over-counted 2.5×): 40% MFU on 989 bf16
 TFLOP/s ⇒ 8.1 samples/s/H100. One v5e chip has 174-177 MEASURED peak bf16
 TFLOP/s (18% of an H100), so per-chip parity is not the right lens —
-per-peak-FLOP efficiency is: 54.5% measured MFU here vs ≤40% estimated
+per-peak-FLOP efficiency is: 63.8% measured MFU here vs ≤40% estimated
 there (docs/performance.md).
 """
 from __future__ import annotations
