@@ -8,12 +8,15 @@ decode + host materialization (loads the VAE component too).
 
 Usage:  B=8 ATTN=flash python scripts/bench_wan.py
         B=8 E2E=1 python scripts/bench_wan.py
-Current v5e-1 numbers (docs/performance.md): scan B=8 flash 4.79
-samples/s/chip (167.1 ms/step, head-major projections); pre-HeadProj:
-B=8 flash 4.09, B=16 flash 3.68, B=8 native 3.33.
+Current v5e-1 numbers (docs/performance.md): scan B=8 flash 5.261
+samples/s/chip (152.1 ms/step, head-major projections + fused qk-norm
+flash); round-3: 4.79 (167.1); pre-HeadProj: B=8 flash 4.09, B=16 flash
+3.68, B=8 native 3.33.
 """
-import os, time, json
+import os, sys, time, json
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
