@@ -137,6 +137,7 @@ class AdvantageProcessor:
         rewards = self._weighted_total(mat)
         groups = self._groups(uids)
         group_stds = np.asarray([rewards[idx].std() for idx in groups.values()])
+        group_means = np.asarray([rewards[idx].mean() for idx in groups.values()])
         metrics = {
             "reward/mean": float(rewards.mean()),
             "reward/std": float(rewards.std()),
@@ -145,11 +146,26 @@ class AdvantageProcessor:
             "advantage/mean": float(adv.mean()),
             "advantage/std": float(adv.std()),
             "advantage/abs_mean": float(np.abs(adv).mean()),
-            # reward-collapse detector (reference zero-std-group ratio)
+            "advantage/min": float(adv.min()),
+            "advantage/max": float(adv.max()),
+            # reward-collapse detector + group distribution payload
+            # (reference ``_build_weighted_sum_log_data``,
+            # advantage_processor.py:487-568: zero-std ratio, group-std
+            # mean/max/min, spread of group means)
             "reward/zero_std_group_ratio": float((group_stds < _EPS).mean()),
             "reward/group_std_mean": float(group_stds.mean()),
+            "reward/group_std_max": float(group_stds.max()),
+            "reward/group_std_min": float(group_stds.min()),
+            "reward/group_mean_std": float(group_means.std()),
         }
         for name, vals in mat.items():
+            g_stds = np.asarray([vals[idx].std() for idx in groups.values()])
+            g_means = np.asarray([vals[idx].mean() for idx in groups.values()])
             metrics[f"reward/{name}/mean"] = float(vals.mean())
             metrics[f"reward/{name}/std"] = float(vals.std())
+            metrics[f"reward/{name}/group_std_mean"] = float(g_stds.mean())
+            metrics[f"reward/{name}/group_std_max"] = float(g_stds.max())
+            metrics[f"reward/{name}/group_std_min"] = float(g_stds.min())
+            metrics[f"reward/{name}/group_mean_std"] = float(g_means.std())
+            metrics[f"reward/{name}/zero_std_group_ratio"] = float((g_stds < _EPS).mean())
         return metrics

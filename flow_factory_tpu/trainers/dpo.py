@@ -13,10 +13,14 @@ uniform, ``dpo.py:433-462``) and the reference policy = zero-LoRA (or frozen
 snapshot) — no weight swapping, just a second pytree through the same pure
 forward.
 
-Distribution note: the reference shards PAIRS across ranks with padding /
-cycling for lockstep (``dpo.py:230-297``). Here group completeness is a
-sampler contract (group_contiguous ⇒ groups rank-local), so pair formation
-is process-local; pairs are then micro-batched over the mesh like any batch.
+Distribution note (reference ``dpo.py:230-297,355-430``): with the
+``group_contiguous`` sampler groups are rank-local, so pairs form locally and
+only the per-process pair COUNTS are aligned (cycle-pad to the max, template
+broadcast when a process has zero). With ``distributed_k_repeat`` a group's K
+copies are SCATTERED across processes, so every process host-allgathers the
+full sample set, forms the identical global pair list, takes its
+``[rank::world]`` stride, and cycle-pads to ``ceil(n/world)`` — every process
+then runs the same number of optimize steps (collective lockstep).
 """
 from __future__ import annotations
 
@@ -27,6 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..parallel.dist import get_num_processes, get_rank, host_allgather_objects
 from ..samples import BaseSample
 from ..utils.base import derive_key, derive_seed
 from .decoupled import DecoupledTrainer
@@ -40,8 +45,13 @@ class DPOTrainer(DecoupledTrainer):
         return metrics
 
     # ------------------------------------------------------------------
-    def _form_pairs(self, samples: List[BaseSample]):
-        """Per-group (chosen, rejected) by advantage argmax/argmin."""
+    @staticmethod
+    def _pairs_from_advantages(samples: List[BaseSample]):
+        """Per-group (chosen, rejected) by advantage argmax/argmin.
+
+        Deterministic in the input order, so every process running this over
+        the same gathered sample list forms the identical pair list
+        (reference ``_form_pairs_from_advantages``, dpo.py:322-358)."""
         groups: Dict[str, List[BaseSample]] = {}
         for s in samples:
             groups.setdefault(s.unique_id, []).append(s)
@@ -55,12 +65,102 @@ class DPOTrainer(DecoupledTrainer):
             pairs.append((members[int(advs.argmax())], members[int(advs.argmin())]))
         return pairs
 
+    def _form_pairs(self, samples: List[BaseSample]):
+        """Pair formation + cross-process lockstep alignment.
+
+        Mirrors reference dpo.py:246-297: distributed_k_repeat ⇒ gather all
+        samples, form global pairs, stride-shard + cycle-pad; otherwise form
+        locally and align only the counts (dpo.py:360-429)."""
+        ws = get_num_processes()
+        distributed = (
+            ws > 1
+            and self.config.data_args.sampler_type == "distributed_k_repeat"
+        )
+        if not distributed:
+            pairs = self._pairs_from_advantages(samples)
+            stat_pairs = pairs
+            if ws > 1:
+                pairs = self._align_pair_counts(pairs, ws)
+        else:
+            gathered = host_allgather_objects(list(samples))
+            global_samples = [s for rank_list in gathered for s in rank_list]
+            all_pairs = self._pairs_from_advantages(global_samples)
+            n = len(all_pairs)
+            if n and n < ws:
+                raise RuntimeError(
+                    "DPO (distributed_k_repeat): need at least one pair per "
+                    f"process for balanced sharding; got {n} pairs over {ws} "
+                    "processes. Increase unique prompts per epoch or use "
+                    "sampler_type group_contiguous."
+                )
+            mine = all_pairs[get_rank()::ws]
+            stat_pairs = mine
+            target = -(-n // ws) if n else 0
+            if mine and len(mine) < target:
+                logger.warning(
+                    "DPO: cycled local pair shard %d -> %d for per-process "
+                    "lockstep (distributed_k_repeat)", len(mine), target)
+                mine = (mine * target)[:target]
+            pairs = mine
+        self._pair_metrics = self._pair_stats(stat_pairs, ws)
+        return pairs
+
+    @staticmethod
+    def _align_pair_counts(pairs, ws: int):
+        """group_contiguous multi-process: cycle-pad local pairs to the max
+        count across processes; a process with ZERO pairs pads from a
+        template pair fetched from the first non-empty process (reference
+        ``_align_dpo_pairs_across_ranks``, dpo.py:360-429)."""
+        counts = [c for lst in host_allgather_objects([len(pairs)]) for c in lst]
+        max_cnt = max(counts)
+        if max_cnt == 0:
+            return pairs
+        if min(counts) == 0:
+            # some process is empty: every non-empty process contributes its
+            # first pair; empty ones pick the first non-empty process's
+            templates = host_allgather_objects([pairs[0]] if pairs else [])
+            if not pairs:
+                template = next(lst[0] for lst in templates if lst)
+                logger.warning(
+                    "DPO: no local pairs on this process; padding %d steps "
+                    "with a broadcast template pair", max_cnt)
+                return [template] * max_cnt
+        if len(pairs) < max_cnt:
+            logger.warning(
+                "DPO: cycled local pairs %d -> %d to match the widest "
+                "process", len(pairs), max_cnt)
+            pairs = (pairs * max_cnt)[:max_cnt]
+        return pairs
+
+    @staticmethod
+    def _pair_stats(stat_pairs, ws: int) -> Dict[str, float]:
+        """Globally-reduced DPO pair statistics (reference dpo.py:298-318),
+        computed over UNPADDED pairs only."""
+        n = len(stat_pairs)
+        ca = np.asarray([p[0].extra_kwargs["advantage"] for p in stat_pairs], np.float64)
+        ra = np.asarray([p[1].extra_kwargs["advantage"] for p in stat_pairs], np.float64)
+        local = np.array([float(n), ca.sum() if n else 0.0, ra.sum() if n else 0.0],
+                         np.float64)
+        if ws > 1:
+            total = np.sum([row for lst in host_allgather_objects([local])
+                            for row in lst], axis=0)
+        else:
+            total = local
+        out = {"train/dpo_num_pairs": float(total[0])}
+        if total[0] > 0:
+            out["train/dpo_chosen_adv_mean"] = float(total[1] / total[0])
+            out["train/dpo_rejected_adv_mean"] = float(total[2] / total[0])
+            out["train/dpo_adv_margin_mean"] = float((total[1] - total[2]) / total[0])
+        return out
+
     def optimize(self, samples: List[BaseSample], epoch: int) -> Dict[str, float]:
         ta = self.training_args
         pairs = self._form_pairs(samples)
         if not pairs:
+            # lockstep-consistent: pair counts were aligned across processes,
+            # so either every process has pairs or none does
             logger.warning("DPO: no usable pairs this epoch")
-            return {}
+            return dict(getattr(self, "_pair_metrics", {}))
         ref_trainable = self.adapter.ref_trainable()
         frozen = self.adapter.frozen_velocity_params()
         T = ta.get_num_train_timesteps(self.config)
@@ -120,7 +220,9 @@ class DPOTrainer(DecoupledTrainer):
                         infos[-1]["train/grad_norm"] = gn
         if self._accum_count > 0:
             infos[-1]["train/grad_norm"] = self.apply_accumulated()
-        return self.aggregate_infos(infos)
+        out = self.aggregate_infos(infos)
+        out.update(getattr(self, "_pair_metrics", {}))
+        return out
 
     # ------------------------------------------------------------------
     @property

@@ -16,9 +16,20 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
 
+import sys  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent machine-keyed CPU compile cache: repeat CI runs skip recompiles
+# of the heavier mesh/adapter modules (the cache dir is keyed by host CPU
+# features, so a cache written on another machine is never offered here).
+from flow_factory_tpu.utils.compile_cache import setup_compile_cache  # noqa: E402
+
+setup_compile_cache("cpu")
 
 import pytest  # noqa: E402
 

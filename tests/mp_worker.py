@@ -296,12 +296,146 @@ def phase_wan_ring():
     print(f"PHASE_OK wan_ring", flush=True)
 
 
+def phase_dpo():
+    """Cross-rank DPO pairing (VERDICT r4 Next #3): groups SPAN the two
+    processes under distributed_k_repeat, so pair formation must gather
+    samples globally, stride-shard pairs, and cycle-pad so both processes run
+    identical optimize step counts with finite losses."""
+    import yaml
+
+    from flow_factory_tpu.hparams.args import Arguments
+    from flow_factory_tpu.parallel.dist import host_allgather_objects
+    from flow_factory_tpu.trainers import load_trainer
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "tests", "fixtures", "smoke_grpo.yaml")) as f:
+        raw = yaml.safe_load(f)
+    raw["train"]["trainer_type"] = "dpo"
+    raw["train"]["max_epochs"] = 1
+    raw["train"]["group_size"] = 4  # K=4 over 2 procs -> 2 copies per proc
+    raw["train"]["unique_sample_num_per_epoch"] = 2
+    raw["train"]["per_device_batch_size"] = 1
+    raw["data"]["dataset_dir"] = os.path.join(root, "tests", "fixtures", "tiny_prompts")
+    raw["data"]["sampler_type"] = "distributed_k_repeat"
+    raw["data"]["cache_dir"] = os.path.join(tmpdir, "cache_dpo")
+    raw["log"]["save_dir"] = os.path.join(tmpdir, "saves_dpo")
+    config = Arguments.from_dict(raw)
+
+    trainer = load_trainer(config)
+    trainer.scheduler.set_seed(config.training_args.seed)
+    samples = trainer.sample(epoch=0)
+    trainer.prepare_feedback(samples)
+    # every group's K copies are split across the processes — local-only
+    # pairing would see half-groups (this is what r4's DPO got wrong)
+    local_uids = sorted({s.unique_id for s in samples})
+    per_proc_uid_counts = {u: sum(s.unique_id == u for s in samples) for u in local_uids}
+    assert all(c < config.training_args.group_size for c in per_proc_uid_counts.values()), \
+        f"groups unexpectedly process-local: {per_proc_uid_counts}"
+
+    pairs = trainer._form_pairs(samples)
+    counts = [c for lst in host_allgather_objects([len(pairs)]) for c in lst]
+    assert len(set(counts)) == 1, f"pair counts differ across processes: {counts}"
+    assert counts[0] >= 1, counts
+    # pairs must be complete groups: chosen/rejected share the uid
+    for c, r in pairs:
+        assert c.unique_id == r.unique_id
+        assert c.extra_kwargs["advantage"] >= r.extra_kwargs["advantage"]
+
+    loss_info = trainer.optimize(samples, epoch=0)
+    assert loss_info.get("train/dpo_num_pairs", 0) >= 1, loss_info
+    assert np.isfinite(loss_info["train/loss"]), loss_info
+    # identical reduced metrics on every process (collective lockstep held)
+    flat = [m for lst in host_allgather_objects([loss_info["train/dpo_num_pairs"]])
+            for m in lst]
+    assert max(flat) - min(flat) < 1e-9, flat
+    print(f"PHASE_OK dpo_pairs", flush=True)
+
+
+def phase_ckpt():
+    """Multi-host-safe checkpoint save/load with fsdp-sharded params that
+    SPAN both processes (VERDICT r4 Next #2): every process participates in
+    the gather collectives, exactly one writes, and a fresh adapter loads
+    bit-identical weights. Also proves the size-capped sharded full export
+    (multiple shard files + index) round-trips."""
+    import json as _json
+
+    from flow_factory_tpu.hparams.args import Arguments
+    from flow_factory_tpu.models import load_adapter
+    from flow_factory_tpu.parallel.mesh import MeshConfig, create_mesh
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ndev = 4 * nprocs
+    config = Arguments.from_dict({
+        "data": {"dataset_dir": os.path.join(root, "tests", "fixtures", "tiny_prompts")},
+        "model": {"model_type": "sd3-5", "model_name_or_path": "tiny",
+                  "finetune_type": "lora", "lora_rank": 4, "lora_alpha": 8,
+                  "master_dtype": "float32", "inference_dtype": "float32",
+                  "fsdp_size": ndev},
+        "scheduler": {"dynamics_type": "Flow-SDE", "noise_level": 0.7,
+                      "num_sde_steps": 2, "sde_steps": [0, 1, 2]},
+        "train": {"trainer_type": "grpo", "resolution": 32,
+                  "num_inference_steps": 4, "guidance_scale": 2.0,
+                  "per_device_batch_size": 1, "group_size": 2,
+                  "unique_sample_num_per_epoch": 1, "ema_decay": 0},
+        "eval": {}, "log": {}, "rewards": [],
+    })
+    mesh = create_mesh(MeshConfig(fsdp_size=ndev))
+    adapter = load_adapter(config, mesh=mesh)
+    # the fsdp axis spans both processes → some leaves must be
+    # non-fully-addressable, i.e. the path jax.device_get would raise on
+    leaves = jax.tree.leaves(adapter.trainable)
+    assert any(isinstance(l, jax.Array) and not l.is_fully_addressable for l in leaves), \
+        "expected fsdp-sharded trainable leaves spanning processes"
+
+    before = {c: adapter._flat_numpy(t) for c, t in adapter.trainable.items()}
+
+    save_dir = os.path.join(tmpdir, "ckpt_mh")
+    adapter.save_checkpoint(save_dir, model_only=True, save_ema=False)
+    assert os.path.exists(os.path.join(save_dir, "adapter_config.json"))
+
+    adapter2 = load_adapter(config, mesh=mesh)
+    adapter2.load_checkpoint(save_dir, resume_type="lora")
+    after = {c: adapter2._flat_numpy(t) for c, t in adapter2.trainable.items()}
+    for c in before:
+        assert set(after[c]) == set(before[c])
+        for k in before[c]:
+            np.testing.assert_array_equal(after[c][k], before[c][k])
+
+    # size-capped sharded full export: tiny cap forces multiple shard files
+    adapter.MAX_SHARD_BYTES = 4096
+    exp_dir = os.path.join(tmpdir, "export_mh")
+    adapter.export_merged(exp_dir, save_ema=False)
+    with open(os.path.join(exp_dir, "model_index.json")) as f:
+        idx = _json.load(f)
+    files = sorted(set(idx["weight_map"].values()))
+    assert len(files) > 1, files
+    assert all(os.path.exists(os.path.join(exp_dir, fn)) for fn in files)
+    # the shard files reassemble exactly the merged (LoRA-folded) weights
+    from safetensors.numpy import load_file
+
+    merged_before = {
+        c: adapter._flat_numpy(adapter.merged_params(c, trainable=adapter.trainable))
+        for c in adapter.trainable
+    }
+    for comp, expect in merged_before.items():
+        got = {}
+        for fn in sorted({v for k, v in idx["weight_map"].items()
+                          if k.startswith(f"{comp}/")}):
+            got.update(load_file(os.path.join(exp_dir, fn)))
+        assert set(got) == set(expect), (set(expect) - set(got))
+        for k in expect:
+            np.testing.assert_array_equal(got[k], expect[k])
+    print(f"PHASE_OK ckpt", flush=True)
+
+
 PHASES = {
     "collectives": phase_collectives,
     "groupwise": phase_groupwise,
     "grpo": phase_grpo,
     "dgpo": phase_dgpo,
     "wan_ring": phase_wan_ring,
+    "ckpt": phase_ckpt,
+    "dpo_pairs": phase_dpo,
 }
 
 for name in phases:

@@ -74,6 +74,23 @@ def test_two_process_grpo_epoch_and_dgpo_step(tmp_path):
     _run_workers("grpo,dgpo", tmp_path, timeout=2400)
 
 
+def test_two_process_dpo_cross_rank_pairs(tmp_path):
+    """Cross-rank DPO pairing under distributed_k_repeat (VERDICT r4 Next
+    #3): groups span processes; pair formation gathers globally, shards
+    round-robin, cycle-pads, and both processes run identical step counts
+    with finite losses."""
+    _run_workers("dpo_pairs", tmp_path, timeout=1800)
+
+
+def test_two_process_sharded_checkpoint_save_load(tmp_path):
+    """Multi-host-safe checkpointing (VERDICT r4 Next #2): fsdp-sharded
+    params spanning both processes are gathered collectively, written by
+    process 0 only, and round-trip bit-exactly; the size-capped full export
+    produces multiple shard files + index that reassemble the merged
+    weights."""
+    _run_workers("ckpt", tmp_path, timeout=900)
+
+
 def test_two_process_wan_ring_rollout_and_grpo_step(tmp_path):
     """Wan T2V (5-D-latent family) with ``attn_backend: ring`` and the
     tensor/sequence axis spanning BOTH processes: rollout, distributed
