@@ -14,6 +14,7 @@ and modulation run in fp32 for stability.
 from __future__ import annotations
 
 import math
+import os
 from typing import Callable, Optional, Tuple
 
 import flax.linen as nn
@@ -123,8 +124,57 @@ def modulate(x: jax.Array, shift: jax.Array, scale: jax.Array) -> jax.Array:
     return x * (1.0 + scale[:, None, :]) + shift[:, None, :]
 
 
+def tag_attn_out(out: jax.Array) -> jax.Array:
+    """Name the raw attention output for selective rematerialization.
+
+    Under ``remat_policy('save_attn')`` the gradient pass SAVES these
+    (B, H, S, E) tensors instead of re-running the flash kernel — the most
+    recompute-expensive leg of a DiT block — while everything else still
+    rematerializes (memory cost ≈ one hidden-state per attention per block).
+
+    The tag is inserted ONLY when the policy is active: the ``name``
+    primitive is identity at runtime but changes the jaxpr, which would
+    churn every persistent-compile-cache key for the default programs."""
+    if os.environ.get("FFT_REMAT_POLICY") != "save_attn":
+        return out
+    from jax.ad_checkpoint import checkpoint_name
+
+    return checkpoint_name(out, "attn_out")
+
+
+def remat_policy(name: Optional[str]):
+    """Resolve a rematerialization policy for ``nn.remat`` blocks.
+
+    ``None``/'full'  — save nothing, recompute everything (default; matches
+                       the reference's ``enable_gradient_checkpointing``).
+    'save_attn'      — save tensors tagged :func:`tag_attn_out`; the flash
+                       attention forward is NOT re-run in the backward.
+    'dots'           — XLA-saveable matmul outputs (most memory, least
+                       recompute).
+    Overridable via env ``FFT_REMAT_POLICY`` for on-chip experiments.
+    """
+    name = os.environ.get("FFT_REMAT_POLICY", name or "full")
+    if name in ("", "full", None):
+        return None
+    import jax.ad_checkpoint as adc
+
+    if name == "save_attn":
+        return adc.checkpoint_policies.save_only_these_names("attn_out")
+    if name == "dots":
+        return adc.checkpoint_policies.dots_with_no_batch_dims_saveable
+    raise ValueError(f"Unknown remat policy {name!r}")
+
+
 class AdaLayerNormZero(nn.Module):
-    """LayerNorm with 6-way (or 2-way) conditioning from the time embedding."""
+    """LayerNorm with 6-way (or 9-way) conditioning from the time embedding.
+
+    ``num_chunks == 9`` is the diffusers ``SD35AdaLayerNormZeroX`` dual-
+    attention form: chunk order (shift_msa, scale_msa, gate_msa, shift_mlp,
+    scale_mlp, gate_mlp, shift_msa2, scale_msa2, gate_msa2), and BOTH
+    modulated outputs come from the SAME pre-attention LayerNorm of ``x`` —
+    parallel branches, not sequential (round-5 fix, pinned by
+    tests/test_torch_reference.py). Returns
+    (x_mod, x_mod2, gate_msa, shift_mlp, scale_mlp, gate_mlp, gate_msa2)."""
 
     hidden_dim: int
     num_chunks: int = 6
@@ -139,11 +189,23 @@ class AdaLayerNormZero(nn.Module):
         # one-pass Pallas LayerNorm+modulate on TPU; bit-identical native
         # composition elsewhere (ops/norms.py)
         out = adaln_modulate(x, chunks[0], chunks[1])
+        if self.num_chunks == 9:
+            out2 = adaln_modulate(x, chunks[6], chunks[7])
+            return (out, out2, chunks[2], chunks[3], chunks[4], chunks[5], chunks[8])
         return (out, *chunks[2:])
 
 
 class AdaLayerNormContinuous(nn.Module):
-    """Final-layer AdaLN: shift/scale from the conditioning vector."""
+    """Final-layer AdaLN: shift/scale from the conditioning vector.
+
+    Chunk order is **scale-first** — the diffusers ``AdaLayerNormContinuous``
+    convention (``scale, shift = emb.chunk(2)``), which DIFFERS from
+    ``AdaLayerNormZero``'s shift-first order. Diffusers-format checkpoints
+    (SD3/FLUX ``norm_out.linear``, SD3 final-block ``norm1_context.linear``)
+    bake this in: the upstream original→diffusers converters swap_scale_shift
+    the original shift-first weights into scale-first. Round-5 fix — the
+    previous shift-first split silently mis-modulated any real imported
+    checkpoint; pinned by tests/test_torch_reference.py."""
 
     hidden_dim: int
     dtype: jnp.dtype = jnp.float32
@@ -153,7 +215,7 @@ class AdaLayerNormContinuous(nn.Module):
         mods = nn.Dense(2 * self.hidden_dim, dtype=jnp.float32, name="linear")(
             nn.silu(emb.astype(jnp.float32))
         )
-        shift, scale = jnp.split(mods, 2, axis=-1)
+        scale, shift = jnp.split(mods, 2, axis=-1)
         return adaln_modulate(x, shift, scale)
 
 
@@ -354,6 +416,7 @@ class JointAttention(nn.Module):
             out = qknorm_dot_product_attention(q, k, v, gq, gk, backend=self.attn_backend)
         else:
             out = dot_product_attention(q, k, v, backend=self.attn_backend)
+        out = tag_attn_out(out)
 
         ctx_out = None
         if context is not None:
@@ -391,7 +454,7 @@ class SelfAttention(nn.Module):
             out = dot_product_attention(q, k, v, backend=self.attn_backend)
         else:
             out = dot_product_attention(q, k, v, backend=self.attn_backend)
-        return MergeProj(out_dim=D, dtype=self.dtype, name="to_out")(out)
+        return MergeProj(out_dim=D, dtype=self.dtype, name="to_out")(tag_attn_out(out))
 
 
 # ---------------------------------------------------------------------------

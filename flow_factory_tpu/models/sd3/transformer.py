@@ -32,6 +32,7 @@ from ..layers import (
     PooledTextEmbedder,
     SelfAttention,
     TimestepEmbedder,
+    remat_policy,
     residual_gate_modulate,
     unpatchify,
 )
@@ -115,7 +116,11 @@ class JointTransformerBlock(nn.Module):
         num_chunks = 9 if self.use_dual_attention else 6
         norm_out = AdaLayerNormZero(cfg.hidden_dim, num_chunks=num_chunks, name="norm1")(x, temb)
         if self.use_dual_attention:
-            x_mod, gate_msa, shift_mlp, scale_mlp, gate_mlp, shift2, scale2, gate2 = norm_out
+            # diffusers SD35AdaLayerNormZeroX: x_mod and x_mod2 are the SAME
+            # pre-attention LayerNorm modulated twice — attn and attn2 are
+            # parallel branches over the original x (round-5 parity fix;
+            # previously attn2 consumed the post-attn residual)
+            x_mod, x_mod2, gate_msa, shift_mlp, scale_mlp, gate_mlp, gate2 = norm_out
         else:
             x_mod, gate_msa, shift_mlp, scale_mlp, gate_mlp = norm_out
 
@@ -141,8 +146,6 @@ class JointTransformerBlock(nn.Module):
         # pass on TPU (ops/norms.py:residual_gate_modulate) — the
         # convert→reduce LN chain never round-trips through HBM
         if self.use_dual_attention:
-            x, x_mod2 = residual_gate_modulate(
-                x, attn_out, gate_msa, shift2, scale2, out_dtype=dt)
             attn2_out = SelfAttention(
                 cfg.hidden_dim,
                 cfg.num_heads,
@@ -151,6 +154,7 @@ class JointTransformerBlock(nn.Module):
                 dtype=dt,
                 name="attn2",
             )(x_mod2)
+            x = x + gate_msa[:, None, :].astype(x.dtype) * attn_out.astype(x.dtype)
             x, x_ff_in = residual_gate_modulate(
                 x, attn2_out, gate2, shift_mlp, scale_mlp, out_dtype=dt)
         else:
@@ -205,7 +209,10 @@ class SD3Transformer(nn.Module):
             encoder_hidden_states.astype(dt)
         )
 
-        BlockCls = nn.remat(JointTransformerBlock) if cfg.remat else JointTransformerBlock
+        BlockCls = (
+            nn.remat(JointTransformerBlock, policy=remat_policy(None))
+            if cfg.remat else JointTransformerBlock
+        )
         for i in range(cfg.depth):
             x, context = BlockCls(
                 cfg,

@@ -41,6 +41,9 @@ class GRPOTrainer(BaseTrainer):
     # Stage 2-3: rollout sampling
     # ------------------------------------------------------------------
     def sample(self, epoch: int) -> List[BaseSample]:
+        import os
+        import time
+
         ta = self.training_args
         self.adapter.rollout()
         self.reward_buffer.clear()
@@ -49,12 +52,18 @@ class GRPOTrainer(BaseTrainer):
         self.train_loader.set_epoch(epoch)
         rank = jax.process_index()
         pending: Optional[PendingRollout] = None
+        # opt-in leg attribution for the epoch bench (docs/performance.md
+        # §Epoch: the sample phase runs ~40% over the streaming headline;
+        # FFT_SAMPLE_PROFILE=1 prints where the wall-clock goes)
+        prof = {"dispatch": 0.0, "materialize": 0.0, "rewards": 0.0} \
+            if os.environ.get("FFT_SAMPLE_PROFILE") else None
         for b, batch in enumerate(self.train_loader):
             self.check_preempt()
             B = len(batch["prompt"])
             keys = jnp.stack([
                 derive_key("rollout", ta.seed, epoch, rank, b, i) for i in range(B)
             ])
+            t0 = time.perf_counter()
             out = self.adapter.inference(
                 prompt=batch["prompt"],
                 prompt_embeds=batch.get("prompt_embeds"),
@@ -68,6 +77,7 @@ class GRPOTrainer(BaseTrainer):
                 defer=True,
                 **self.condition_kwargs(batch),
             )
+            t1 = time.perf_counter()
             # software-pipelined sampling: batch b is fully DISPATCHED above;
             # materialize batch b-1 now so its host fetch overlaps batch b's
             # device compute. Adapters without defer support return the list
@@ -76,12 +86,33 @@ class GRPOTrainer(BaseTrainer):
             # D2H-before-add_samples rule).
             if isinstance(out, PendingRollout):
                 if pending is not None:
-                    self.reward_buffer.add_samples(pending.materialize())
+                    ready = pending.materialize()
+                    t2 = time.perf_counter()
+                    self.reward_buffer.add_samples(ready)
+                else:
+                    t2 = t1
                 pending = out
             else:
+                t2 = t1
                 self.reward_buffer.add_samples(out)
+            if prof is not None:
+                t3 = time.perf_counter()
+                prof["dispatch"] += t1 - t0
+                prof["materialize"] += t2 - t1
+                prof["rewards"] += t3 - t2
         if pending is not None:
-            self.reward_buffer.add_samples(pending.materialize())
+            t1 = time.perf_counter()
+            ready = pending.materialize()
+            t2 = time.perf_counter()
+            self.reward_buffer.add_samples(ready)
+            if prof is not None:
+                prof["materialize"] += t2 - t1
+                prof["rewards"] += time.perf_counter() - t2
+        if prof is not None:
+            logger.info("[sample-profile] epoch %d: %s", epoch,
+                        {k: round(v, 3) for k, v in prof.items()})
+            print(f"[sample-profile] epoch {epoch}: "
+                  + " ".join(f"{k}={v:.3f}s" for k, v in prof.items()), flush=True)
         self.adapter.train()
         return self.reward_buffer.samples
 
