@@ -376,6 +376,19 @@ class BaseAdapter(ABC):
         """Per-model sigma-schedule knobs (shift, dynamic shifting...)."""
         return {}
 
+    @staticmethod
+    def run_init(init_fn: Callable, module: Any, key: jax.Array) -> Any:
+        """Run a flax ``Module.init`` as ONE jitted program.
+
+        Eager ``init`` executes op by op — every param initializer and every
+        forward primitive is its own tiny dispatch. Through the remote-
+        compile relay that is hundreds of round trips: the SD3.5-M on-device
+        init measured ~20 min in the round-5 bench (the whole rest of the
+        bench ran in ~6). One jit collapses it to a single compile (persisted
+        in the compilation cache) + a single execution; on CPU/host-RAM init
+        it likewise removes per-op Python overhead."""
+        return jax.jit(lambda k: init_fn(module, k))(key)
+
     def init_device_context(self):
         """Where to materialize random-init params.
 

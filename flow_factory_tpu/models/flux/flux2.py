@@ -171,7 +171,8 @@ class Flux2Adapter(Flux1KontextAdapter):
         self.params = {}
         with self.init_device_context():
             for i, (comp, module) in enumerate(self.modules.items()):
-                p = init_fns[comp](module, jax.random.fold_in(key, i))["params"]
+                p = self.run_init(  # ONE jitted program, not per-op dispatch
+                    init_fns[comp], module, jax.random.fold_in(key, i))["params"]
                 if not (ma.finetune_type == "full" and comp == "transformer"):
                     p = cast(p)
                 self.params[comp] = p

@@ -299,6 +299,46 @@ class QKNorm(nn.Module):
         return self.q_norm(), self.k_norm()
 
 
+def _across_heads_rms(x: jax.Array, gamma: jax.Array, eps: float = 1e-6) -> jax.Array:
+    """RMS-normalize (B, H, S, E) over the FULL hidden dim (H·E jointly).
+
+    The diffusers ``qk_norm="rms_norm_across_heads"`` form (Wan, LTX-Video):
+    upstream normalizes the (B, S, D) projection before the head split with a
+    (D,)-shaped weight — the mean-square spans every head. With the
+    head-major layout that is a reduction over axes (1, 3) and γ reshaped
+    (H, E) (torch's ``view(B, S, H, E)`` puts D index = h·E + e)."""
+    B, H, S, E = x.shape
+    x32 = x.astype(jnp.float32)
+    ms = jnp.mean(jax.lax.square(x32), axis=(1, 3), keepdims=True)
+    r = jax.lax.rsqrt(ms + eps)
+    return (x32 * r * gamma.reshape(1, H, 1, E)).astype(x.dtype)
+
+
+class AcrossHeadsQKNorm(nn.Module):
+    """q/k RMS norm ACROSS heads — γ shape (hidden_dim,).
+
+    Param tree matches :class:`QKNorm` ('qk_norm/q_norm/scale', '.../k_norm/
+    scale') so key maps are unchanged; only the γ SHAPE and the reduction
+    span differ. Round-5 parity fix: Wan and LTX upstream checkpoints carry
+    (D,)-shaped norm weights (original Wan ``WanRMSNorm(dim)``; diffusers
+    ``rms_norm_across_heads``) — the previous per-head (E,) form would have
+    failed shape validation on real weights AND normalized over the wrong
+    span."""
+
+    dim: int  # FULL hidden dim (H·E)
+    epsilon: float = 1e-6
+
+    def setup(self):
+        self.q_norm = _RMSScaleParam(self.dim)
+        self.k_norm = _RMSScaleParam(self.dim)
+
+    def __call__(self, q: jax.Array, k: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        return (
+            _across_heads_rms(q, self.q_norm(), self.epsilon),
+            _across_heads_rms(k, self.k_norm(), self.epsilon),
+        )
+
+
 class HeadProj(nn.Module):
     """QKV projection emitting the attention layout (B, H, S, E) DIRECTLY.
 

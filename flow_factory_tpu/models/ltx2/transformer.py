@@ -43,7 +43,15 @@ import jax
 import jax.numpy as jnp
 
 from ...ops.attention import dot_product_attention
-from ..layers import HeadProj, MergeProj, QKNorm, TimestepEmbedder, apply_rope, rms_modulate, rope_frequencies
+from ..layers import (
+    AcrossHeadsQKNorm,
+    HeadProj,
+    MergeProj,
+    TimestepEmbedder,
+    apply_rope,
+    rms_modulate,
+    rope_frequencies,
+)
 
 
 @dataclass(frozen=True)
@@ -98,7 +106,8 @@ class _CrossAttention(nn.Module):
         q = hp("q")(x)
         k = hp("k")(y.astype(dt))
         v = hp("v")(y.astype(dt))
-        q, k = QKNorm(D // H, name="qk_norm")(q, k)
+        # across-heads qk-norm (γ (D,)) — the LTX-Video upstream convention
+        q, k = AcrossHeadsQKNorm(D, name="qk_norm")(q, k)
         if q_rope is not None:
             q = apply_rope(q, *q_rope)
         if k_rope is not None:
@@ -156,7 +165,7 @@ class LTX2Block(nn.Module):
             q = hp(f"{prefix}_q")(x)
             k = hp(f"{prefix}_k")(x)
             val = hp(f"{prefix}_v")(x)
-            q, k = QKNorm(E, name=f"{prefix}_qk_norm")(q, k)
+            q, k = AcrossHeadsQKNorm(D, name=f"{prefix}_qk_norm")(q, k)
             q = apply_rope(q, *rope)
             k = apply_rope(k, *rope)
             attn = dot_product_attention(q, k, val, backend=cfg.attn_backend)

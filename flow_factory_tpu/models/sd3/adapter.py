@@ -205,7 +205,8 @@ class SD35Adapter(BaseAdapter):
         self.params = {}
         with self.init_device_context():
             for i, (comp, module) in enumerate(self.modules.items()):
-                p = init_fns[comp](module, jax.random.fold_in(key, i))["params"]
+                p = self.run_init(  # ONE jitted program, not per-op dispatch
+                    init_fns[comp], module, jax.random.fold_in(key, i))["params"]
                 if not (self.model_args.finetune_type == "full" and comp == "transformer"):
                     p = cast(p)
                 self.params[comp] = p

@@ -25,11 +25,12 @@ import jax.numpy as jnp
 
 from ...ops.attention import dot_product_attention
 from ..layers import (
+    AcrossHeadsQKNorm,
     FusedLayerNorm,
     HeadProj,
     MergeProj,
-    QKNorm,
     TimestepEmbedder,
+    _across_heads_rms,
     adaln_modulate,
     apply_rope,
     rope_frequencies,
@@ -127,7 +128,9 @@ class WanBlock(nn.Module):
         k = hp("sa_k")(h)
         v = hp("sa_v")(h)
         if cfg.qk_norm:
-            q, k = QKNorm(E, name="sa_qk_norm")(q, k)
+            # upstream Wan qk-norm is ACROSS heads (γ shape (D,)) — original
+            # WanRMSNorm(dim) / diffusers rms_norm_across_heads
+            q, k = AcrossHeadsQKNorm(D, name="sa_qk_norm")(q, k)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
         attn = dot_product_attention(q, k, v, backend=cfg.attn_backend)
@@ -140,7 +143,7 @@ class WanBlock(nn.Module):
         ck = hp("ca_k")(ctx)
         cv = hp("ca_v")(ctx)
         if cfg.qk_norm:
-            q, ck = QKNorm(E, name="ca_qk_norm")(q, ck)
+            q, ck = AcrossHeadsQKNorm(D, name="ca_qk_norm")(q, ck)
         attn = dot_product_attention(q, ck, cv, backend=cfg.attn_backend)
         if cfg.image_context_tokens and context_img is not None:
             # Wan2.1 I2V second cross-attention stream: shared (normed) query
@@ -150,9 +153,11 @@ class WanBlock(nn.Module):
             ik = hp("ca_k_img")(ci)
             iv = hp("ca_v_img")(ci)
             if cfg.qk_norm:
-                ik = nn.RMSNorm(epsilon=1e-6, dtype=jnp.float32, name="ca_k_img_norm")(
-                    ik.astype(jnp.float32)
-                ).astype(ik.dtype)
+                # across-heads k-norm (upstream norm_added_k, γ (D,))
+                from ..layers import _RMSScaleParam
+
+                ik = _across_heads_rms(
+                    ik, _RMSScaleParam(D, name="ca_k_img_norm")())
             attn = attn + dot_product_attention(q, ik, iv, backend=cfg.attn_backend)
         x = x + mp("ca_out")(attn)
 

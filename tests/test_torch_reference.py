@@ -150,6 +150,52 @@ def test_flux_single_forward_parity_through_key_map():
     assert diff < 2e-5, f"flux single-forward max|Δ| = {diff}"
 
 
+def test_wan_single_forward_parity_through_key_map():
+    """Wan 2.x tiny: torch reference (diffusers naming) → key map → flax.
+    Validates the 3-D patch embed import, ACROSS-HEADS qk-norm (round-5
+    fix: γ shape (D,), normalized over all heads — original WanRMSNorm(dim)),
+    the scale_shift_table modulation order, 3-D RoPE, and the shift-first
+    head table."""
+    from torch_ref_wan import TorchWanTransformer
+    from flow_factory_tpu.models.wan.transformer import WanConfig, WanTransformer
+    from flow_factory_tpu.utils.checkpoint import (
+        import_diffusers_params,
+        wan_transformer_key_map,
+    )
+
+    torch.manual_seed(2)
+    tm = TorchWanTransformer()
+    cfg = WanConfig.tiny(dtype="float32", attn_backend="native")
+    fm = WanTransformer(cfg)
+
+    B, T, H, W = 2, 2, 4, 4
+    rng = np.random.default_rng(9)
+    lat = rng.standard_normal((B, 16, T, H, W)).astype(np.float32)
+    ctx = rng.standard_normal((B, 5, cfg.context_dim)).astype(np.float32)
+    t = np.asarray([612.0, 88.0], np.float32)
+
+    template = fm.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(np.transpose(lat, (0, 2, 3, 4, 1))),
+        jnp.asarray(t), jnp.asarray(ctx),
+    )["params"]
+    km, raw = wan_transformer_key_map(2)
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    params = import_diffusers_params(
+        sd, km, template, raw_map=raw, strict=True, component="wan")
+
+    theirs = tm(
+        torch.from_numpy(lat), torch.from_numpy(t), torch.from_numpy(ctx)
+    ).numpy()  # (B, C, T, H, W)
+    ours = np.asarray(fm.apply(
+        {"params": params},
+        jnp.asarray(np.transpose(lat, (0, 2, 3, 4, 1))),
+        jnp.asarray(t), jnp.asarray(ctx),
+    )).transpose(0, 4, 1, 2, 3)
+    diff = np.max(np.abs(ours - theirs))
+    assert diff < 2e-5, f"wan single-forward max|Δ| = {diff}"
+
+
 def _reference_sigmas(T: int, seq_len: int) -> np.ndarray:
     """Dynamic-shift FlowMatch schedule, reimplemented from the diffusers
     semantics (independent of scheduler/flow_match_euler.py)."""
