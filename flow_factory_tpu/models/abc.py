@@ -166,6 +166,20 @@ class ContextRowCache:
         return jnp.stack([local[d] for d in digs])
 
 
+@functools.lru_cache(maxsize=8)
+def _replicate_fn(mesh):
+    """Cached jitted identity → fully-replicated (one wrapper per mesh).
+
+    A fresh ``jax.jit`` per leaf would retrace AND recompile for every leaf
+    of a checkpoint gather; the cached wrapper compiles once per shape and
+    hits the C++ fastpath afterwards — on multi-process meshes each compile
+    is a cross-process consensus round trip, so this is the difference
+    between seconds and many minutes for a full-model gather."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    return jax.jit(lambda x: x, out_shardings=NamedSharding(mesh, PartitionSpec()))
+
+
 class PendingRollout:
     """A dispatched-but-unfetched rollout (``adapter.inference(..., defer=True)``).
 
@@ -536,6 +550,30 @@ class BaseAdapter(ABC):
             return merge_lora(frozen[component], trainable[component], self.lora_scale)
         return trainable[component]
 
+    def merged_params_host(
+        self,
+        component: str,
+        trainable: Optional[Dict[str, Any]] = None,
+        frozen: Optional[Dict[str, Any]] = None,
+    ) -> Any:
+        """:meth:`merged_params` as ONE jitted program — for HOST-side
+        callers (export, checkpoint tests) on mesh-sharded params.
+
+        Eager per-op dispatch on multi-process global arrays pays a
+        cross-process compile/consensus round trip PER OP — the 2-process
+        checkpoint CI phase measured the eager LoRA merge crawling past its
+        900 s timeout. One jit = one collective program."""
+        trainable = self.trainable if trainable is None else trainable
+        frozen = self.params if frozen is None else frozen
+        if component not in trainable:
+            return frozen[component]
+        if self.is_lora:
+            if not hasattr(self, "_jit_merge_lora"):
+                self._jit_merge_lora = jax.jit(
+                    lambda f, t: merge_lora(f, t, self.lora_scale))
+            return self._jit_merge_lora(frozen[component], trainable[component])
+        return trainable[component]
+
     def frozen_velocity_params(self) -> Dict[str, Any]:
         """Frozen pytrees the velocity path needs (passed into jit as args)."""
         comps = {self.velocity_component}
@@ -661,12 +699,7 @@ class BaseAdapter(ABC):
         (``/root/reference/src/flow_factory/models/abc.py:1087-1155``).
         """
         if isinstance(leaf, jax.Array) and not leaf.is_fully_addressable:
-            from jax.sharding import NamedSharding, PartitionSpec
-
-            mesh = leaf.sharding.mesh
-            replicated = jax.jit(
-                lambda x: x, out_shardings=NamedSharding(mesh, PartitionSpec())
-            )(leaf)
+            replicated = _replicate_fn(leaf.sharding.mesh)(leaf)
             return np.asarray(replicated.addressable_data(0))
         return np.asarray(jax.device_get(leaf))
 
@@ -765,7 +798,7 @@ class BaseAdapter(ABC):
         trainable = self.ema_trainable if (save_ema and self.ema is not None) else self.trainable
         if self.is_lora:
             merged = {
-                comp: self.merged_params(comp, trainable=trainable)
+                comp: self.merged_params_host(comp, trainable=trainable)
                 for comp in trainable
             }
         else:

@@ -162,6 +162,10 @@ def remat_policy(name: Optional[str]):
         return adc.checkpoint_policies.save_only_these_names("attn_out")
     if name == "dots":
         return adc.checkpoint_policies.dots_with_no_batch_dims_saveable
+    if name == "checkpoint_dots":
+        # save EVERY matmul output inside the block — skips the whole
+        # forward recompute in the backward at ~280 MB/block memory cost
+        return adc.checkpoint_policies.checkpoint_dots
     raise ValueError(f"Unknown remat policy {name!r}")
 
 

@@ -64,6 +64,14 @@ class GRPOTrainer(BaseTrainer):
                 derive_key("rollout", ta.seed, epoch, rank, b, i) for i in range(B)
             ])
             t0 = time.perf_counter()
+            # FFT_SAMPLE_PROFILE=2: cProfile ONE mid-epoch dispatch so the
+            # dominant dispatch leg (see [sample-profile]) is attributable
+            detail = os.environ.get("FFT_SAMPLE_PROFILE") == "2" and b == 2
+            if detail:
+                import cProfile
+
+                _pr = cProfile.Profile()
+                _pr.enable()
             out = self.adapter.inference(
                 prompt=batch["prompt"],
                 prompt_embeds=batch.get("prompt_embeds"),
@@ -77,6 +85,14 @@ class GRPOTrainer(BaseTrainer):
                 defer=True,
                 **self.condition_kwargs(batch),
             )
+            if detail:
+                import io
+                import pstats
+
+                _pr.disable()
+                s = io.StringIO()
+                pstats.Stats(_pr, stream=s).sort_stats("cumulative").print_stats(25)
+                print("[dispatch-profile batch 2]\n" + s.getvalue(), flush=True)
             t1 = time.perf_counter()
             # software-pipelined sampling: batch b is fully DISPATCHED above;
             # materialize batch b-1 now so its host fetch overlaps batch b's

@@ -414,7 +414,7 @@ def phase_ckpt():
     from safetensors.numpy import load_file
 
     merged_before = {
-        c: adapter._flat_numpy(adapter.merged_params(c, trainable=adapter.trainable))
+        c: adapter._flat_numpy(adapter.merged_params_host(c, trainable=adapter.trainable))
         for c in adapter.trainable
     }
     for comp, expect in merged_before.items():

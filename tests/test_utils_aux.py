@@ -170,7 +170,8 @@ def test_wan_key_map_full_coverage_and_patch_embed_math():
     x = rng.standard_normal((pt, ph, pw, cfg.in_channels)).astype(np.float32)
     conv_out = np.einsum("pqrc,pqrco->o", x, w_flax)
     dense_out = x.reshape(-1) @ kernel
-    np.testing.assert_allclose(dense_out, conv_out, rtol=1e-5)
+    # einsum vs matmul reduction order: fp32 differences up to ~3e-5 relative
+    np.testing.assert_allclose(dense_out, conv_out, rtol=5e-5, atol=1e-5)
 
 
 def _synth_torch_state_dict(template, key_map, raw_map=None, conv_specs=None, seed=0):
