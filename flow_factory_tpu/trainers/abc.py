@@ -38,6 +38,37 @@ from ..samples import BaseSample
 logger = logging.getLogger(__name__)
 
 
+def gather_eval_reward_metrics(samples: List["BaseSample"]) -> Dict[str, float]:
+    """Eval reward stats gathered ACROSS processes, per reward model.
+
+    Reference grpo.py:126-137 (``accelerator.gather`` + per-model mean/std;
+    VERDICT r4 Missing #3). Collective: every process must call this with
+    its local eval samples; all return identical global metrics."""
+    from ..parallel.dist import get_num_processes, host_allgather_objects
+
+    local_rows = [
+        (float(s.extra_kwargs.get("reward", 0.0)),
+         {k: float(v) for k, v in s.extra_kwargs.get("rewards", {}).items()})
+        for s in samples
+    ]
+    if get_num_processes() > 1:
+        rows = [r for lst in host_allgather_objects(local_rows) for r in lst]
+    else:
+        rows = local_rows
+    rewards = np.asarray([r[0] for r in rows])
+    metrics = {
+        "eval/reward_mean": float(rewards.mean()) if len(rewards) else 0.0,
+        "eval/reward_std": float(rewards.std()) if len(rewards) else 0.0,
+        "eval/num_samples": float(len(rewards)),
+    }
+    names = sorted({k for _, d in rows for k in d})
+    for name in names:
+        vals = np.asarray([d.get(name, 0.0) for _, d in rows])
+        metrics[f"eval/reward/{name}/mean"] = float(vals.mean())
+        metrics[f"eval/reward/{name}/std"] = float(vals.std())
+    return metrics
+
+
 class PreemptionRequested(Exception):
     """Raised at a safe step boundary after a preemption signal arrived."""
 
@@ -402,31 +433,7 @@ class BaseTrainer(ABC):
         # eval generates 1 sample/prompt — groups never complete, so score
         # pointwise models only (reference grpo.py:123 finalize split)
         self.eval_reward_buffer.finalize(split="pointwise")
-        # gather eval rewards across processes and emit per-reward-model
-        # stats (reference grpo.py:126-137 accelerator.gather + per-model
-        # mean/std; VERDICT r4 Missing #3)
-        from ..parallel.dist import get_num_processes, host_allgather_objects
-
-        local_rows = [
-            (float(s.extra_kwargs.get("reward", 0.0)),
-             {k: float(v) for k, v in s.extra_kwargs.get("rewards", {}).items()})
-            for s in all_samples
-        ]
-        if get_num_processes() > 1:
-            rows = [r for lst in host_allgather_objects(local_rows) for r in lst]
-        else:
-            rows = local_rows
-        rewards = np.asarray([r[0] for r in rows])
-        metrics = {
-            "eval/reward_mean": float(rewards.mean()) if len(rewards) else 0.0,
-            "eval/reward_std": float(rewards.std()) if len(rewards) else 0.0,
-            "eval/num_samples": float(len(rewards)),
-        }
-        names = sorted({k for _, d in rows for k in d})
-        for name in names:
-            vals = np.asarray([d.get(name, 0.0) for _, d in rows])
-            metrics[f"eval/reward/{name}/mean"] = float(vals.mean())
-            metrics[f"eval/reward/{name}/std"] = float(vals.std())
+        metrics = gather_eval_reward_metrics(all_samples)
         if self.logger_backend:
             self.logger_backend.log_data(metrics, epoch)
             from ..logger.formatting import samples_to_media_payload

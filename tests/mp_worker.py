@@ -351,6 +351,34 @@ def phase_dpo():
     print(f"PHASE_OK dpo_pairs", flush=True)
 
 
+def phase_eval_gather():
+    """Cross-process eval reward gathering (VERDICT r4 Missing #3): every
+    process holds different samples with per-model reward dicts; the
+    gathered per-model mean/std must be GLOBAL and identical everywhere."""
+    from flow_factory_tpu.trainers.abc import gather_eval_reward_metrics
+
+    samples = [
+        types.SimpleNamespace(extra_kwargs={
+            "reward": float(pid * 2 + j),
+            "rewards": {"pick": float(pid * 2 + j), "clip": 1.0},
+        })
+        for j in range(2)
+    ]
+    m = gather_eval_reward_metrics(samples)
+    exp = np.asarray([r * 2 + j for r in range(nprocs) for j in range(2)], np.float64)
+    assert m["eval/num_samples"] == len(exp), m
+    assert abs(m["eval/reward_mean"] - exp.mean()) < 1e-12, m
+    assert abs(m["eval/reward/pick/mean"] - exp.mean()) < 1e-12, m
+    assert abs(m["eval/reward/pick/std"] - exp.std()) < 1e-12, m
+    assert abs(m["eval/reward/clip/mean"] - 1.0) < 1e-12, m
+    # identical on every process
+    from flow_factory_tpu.parallel.dist import host_allgather_objects
+
+    flat = [v for lst in host_allgather_objects([m["eval/reward_mean"]]) for v in lst]
+    assert max(flat) - min(flat) == 0.0, flat
+    print(f"PHASE_OK eval_gather", flush=True)
+
+
 def phase_ckpt():
     """Multi-host-safe checkpoint save/load with fsdp-sharded params that
     SPAN both processes (VERDICT r4 Next #2): every process participates in
@@ -436,6 +464,7 @@ PHASES = {
     "wan_ring": phase_wan_ring,
     "ckpt": phase_ckpt,
     "dpo_pairs": phase_dpo,
+    "eval_gather": phase_eval_gather,
 }
 
 for name in phases:

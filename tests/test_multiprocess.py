@@ -64,8 +64,9 @@ def _run_workers(phases: str, tmp_path, timeout: int):
 
 def test_two_process_collectives_and_groupwise(tmp_path):
     """Fast phases: allgather/stats/global-batch + distributed groupwise
-    rewards across a genuine process boundary."""
-    _run_workers("collectives,groupwise", tmp_path, timeout=600)
+    rewards + cross-process eval reward gathering, across a genuine
+    process boundary."""
+    _run_workers("collectives,groupwise,eval_gather", tmp_path, timeout=600)
 
 
 def test_two_process_grpo_epoch_and_dgpo_step(tmp_path):
