@@ -154,15 +154,21 @@ def main() -> None:
             rec["provisional"] = True
         print(json.dumps(rec), flush=True)
 
+    # pipeline depth 2 — the trainer default (training_args.pipeline_depth):
+    # two dispatched batches stay in flight so the device never drains while
+    # a fetch rides the wire (round 5: 64-sample epoch 86.1 → 59.5 s)
+    from collections import deque
+
+    depth = max(1, int(os.environ.get("BENCH_PIPELINE_DEPTH", "2")))
     prov_at = min(3, n_stream - 1)  # batches materialized before the early flush
     t0 = time.perf_counter()
-    pending = None
+    pending = deque()
     n_done = 0
     n_mat = 0
     for trial in range(1, n_stream + 1):
-        nxt = rollout(trial, defer=True)
-        if pending is not None:
-            out = pending.materialize()
+        pending.append(rollout(trial, defer=True))
+        if len(pending) > depth:
+            out = pending.popleft().materialize()
             # materialize() returns host numpy — the fetch IS the fence;
             # touch a data-dependent scalar anyway for belt-and-braces
             float(np.sum(out[-1].all_latents[-1]))
@@ -170,10 +176,10 @@ def main() -> None:
             n_mat += 1
             if n_mat == prov_at:
                 emit(n_done / (time.perf_counter() - t0), provisional=True)
-        pending = nxt
-    out = pending.materialize()
-    float(np.sum(out[-1].all_latents[-1]))
-    n_done += len(out)
+    while pending:
+        out = pending.popleft().materialize()
+        float(np.sum(out[-1].all_latents[-1]))
+        n_done += len(out)
     stream_dt = time.perf_counter() - t0
 
     samples_per_sec = n_done / stream_dt

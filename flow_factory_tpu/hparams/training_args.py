@@ -108,6 +108,13 @@ class TrainingArguments(ArgABC):
     # accepted for reference-config compatibility, warns if set false
     offload_samples_to_cpu: bool = field(default=True)
     latent_storage_dtype: Optional[Literal["bf16", "fp16", "fp32"]] = field(default="fp16")
+    #: dispatched-but-unfetched rollout batches kept in flight during the
+    #: sample phase. 2 keeps the device fed while batch b-2's buffers ride
+    #: the wire (measured: 64-sample epoch 86.1 → 59.5 s on v5e through the
+    #: relay) at the cost of one extra batch of trajectory buffers in HBM;
+    #: drop to 1 for memory-tight video geometries. Env FFT_PIPELINE_DEPTH
+    #: overrides for experiments.
+    pipeline_depth: int = field(default=2)
 
     # EMA
     ema_decay: float = field(default=0.0)

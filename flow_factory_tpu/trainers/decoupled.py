@@ -35,7 +35,13 @@ class DecoupledTrainer(BaseTrainer):
         self.reward_buffer.clear()
         self.train_loader.set_epoch(epoch)
         rank = jax.process_index()
-        pending: Optional[PendingRollout] = None
+        import os
+        from collections import deque
+
+        # pipeline depth (see GRPOTrainer.sample / training_args.pipeline_depth)
+        depth = max(1, int(os.environ.get(
+            "FFT_PIPELINE_DEPTH", getattr(ta, "pipeline_depth", 1) or 1)))
+        pending_q: "deque[PendingRollout]" = deque()
         for b, batch in enumerate(self.train_loader):
             self.check_preempt()
             B = len(batch["prompt"])
@@ -55,16 +61,17 @@ class DecoupledTrainer(BaseTrainer):
                 defer=True,
                 **self.condition_kwargs(batch),
             )
-            # software-pipelined: materialize batch b-1 while batch b's
-            # dispatched compute runs (see GRPOTrainer.sample)
+            # software-pipelined: keep `depth` dispatched batches in flight;
+            # materialize the oldest while the newer scans run (see
+            # GRPOTrainer.sample)
             if isinstance(out, PendingRollout):
-                if pending is not None:
-                    self.reward_buffer.add_samples(pending.materialize())
-                pending = out
+                pending_q.append(out)
+                if len(pending_q) > depth:
+                    self.reward_buffer.add_samples(pending_q.popleft().materialize())
             else:
                 self.reward_buffer.add_samples(out)
-        if pending is not None:
-            self.reward_buffer.add_samples(pending.materialize())
+        while pending_q:
+            self.reward_buffer.add_samples(pending_q.popleft().materialize())
         self.adapter.train()
         return self.reward_buffer.samples
 

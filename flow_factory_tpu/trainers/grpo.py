@@ -51,7 +51,16 @@ class GRPOTrainer(BaseTrainer):
         traj_indices = compute_trajectory_indices(self.scheduler.train_timesteps, T)
         self.train_loader.set_epoch(epoch)
         rank = jax.process_index()
-        pending: Optional[PendingRollout] = None
+        # pipeline depth: how many dispatched-but-unfetched batches to keep
+        # in flight. Depth 1 (default) = materialize b-1 after dispatching b;
+        # depth 2 keeps two scans queued so the device never drains while
+        # the host fetches (costs one extra batch of trajectory buffers in
+        # HBM). FFT_PIPELINE_DEPTH to experiment (docs/performance.md §Epoch).
+        depth = max(1, int(os.environ.get(
+            "FFT_PIPELINE_DEPTH", getattr(ta, "pipeline_depth", 1) or 1)))
+        from collections import deque
+
+        pending_q: "deque[PendingRollout]" = deque()
         # opt-in leg attribution for the epoch bench (docs/performance.md
         # §Epoch: the sample phase runs ~40% over the streaming headline;
         # FFT_SAMPLE_PROFILE=1 prints where the wall-clock goes)
@@ -101,13 +110,13 @@ class GRPOTrainer(BaseTrainer):
             # buffer are host-resident numpy either way (the reference's
             # D2H-before-add_samples rule).
             if isinstance(out, PendingRollout):
-                if pending is not None:
-                    ready = pending.materialize()
+                pending_q.append(out)
+                if len(pending_q) > depth:
+                    ready = pending_q.popleft().materialize()
                     t2 = time.perf_counter()
                     self.reward_buffer.add_samples(ready)
                 else:
                     t2 = t1
-                pending = out
             else:
                 t2 = t1
                 self.reward_buffer.add_samples(out)
@@ -116,9 +125,9 @@ class GRPOTrainer(BaseTrainer):
                 prof["dispatch"] += t1 - t0
                 prof["materialize"] += t2 - t1
                 prof["rewards"] += t3 - t2
-        if pending is not None:
+        while pending_q:
             t1 = time.perf_counter()
-            ready = pending.materialize()
+            ready = pending_q.popleft().materialize()
             t2 = time.perf_counter()
             self.reward_buffer.add_samples(ready)
             if prof is not None:
