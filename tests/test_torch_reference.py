@@ -150,6 +150,96 @@ def test_flux_single_forward_parity_through_key_map():
     assert diff < 2e-5, f"flux single-forward max|Δ| = {diff}"
 
 
+def test_flux_full_rollout_trajectory_parity():
+    """FLUX.1 tiny: adapter.inference() 4-step guidance-distilled ODE rollout
+    vs a straight-line torch loop over the same imported weights — covers the
+    latent packing order, latent_image_ids generation, the mu-shifted
+    schedule at the packed seq_len, and the guidance-embed wiring that the
+    single-forward test takes as explicit inputs."""
+    from torch_ref_flux import TorchFluxTransformer
+    from flow_factory_tpu.hparams.args import Arguments
+    from flow_factory_tpu.models import load_adapter
+    from flow_factory_tpu.parallel.dist import set_world_size_override
+    from flow_factory_tpu.utils.checkpoint import (
+        flux_transformer_key_map,
+        fuse_flux_single_block_qkv_mlp,
+        import_diffusers_params,
+    )
+
+    set_world_size_override(1)
+    B, res, steps, g = 2, 32, 4, 3.5
+    config = Arguments.from_dict({
+        "data": {"dataset_dir": "tests/fixtures/tiny_prompts"},
+        "model": {"model_type": "flux1", "model_name_or_path": "tiny",
+                  "finetune_type": "lora", "lora_rank": 4, "lora_alpha": 8,
+                  "attn_backend": "native", "master_dtype": "float32",
+                  "inference_dtype": "float32"},
+        "scheduler": {"dynamics_type": "ODE", "noise_level": 0.0,
+                      "num_sde_steps": 2, "sde_steps": [0, 1, 2]},
+        "train": {"trainer_type": "grpo", "resolution": res,
+                  "num_inference_steps": steps, "guidance_scale": g,
+                  "per_device_batch_size": 1, "group_size": 2,
+                  "unique_sample_num_per_epoch": 1,
+                  "latent_storage_dtype": "fp32", "ema_decay": 0},
+        "eval": {}, "log": {}, "rewards": [],
+    })
+    adapter = load_adapter(config)
+
+    torch.manual_seed(4)
+    tm = TorchFluxTransformer()
+    sd = fuse_flux_single_block_qkv_mlp(
+        {k: v.detach().numpy() for k, v in tm.state_dict().items()}, 2)
+    params = import_diffusers_params(
+        sd, flux_transformer_key_map(2, 2), adapter.params["transformer"],
+        strict=True, component="flux")
+    adapter.params["transformer"] = jax.tree.map(jnp.asarray, params)
+
+    rng = np.random.default_rng(13)
+    tcfg = adapter.component_configs["transformer"]
+    embeds = {
+        "prompt_embeds": rng.standard_normal((B, 5, tcfg.context_dim)).astype(np.float32),
+        "pooled_prompt_embeds": rng.standard_normal((B, tcfg.pooled_dim)).astype(np.float32),
+    }
+    adapter.rollout()
+    samples = adapter.inference(
+        prompt=["parity"] * B,
+        compute_log_prob=False,
+        trajectory_indices="all",
+        seed=23,
+        height=res, width=res, num_inference_steps=steps,
+        guidance_scale=g,
+        decode=False,
+        **embeds,
+    )
+    traj = np.stack([np.asarray(s.all_latents, np.float32) for s in samples])  # (B, T+1, L, Cp)
+    assert traj.shape[1] == steps + 1
+
+    lh, lw, _ = adapter.latent_shape(res, res)
+    sig_ref = _reference_sigmas(steps, seq_len=(lh // 2) * (lw // 2))
+    np.testing.assert_allclose(
+        np.asarray(samples[0].extra_kwargs["sigmas"], np.float32), sig_ref, atol=1e-6)
+
+    # independent recompute of the RoPE ids (diffusers latent_image_ids)
+    rows, cols = lh // 2, lw // 2
+    img_ids = np.zeros((rows * cols, 3), np.float32)
+    img_ids[:, 1] = np.repeat(np.arange(rows), cols)
+    img_ids[:, 2] = np.tile(np.arange(cols), rows)
+    txt_ids = np.zeros((5, 3), np.float32)
+
+    x = torch.from_numpy(traj[:, 0])  # packed (B, L, Cp)
+    ctx_t = torch.from_numpy(embeds["prompt_embeds"])
+    pool_t = torch.from_numpy(embeds["pooled_prompt_embeds"])
+    guid = torch.full((B,), g)
+    worst = 0.0
+    for i in range(steps):
+        t = torch.full((B,), float(sig_ref[i]) * 1000.0)
+        v = tm(x, t, ctx_t, pool_t, torch.from_numpy(img_ids),
+               torch.from_numpy(txt_ids), guid)
+        x = x + v * (float(sig_ref[i + 1]) - float(sig_ref[i]))
+        worst = max(worst, float(np.max(np.abs(traj[:, i + 1] - x.numpy()))))
+    assert worst < 1e-4, f"flux trajectory max|Δ| = {worst}"
+
+
 def test_wan_single_forward_parity_through_key_map():
     """Wan 2.x tiny: torch reference (diffusers naming) → key map → flax.
     Validates the 3-D patch embed import, ACROSS-HEADS qk-norm (round-5
