@@ -102,21 +102,24 @@ if E2E:
     s_list = run_e2e(0)
     float(np.sum(s_list[-1].all_latents[-1]))
     print(f"compile+run: {time.perf_counter()-t0:.1f}s", flush=True)
-    # pipelined stream, as the trainer sample loop runs it: dispatch batch
-    # b+1 before materializing batch b (models/abc.py:PendingRollout)
-    n_stream = 4
+    # pipelined stream, as the trainer sample loop runs it (depth 2 default,
+    # training_args.pipeline_depth): keep two dispatched batches in flight
+    from collections import deque
+
+    depth = max(1, int(os.environ.get("FFT_PIPELINE_DEPTH", "2")))
+    n_stream = int(os.environ.get("BENCH_STREAM", "4"))
     t0 = time.perf_counter()
-    pending, n_done = None, 0
+    pending, n_done = deque(), 0
     for trial in range(n_stream):
-        nxt = run_e2e(trial + 1, defer=True)
-        if pending is not None:
-            out = pending.materialize()
+        pending.append(run_e2e(trial + 1, defer=True))
+        if len(pending) > depth:
+            out = pending.popleft().materialize()
             float(np.sum(out[-1].all_latents[-1]))
             n_done += len(out)
-        pending = nxt
-    out = pending.materialize()
-    float(np.sum(out[-1].all_latents[-1]))
-    n_done += len(out)
+    while pending:
+        out = pending.popleft().materialize()
+        float(np.sum(out[-1].all_latents[-1]))
+        n_done += len(out)
     dt = time.perf_counter() - t0
     print(json.dumps({"wan_rollout_e2e_samples_per_sec_per_chip": round(n_done / dt, 3),
                       "stream_s": round(dt, 3), "stream_batches": n_stream,
