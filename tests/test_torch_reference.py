@@ -286,6 +286,49 @@ def test_wan_single_forward_parity_through_key_map():
     assert diff < 2e-5, f"wan single-forward max|Δ| = {diff}"
 
 
+@pytest.mark.parametrize("solver_order,T", [(2, 6), (3, 8)])
+def test_unipc_eval_matches_torch_reference(solver_order, T):
+    """The scan-compatible UniPC(bh2) eval sampler (explicit carry +
+    host-precomputed order schedule, scheduler/unipc.py) vs an independent
+    stateful reimplementation of the diffusers algorithm
+    (torch_ref_unipc.py): identical trajectories for a deterministic
+    pseudo-model, through the warm-up ramp, the corrector, and the
+    lower_order_final taper — orders 2 and 3."""
+    from torch_ref_unipc import TorchUniPC
+    from flow_factory_tpu.scheduler.flow_match_euler import build_flow_match_sigmas
+    from flow_factory_tpu.scheduler.unipc import (
+        compute_unipc_orders,
+        init_unipc_carry,
+        unipc_eval_step,
+    )
+
+    sigmas = build_flow_match_sigmas(T, shift=3.0)  # Wan-style static shift
+    rng = np.random.default_rng(3)
+    W = (rng.standard_normal((8, 8)) * 0.2).astype(np.float32)
+
+    def vel(x, sigma):  # deterministic pseudo-model of (sample, σ)
+        return x @ W + np.float32(sigma) * 0.1
+
+    x0 = rng.standard_normal((2, 8)).astype(np.float32)
+
+    ref = TorchUniPC(sigmas, solver_order=solver_order)
+    x_ref = x0.copy()
+    for i in range(T):
+        x_ref = ref.step(vel(x_ref, sigmas[i]), x_ref)
+
+    pred, corr = compute_unipc_orders(T, solver_order)
+    carry = init_unipc_carry(jnp.asarray(x0))
+    for i in range(T):
+        v = vel(np.asarray(carry.x, np.float32), sigmas[i])
+        carry, _ = unipc_eval_step(
+            carry, jnp.asarray(v), sigmas[i], sigmas[i + 1],
+            jnp.int32(pred[i]), jnp.int32(corr[i]),
+        )
+    np.testing.assert_allclose(
+        np.asarray(carry.x), x_ref, rtol=3e-4, atol=3e-5,
+        err_msg=f"UniPC order-{solver_order} trajectory diverged")
+
+
 def _reference_sigmas(T: int, seq_len: int) -> np.ndarray:
     """Dynamic-shift FlowMatch schedule, reimplemented from the diffusers
     semantics (independent of scheduler/flow_match_euler.py)."""
