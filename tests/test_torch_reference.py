@@ -286,6 +286,60 @@ def test_wan_single_forward_parity_through_key_map():
     assert diff < 2e-5, f"wan single-forward max|Δ| = {diff}"
 
 
+def test_qwen_image_single_forward_parity_through_key_map():
+    """Qwen-Image tiny: torch reference (diffusers naming — Sequential
+    img_mod/txt_mod packing TWO (shift, scale, gate) triples, pre-txt_in
+    RMSNorm, timestep-only temb) → key map → our FluxTransformer-with-
+    txt_norm expression of the graph."""
+    from torch_ref_qwen import TorchQwenImageTransformer
+    from flow_factory_tpu.models.flux.transformer import FluxConfig, FluxTransformer
+    from flow_factory_tpu.utils.checkpoint import (
+        import_diffusers_params,
+        qwen_image_transformer_key_map,
+    )
+
+    torch.manual_seed(6)
+    tm = TorchQwenImageTransformer()
+    cfg = FluxConfig.tiny(
+        dtype="float32", attn_backend="native", pooled_dim=0,
+        guidance_embeds=False, num_single_blocks=0, num_double_blocks=2,
+        context_dim=32, txt_norm=True,
+    )
+    fm = FluxTransformer(cfg)
+
+    B, L_img, L_txt = 2, 12, 5
+    rng = np.random.default_rng(11)
+    lat = rng.standard_normal((B, L_img, cfg.in_channels)).astype(np.float32)
+    ctx = rng.standard_normal((B, L_txt, cfg.context_dim)).astype(np.float32)
+    t = np.asarray([250.0, 905.0], np.float32)
+    img_ids = np.stack([np.zeros(L_img), np.arange(L_img) // 4, np.arange(L_img) % 4],
+                       axis=1).astype(np.int32)
+    txt_ids = np.stack([np.arange(L_txt)] * 3, axis=1).astype(np.int32)
+
+    template = fm.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(lat), jnp.asarray(t), jnp.asarray(ctx), None,
+        jnp.asarray(img_ids), jnp.asarray(txt_ids),
+    )["params"]
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    params = import_diffusers_params(
+        sd, qwen_image_transformer_key_map(2), template,
+        strict=True, component="qwen-image")
+
+    theirs = tm(
+        torch.from_numpy(lat), torch.from_numpy(t), torch.from_numpy(ctx),
+        torch.from_numpy(img_ids.astype(np.float32)),
+        torch.from_numpy(txt_ids.astype(np.float32)),
+    ).numpy()
+    ours = np.asarray(fm.apply(
+        {"params": params},
+        jnp.asarray(lat), jnp.asarray(t), jnp.asarray(ctx), None,
+        jnp.asarray(img_ids), jnp.asarray(txt_ids),
+    ))
+    diff = np.max(np.abs(ours - theirs))
+    assert diff < 2e-5, f"qwen-image single-forward max|Δ| = {diff}"
+
+
 @pytest.mark.parametrize("solver_order,T", [(2, 6), (3, 8)])
 def test_unipc_eval_matches_torch_reference(solver_order, T):
     """The scan-compatible UniPC(bh2) eval sampler (explicit carry +
