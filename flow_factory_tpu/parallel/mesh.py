@@ -97,6 +97,12 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
     multihost = jax.process_count() > 1
 
     def _put(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            # already a GLOBAL array (e.g. the output of a previous jitted
+            # stage — NFT/AWM/CRD old-velocity precomputes feed the training
+            # batch directly): it cannot round-trip through host numpy on
+            # any one process, and jit resharding handles any spec mismatch
+            return x
         x = np.asarray(x) if not hasattr(x, "ndim") else x
         spec = P(DATA_AXES, *([None] * (x.ndim - 1))) if x.ndim >= 1 else P()
         sharding = NamedSharding(mesh, spec)

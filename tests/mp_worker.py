@@ -351,6 +351,44 @@ def phase_dpo():
     print(f"PHASE_OK dpo_pairs", flush=True)
 
 
+def phase_nft():
+    """One DiffusionNFT sample+optimize step across 2 processes: the
+    decoupled-trainer path (final-latent rollout, per-batch old-velocity
+    precompute, contrastive loss) with groups spanning processes and the
+    depth-2 sample pipeline."""
+    import yaml
+
+    from flow_factory_tpu.hparams.args import Arguments
+    from flow_factory_tpu.trainers import load_trainer
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "tests", "fixtures", "smoke_grpo.yaml")) as f:
+        raw = yaml.safe_load(f)
+    raw["train"]["trainer_type"] = "nft"
+    raw["train"]["max_epochs"] = 1
+    raw["train"]["group_size"] = 4
+    raw["train"]["unique_sample_num_per_epoch"] = 2
+    raw["train"]["per_device_batch_size"] = 1
+    raw["data"]["dataset_dir"] = os.path.join(root, "tests", "fixtures", "tiny_prompts")
+    raw["data"]["sampler_type"] = "distributed_k_repeat"
+    raw["data"]["cache_dir"] = os.path.join(tmpdir, "cache_nft")
+    raw["log"]["save_dir"] = os.path.join(tmpdir, "saves_nft")
+    config = Arguments.from_dict(raw)
+
+    trainer = load_trainer(config)
+    trainer.scheduler.set_seed(config.training_args.seed)
+    samples = trainer.sample(epoch=0)
+    trainer.prepare_feedback(samples)
+    loss_info = trainer.optimize(samples, epoch=0)
+    assert all(np.isfinite(v) for v in loss_info.values() if np.isscalar(v)), loss_info
+    from flow_factory_tpu.parallel.dist import host_allgather_objects
+
+    key = "train/loss" if "train/loss" in loss_info else sorted(loss_info)[0]
+    flat = [v for lst in host_allgather_objects([loss_info[key]]) for v in lst]
+    assert max(flat) - min(flat) < 1e-6, (key, flat)
+    print(f"PHASE_OK nft", flush=True)
+
+
 def phase_eval_gather():
     """Cross-process eval reward gathering (VERDICT r4 Missing #3): every
     process holds different samples with per-model reward dicts; the
@@ -465,6 +503,7 @@ PHASES = {
     "ckpt": phase_ckpt,
     "dpo_pairs": phase_dpo,
     "eval_gather": phase_eval_gather,
+    "nft": phase_nft,
 }
 
 for name in phases:

@@ -75,6 +75,13 @@ def test_two_process_grpo_epoch_and_dgpo_step(tmp_path):
     _run_workers("grpo,dgpo", tmp_path, timeout=2400)
 
 
+def test_two_process_nft_step(tmp_path):
+    """A DiffusionNFT (decoupled-paradigm) step with groups spanning the two
+    processes — the off-policy precompute + contrastive loss path under the
+    distributed sampler contract."""
+    _run_workers("nft", tmp_path, timeout=1800)
+
+
 def test_two_process_dpo_cross_rank_pairs(tmp_path):
     """Cross-rank DPO pairing under distributed_k_repeat (VERDICT r4 Next
     #3): groups span processes; pair formation gathers globally, shards
