@@ -86,9 +86,14 @@ class AWMTrainer(DecoupledTrainer):
                     x_t = self.tree_noised(clean, noise, t)
                     fwd = shard({**embeds, **x_t, "timestep": t, "guidance_scale": g})
                     old_v = self.adapter.training_velocity_tree(sampling_tr, fwd)
+                    # old_v is GLOBAL under multi-process meshes — the target
+                    # operands must be globally assembled too (mixing a
+                    # global (B_global, ...) with process-local (B_local, ...)
+                    # raises); shard() is a no-op-cost device_put single-process
+                    tgt = shard({"noise": noise, "clean": clean})
                     old_lp = weighted_log_prob(
                         self.tree_flat(old_v),
-                        self.tree_flat(noise) - self.tree_flat(clean),
+                        self.tree_flat(tgt["noise"]) - self.tree_flat(tgt["clean"]),
                         t, ta.awm_weighting, ta.ghuber_power,
                     )
                     noises.append(noise)

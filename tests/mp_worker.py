@@ -351,11 +351,11 @@ def phase_dpo():
     print(f"PHASE_OK dpo_pairs", flush=True)
 
 
-def phase_nft():
-    """One DiffusionNFT sample+optimize step across 2 processes: the
-    decoupled-trainer path (final-latent rollout, per-batch old-velocity
-    precompute, contrastive loss) with groups spanning processes and the
-    depth-2 sample pipeline."""
+def _decoupled_step(trainer_type: str) -> None:
+    """One decoupled-trainer sample+optimize step across the 2 processes:
+    distributed_k_repeat groups span processes; the old-velocity/snapshot
+    precompute feeds GLOBAL arrays back into the training batch (the r5
+    shard_batch pass-through); reduced losses must agree everywhere."""
     import yaml
 
     from flow_factory_tpu.hparams.args import Arguments
@@ -364,15 +364,15 @@ def phase_nft():
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "tests", "fixtures", "smoke_grpo.yaml")) as f:
         raw = yaml.safe_load(f)
-    raw["train"]["trainer_type"] = "nft"
+    raw["train"]["trainer_type"] = trainer_type
     raw["train"]["max_epochs"] = 1
     raw["train"]["group_size"] = 4
     raw["train"]["unique_sample_num_per_epoch"] = 2
     raw["train"]["per_device_batch_size"] = 1
     raw["data"]["dataset_dir"] = os.path.join(root, "tests", "fixtures", "tiny_prompts")
     raw["data"]["sampler_type"] = "distributed_k_repeat"
-    raw["data"]["cache_dir"] = os.path.join(tmpdir, "cache_nft")
-    raw["log"]["save_dir"] = os.path.join(tmpdir, "saves_nft")
+    raw["data"]["cache_dir"] = os.path.join(tmpdir, f"cache_{trainer_type}")
+    raw["log"]["save_dir"] = os.path.join(tmpdir, f"saves_{trainer_type}")
     config = Arguments.from_dict(raw)
 
     trainer = load_trainer(config)
@@ -386,7 +386,21 @@ def phase_nft():
     key = "train/loss" if "train/loss" in loss_info else sorted(loss_info)[0]
     flat = [v for lst in host_allgather_objects([loss_info[key]]) for v in lst]
     assert max(flat) - min(flat) < 1e-6, (key, flat)
+
+
+def phase_nft():
+    _decoupled_step("nft")
     print(f"PHASE_OK nft", flush=True)
+
+
+def phase_awm():
+    _decoupled_step("awm")
+    print(f"PHASE_OK awm", flush=True)
+
+
+def phase_crd():
+    _decoupled_step("crd")
+    print(f"PHASE_OK crd", flush=True)
 
 
 def phase_eval_gather():
@@ -504,6 +518,8 @@ PHASES = {
     "dpo_pairs": phase_dpo,
     "eval_gather": phase_eval_gather,
     "nft": phase_nft,
+    "awm": phase_awm,
+    "crd": phase_crd,
 }
 
 for name in phases:

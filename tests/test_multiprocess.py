@@ -75,11 +75,12 @@ def test_two_process_grpo_epoch_and_dgpo_step(tmp_path):
     _run_workers("grpo,dgpo", tmp_path, timeout=2400)
 
 
-def test_two_process_nft_step(tmp_path):
-    """A DiffusionNFT (decoupled-paradigm) step with groups spanning the two
-    processes — the off-policy precompute + contrastive loss path under the
-    distributed sampler contract."""
-    _run_workers("nft", tmp_path, timeout=1800)
+def test_two_process_decoupled_trainer_steps(tmp_path):
+    """NFT, AWM, and CRD (decoupled-paradigm) steps with groups spanning the
+    two processes — the old-velocity/snapshot precomputes feed global arrays
+    back into the training batch (r5 shard_batch pass-through) and every
+    process must reduce to identical losses."""
+    _run_workers("nft,awm,crd", tmp_path, timeout=2400)
 
 
 def test_two_process_dpo_cross_rank_pairs(tmp_path):
