@@ -244,14 +244,23 @@ class GeneralDataset:
         meta_file = os.path.join(tmp_dir, "_build_meta.json")
         meta = {"num_shards": process_count, "fingerprint": fp}
         if os.path.exists(meta_file):
-            with open(meta_file) as f:
-                old = json.load(f)
-            if old.get("num_shards") != process_count:
+            # multiple processes enter concurrently: a peer may be mid-write,
+            # so a torn/empty read is NOT an error — treat it as "no meta"
+            # (the sentinel only guards crash-resume shard-count mismatches)
+            try:
+                with open(meta_file) as f:
+                    old = json.load(f)
+            except (json.JSONDecodeError, OSError):
+                old = {}
+            if old and old.get("num_shards") != process_count:
                 logger.warning("Shard-count mismatch in %s; rebuilding", tmp_dir)
                 shutil.rmtree(tmp_dir)
                 os.makedirs(tmp_dir)
-        with open(meta_file, "w") as f:
+        # atomic publish (tmp + rename): readers never observe a partial file
+        tmp_meta = f"{meta_file}.{process_index}.writing"
+        with open(tmp_meta, "w") as f:
             json.dump(meta, f)
+        os.replace(tmp_meta, meta_file)
 
         part_file = os.path.join(tmp_dir, f"part_{process_index:04d}_of_{process_count:04d}.pkl")
         if not os.path.exists(part_file):
